@@ -1,38 +1,685 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the hippollm_spark operator surface (SURVEY.md §2) onto the
+driver's synthetic tables per FIXTURES.md §6:
+
+- part.p_name        ↔ entity names
+- lineitem ⋈ part    ↔ edges (fact_id = l_orderkey, entity = p_name)
+- embeddings         ↔ the vector collections (dim 64)
+- documents          ↔ the training-data corpus (dedup / text analysis)
+- events             ↔ the stream table
+
+Every ``queries()`` entry has a matching ``oracle_sql()`` DuckDB query
+unless the op is approximate-by-design (MinHash/SimHash LSH), which the
+driver checks rows-only and pytest checks by recall vs the exact op.
+
+Float discipline for cross-engine hash-matching: money aggregates are
+summed as DECIMAL (exact, order-independent) then cast back to DOUBLE
+and rounded; distances/similarities are computed in DOUBLE on both
+sides and rounded to 6dp; ordering keys always include a unique id
+tie-break.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF1 = "/root/testdata/sf0.001"
+
+# Entity names present at every scale factor (the part-name vocabulary
+# is fixed; only multiplicities scale).
+ENTITY_A = "blue rod"
+ENTITY_B = "hot rod"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read nanos as long and convert to microsecond
+    timestamps with integer division (ns epoch > 2^53, so double math
+    would lose precision). DuckDB's ns→µs cast truncates identically."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H mapping of the hypergraph adjacency: one edge per
+    distinct (order, part-name) incidence (FIXTURES.md §6)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("fact_id"), F.col("p_name").alias("entity"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+    SELECT DISTINCT l.l_orderkey AS fact_id, p.p_name AS entity
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _dec(col):
+    """Exact (order-independent) summable representation of a per-row
+    double expression: both engines round the identical double to the
+    identical DECIMAL(38,10), so SUM is exact and engine-order-proof."""
+    return col.cast("decimal(38,10)")
+
+
+# ===========================================================================
+# TPC-H style relational queries (the generic surface SURVEY.md §2.10)
+# ===========================================================================
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(_dec(disc)).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(_dec(charge)).cast("double"), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ===========================================================================
+# Graph / relational operators (P*, G*) on the FIXTURES.md §6 mapping
+# ===========================================================================
+
+def q_p1_entity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — point lookup by entity name (reference storage.py:201-205)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name") == ENTITY_A)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+def q_p4_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — fact ids touching ANY entity (reference storage.py:278-289)."""
+    from hippollm_spark.operators.relational import fact_ids_by_entities_union
+
+    return fact_ids_by_entities_union(_edges(spark, sf_dir), [ENTITY_A, ENTITY_B])
+
+
+def q_p5_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — relational division (reference storage.py:291-302)."""
+    from hippollm_spark.operators.relational import fact_ids_by_entities_intersection
+
+    return fact_ids_by_entities_intersection(_edges(spark, sf_dir), [ENTITY_A, ENTITY_B])
+
+
+def q_p6_lone_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — entities with no incident fact (reference storage.py:171-181):
+    part names never ordered."""
+    parts = _t(spark, sf_dir, "part").select("p_name").distinct()
+    return parts.join(
+        _edges(spark, sf_dir).select(F.col("entity").alias("p_name")),
+        on="p_name",
+        how="left_anti",
+    )
+
+
+def q_g1_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — 1-hop neighbours with shared-fact counts (reference
+    storage.py:213-224)."""
+    from hippollm_spark.operators.graph import neighbours
+
+    out = neighbours(_edges(spark, sf_dir), ENTITY_A)
+    return out.select(
+        "entity",
+        "n_facts",
+        F.array_min("fact_ids").alias("min_fact"),
+        F.array_max("fact_ids").alias("max_fact"),
+    )
+
+
+def q_g3_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — entity co-occurrence projection (reference hippoview
+    app.py:144-167)."""
+    from hippollm_spark.operators.graph import cooccurrence
+
+    out = cooccurrence(_edges(spark, sf_dir))
+    return out.select(
+        "entity_a",
+        "entity_b",
+        "weight",
+        F.array_min("fact_ids").alias("min_fact"),
+    ).filter(F.col("weight") >= 2)
+
+
+# ===========================================================================
+# Vector search (V*)
+# ===========================================================================
+
+def q_v3_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 — exact top-10 by L2 (reference storage.py:266-276)."""
+    from hippollm_spark.operators.knn import knn
+
+    q = _query_vec(spark, sf_dir, 0)
+    out = knn(_t(spark, sf_dir, "embeddings"), q, 10, id_col="vec_id")
+    return out.select("vec_id", "label", F.round("distance", 6).alias("distance"))
+
+
+def q_v4_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 — kNN restricted to a candidate subset (reference
+    storage.py:304-323); candidates = label ∈ {1,2,3}."""
+    from hippollm_spark.operators.knn import knn
+
+    q = _query_vec(spark, sf_dir, 0)
+    cands = _t(spark, sf_dir, "embeddings").filter(F.col("label").isin(1, 2, 3))
+    out = knn(cands, q, 10, id_col="vec_id")
+    return out.select("vec_id", "label", F.round("distance", 6).alias("distance"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search: exact cosine top-5 for 3 query vectors."""
+    from hippollm_spark.operators.similarity import topk_per_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_per_query(emb, queries, k=5, id_col="vec_id")
+
+
+def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline)."""
+    from hippollm_spark.operators.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# ===========================================================================
+# Dedup family on documents
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clusters (md5 of normalized text)."""
+    from hippollm_spark.operators.dedup import duplicate_groups
+
+    out = duplicate_groups(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "text_hash", "n_dups", F.array_min("doc_ids").alias("min_doc_id")
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard similarity join at threshold 0.5."""
+    from hippollm_spark.operators.dedup import jaccard_dup_pairs
+
+    return jaccard_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (approximate candidate generation,
+    exact verification). No SQL oracle — recall-tested in pytest against
+    q_dedup_jaccard."""
+    from hippollm_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=128, bands=32
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3). No SQL oracle."""
+    from hippollm_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ===========================================================================
+# Text analysis on documents
+# ===========================================================================
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hippollm_spark.operators.textstats import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hippollm_spark.operators.textstats import detect_language
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", detect_language("text").alias("lang_pred")
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hippollm_spark.operators.textstats import bpe_ish_token_count, token_count
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_pieces"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hippollm_spark.operators.textstats import with_fingerprints
+
+    return with_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_split_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — fixed-size chunking with positions (reference
+    splitters.py:46-61)."""
+    from hippollm_spark.functions.text import split_naive
+
+    return split_naive(
+        _t(spark, sf_dir, "documents"), chunk_size=50, text_col="text"
+    )
+
+
+# ===========================================================================
+# Events (stream table, batch view)
+# ===========================================================================
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch equivalent of the
+    Structured Streaming aggregation in hippollm_spark.streaming)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap per user (lag + cumulative
+    flag-sum — the batch twin of streaming session_window)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ===========================================================================
+# Driver contract
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid filtered vector search (the reference's core
+    query pattern — storage.py:304-337) at sf0.001."""
+    return q_v4_filtered_knn(spark, SF1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "p1_entity_lookup": q_p1_entity_lookup,
+        "p4_union": q_p4_union,
+        "p5_intersection": q_p5_intersection,
+        "p6_lone_entities": q_p6_lone_entities,
+        "g1_neighbours": q_g1_neighbours,
+        "g3_cooccurrence": q_g3_cooccurrence,
+        "v3_knn": q_v3_knn,
+        "v4_filtered_knn": q_v4_filtered_knn,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_dup_pairs": q_emb_dup_pairs,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "split_naive": q_split_naive,
+        "events_windowed": q_events_windowed,
+        "sessionization": q_sessionization,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+_SHINGLES = f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                        ELSE [array_to_string(toks, ' ')] END
+               ) AS shingles
+        FROM w
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+    en = "['the','and','of','to','in','is','that','with']"
+    es = "['el','la','de','que','los','con','una','por']"
+    fr = "['le','la','les','des','est','dans','une','pour']"
+    de = "['der','die','das','und','ist','mit','ein','nicht']"
+    return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_qty,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_base_price,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_disc_price,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "p1_entity_lookup": f"""
+            SELECT p_partkey, p_name, p_brand, p_retailprice
+            FROM part WHERE p_name = '{ENTITY_A}' ORDER BY p_partkey
+        """,
+        "p4_union": f"""
+            WITH edges AS ({_EDGES_SQL})
+            SELECT DISTINCT fact_id FROM edges
+            WHERE entity IN ('{ENTITY_A}', '{ENTITY_B}')
+        """,
+        "p5_intersection": f"""
+            WITH edges AS ({_EDGES_SQL})
+            SELECT fact_id FROM edges
+            WHERE entity IN ('{ENTITY_A}', '{ENTITY_B}')
+            GROUP BY fact_id
+            HAVING count(DISTINCT entity) = 2
+        """,
+        "p6_lone_entities": f"""
+            WITH edges AS ({_EDGES_SQL})
+            SELECT DISTINCT p_name FROM part
+            WHERE p_name NOT IN (SELECT entity FROM edges)
+        """,
+        "g1_neighbours": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            mine AS (SELECT DISTINCT fact_id FROM edges WHERE entity = '{ENTITY_A}')
+            SELECT e.entity AS entity, count(*) AS n_facts,
+                   min(e.fact_id) AS min_fact, max(e.fact_id) AS max_fact
+            FROM edges e JOIN mine m ON e.fact_id = m.fact_id
+            WHERE e.entity <> '{ENTITY_A}'
+            GROUP BY e.entity
+        """,
+        "g3_cooccurrence": f"""
+            WITH edges AS ({_EDGES_SQL})
+            SELECT a.entity AS entity_a, b.entity AS entity_b,
+                   count(*) AS weight, min(a.fact_id) AS min_fact
+            FROM edges a JOIN edges b
+              ON a.fact_id = b.fact_id AND a.entity < b.entity
+            GROUP BY a.entity, b.entity
+            HAVING count(*) >= 2
+        """,
+        "v3_knn": f"""
+            SELECT vec_id, label,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS distance
+            FROM embeddings
+            ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "v4_filtered_knn": f"""
+            SELECT vec_id, label,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS distance
+            FROM embeddings
+            WHERE label IN (1, 2, 3)
+            ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS raw
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS INT) AS rank,
+                   round(raw, 6) AS score
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "emb_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS min_doc_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_jaccard": f"""
+            {_SHINGLES},
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter::DOUBLE / (na.n + nb.n - inter), 6) AS jaccard
+            FROM p
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
+        """,
+        "text_quality": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split({_NORM}, ' ') AS toks,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tokens,
+                       round((n_chars - (len(toks) - 1)) / len(toks)::DOUBLE, 6) AS avg_token_len,
+                       round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                       round(len(list_filter(toks, t -> list_contains({en}, t))) / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
+                       round(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
+                FROM base
+            )
+            SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+                   stopword_ratio, uniq_ratio,
+                   (least(n_tokens * 10000, 1000000) * 25
+                    + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
+                    + least(CAST(round(stopword_ratio * 1000000) AS BIGINT) * 5, 1000000) * 20
+                    + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS quality_score_e8
+            FROM feat
+        """,
+        "text_langid": f"""
+            WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+            s AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains({de}, x))) AS h_de,
+                       len(list_filter(toks, x -> list_contains({en}, x))) AS h_en,
+                       len(list_filter(toks, x -> list_contains({es}, x))) AS h_es,
+                       len(list_filter(toks, x -> list_contains({fr}, x))) AS h_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                        WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                        WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                        WHEN h_es >= h_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "text_tokens": f"""
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0
+                        ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_pieces
+            FROM documents
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "split_naive": """
+            SELECT doc_id,
+                   CAST(pos_start // 50 AS INT) AS chunk_idx,
+                   substr(text, pos_start + 1, 50) AS text,
+                   CAST(pos_start AS INT) AS pos_start,
+                   CAST(least(pos_start + 50, length(text)) AS INT) AS pos_end
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0, greatest(length(text), 1), 50)) AS pos_start
+                FROM documents
+            )
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+                   count(*) AS n_events,
+                   round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "sessionization": """
+            WITH flagged AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id ORDER BY user_id
+        """,
+    }

@@ -1,0 +1,257 @@
+"""Text processing operators (reference T1-T11) — SQL-first.
+
+Splitters produce the reference ``Chunk`` invariants (reference
+splitters.py: first chunk pos_start=0, last chunk pos_end=len(text),
+chunk text == substring(content, pos_start, pos_end)).
+
+Where the reference shells out to langchain/nltk, we port the
+deterministic behavior (documented per function) — pure column
+expressions where possible, Python only for the genuinely recursive
+splitter, as an Arrow-batched UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hippollm_spark.schema import CHUNKS_SCHEMA
+
+
+# --------------------------------------------------------------------------
+# T1 — naive fixed-size splitter (reference splitters.py:46-61)
+# --------------------------------------------------------------------------
+
+def split_naive(
+    docs: DataFrame,
+    chunk_size: int = 1000,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Fixed-size char chunks with positions. Pure SQL:
+    sequence → posexplode → substring, all codegen'd; scales linearly,
+    no shuffle."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text_col) - 1, F.lit(0)), F.lit(chunk_size)
+    )
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__text__"),
+            F.posexplode(starts).alias("chunk_idx", "pos_start"),
+        )
+        .withColumn(
+            "pos_end",
+            F.least(F.col("pos_start") + chunk_size, F.length("__text__")),
+        )
+        .withColumn(
+            "text",
+            F.substring(
+                F.col("__text__"), F.col("pos_start") + 1, F.lit(chunk_size)
+            ),
+        )
+        .select("doc_id", "chunk_idx", "text", "pos_start", "pos_end")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# T2 — paragraph splitter (reference splitters.py:80-96)
+# --------------------------------------------------------------------------
+
+def split_paragraphs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """Split on '\\n\\n' with running char offsets (+2 per separator).
+    Offsets via a cumulative window over (doc, chunk_idx)."""
+    from pyspark.sql import Window
+
+    parts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("chunk_idx", "text"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parts.withColumn(
+            "pos_start",
+            F.coalesce(F.sum(F.length("text") + 2).over(w), F.lit(0)).cast("int"),
+        )
+        .withColumn("pos_end", (F.col("pos_start") + F.length("text")).cast("int"))
+        .select("doc_id", "chunk_idx", "text", "pos_start", "pos_end")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3 — recursive splitter (deterministic port of the langchain
+# RecursiveCharacterTextSplitter behavior used by reference
+# splitters.py:64-77; separators and chunk_size from annotator.py:33)
+# --------------------------------------------------------------------------
+
+SEPARATORS = ["\n\n", "\n", ". ", "? ", "! ", "; ", ", ", " "]
+
+
+def _recursive_split(text: str, chunk_size: int, seps: list[str]) -> list[str]:
+    """Greedy recursive split: cut on the coarsest separator whose pieces
+    can be merged into chunks <= chunk_size; recurse on oversized
+    pieces. Separators are kept at the end of each piece (so positions
+    are recoverable by cumulative length)."""
+    if len(text) <= chunk_size:
+        return [text] if text else []
+    for i, sep in enumerate(seps):
+        if sep in text:
+            raw = text.split(sep)
+            pieces = [p + sep for p in raw[:-1]] + ([raw[-1]] if raw[-1] else [])
+            merged: list[str] = []
+            cur = ""
+            for p in pieces:
+                if cur and len(cur) + len(p) > chunk_size:
+                    merged.append(cur)
+                    cur = p
+                else:
+                    cur += p
+            if cur:
+                merged.append(cur)
+            out: list[str] = []
+            for m in merged:
+                if len(m) > chunk_size:
+                    out.extend(_recursive_split(m, chunk_size, seps[i + 1 :]))
+                else:
+                    out.append(m)
+            return out
+    # No separator fits: hard cut.
+    return [text[i : i + chunk_size] for i in range(0, len(text), chunk_size)]
+
+
+def split_recursive(
+    docs: DataFrame,
+    chunk_size: int = 1000,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """T3 — recursive character splitter as a grouped Arrow UDF.
+
+    Python is unavoidable (recursive control flow), so it runs as
+    mapInPandas: one pass, no shuffle, Arrow-batched."""
+
+    def _split(batches):
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                txt = txt or ""
+                pos = 0
+                for idx, chunk in enumerate(_recursive_split(txt, chunk_size, SEPARATORS)):
+                    rows.append((did, idx, chunk, pos, pos + len(chunk)))
+                    pos += len(chunk)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "text", "pos_start", "pos_end"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_split, CHUNKS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# T7 — first sentence (reference helpers.py:12-15 via nltk; deterministic
+# regex port: first run of chars ending in . ! ? followed by space/EOT)
+# --------------------------------------------------------------------------
+
+def first_sentence(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    extracted = F.regexp_extract(c, r"^(.*?[.!?])(?:\s|$)", 1)
+    return F.when(extracted == "", c).otherwise(extracted)
+
+
+# --------------------------------------------------------------------------
+# T8 — bullet-point parser (reference helpers.py:18-59). Behavior port
+# validated against the reference's seven golden cases
+# (tests/test_helpers.py:3-63). Python UDF (regex-heavy, cold path —
+# runs on LLM output, thousands of rows not billions).
+# --------------------------------------------------------------------------
+
+_BULLET_RE = re.compile(r"^\s*(?:[-*•]|\d+[.)])\s*(.*)$")
+_NONE_RE = re.compile(r"^\s*none\.?\s*$", re.IGNORECASE)
+_NO_X_RE = re.compile(r"(?:there are )?no (?:facts|entities|new)", re.IGNORECASE)
+_PREAMBLE_RE = re.compile(r"^(here (?:are|is)\b|facts:?$|entities:?$)", re.IGNORECASE)
+
+
+def parse_bullet_points(text: str, only_first_bullets: bool = False) -> list[str]:
+    """Parse an LLM bullet list: strip preambles ('Here are…', 'Facts:'),
+    detect 'None' / 'no facts' / 'no entities' → [], accept -,*,• and
+    '1.' numbering; bare non-empty lines count as items. With
+    ``only_first_bullets``, stop at the first non-bullet line after
+    bullets began (reference's only_first_bullets mode)."""
+    if text is None:
+        return []
+    items: list[str] = []
+    seen_bullet = False
+    for line in text.splitlines():
+        stripped = line.strip()
+        if not stripped:
+            if seen_bullet and only_first_bullets:
+                break
+            continue
+        if _NONE_RE.match(stripped) or _NO_X_RE.search(stripped):
+            if not items:
+                return []
+            continue
+        m = _BULLET_RE.match(stripped)
+        if m:
+            if m.group(1):
+                items.append(m.group(1).strip())
+            seen_bullet = True
+        else:
+            if _PREAMBLE_RE.match(stripped):
+                continue
+            if seen_bullet and only_first_bullets:
+                break
+            items.append(stripped)
+    return items
+
+
+@F.udf(T.ArrayType(T.StringType()))
+def parse_bullet_points_udf(text: str) -> list[str]:
+    return parse_bullet_points(text)
+
+
+# --------------------------------------------------------------------------
+# T9-T11 — small string helpers
+# --------------------------------------------------------------------------
+
+def itemize(col: Column | str) -> Column:
+    """T9 — ARRAY<STRING> → '- a\\n- b' (reference helpers.py:62-64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.size(c) > 0, F.concat(F.lit("- "), F.array_join(c, "\n- "))).otherwise(
+        F.lit("")
+    )
+
+
+def is_yes(col: Column | str) -> Column:
+    """T11 — (reference helpers.py:7-9)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c)).startswith("y")
+
+
+def choice_selection(answer: str, choices: list[str]) -> str | None:
+    """T10 — match a free-text answer to one of N choices: prefix pass
+    then substring pass; 'none' → None (reference helpers.py:67-80)."""
+    if answer is None:
+        return None
+    a = answer.strip().lower()
+    if a.startswith("none"):
+        return None
+    for ch in choices:
+        if a.startswith(ch.strip().lower()):
+            return ch
+    for ch in choices:
+        if ch.strip().lower() in a:
+            return ch
+    return None

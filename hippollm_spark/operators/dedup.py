@@ -1,0 +1,416 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five dedup strategies, ordered from exact to approximate:
+
+1. ``exact_dedup``        — hash-groupBy on normalized text. One shuffle
+                            on a 32-char digest, never on the payload.
+2. ``jaccard_dup_pairs``  — EXACT n-gram Jaccard similarity join, using
+                            shared-shingle blocking (any pair with
+                            J > 0 shares a shingle, so blocking loses
+                            nothing). Oracle-checkable.
+3. ``minhash_lsh_pairs``  — MinHash signatures + banded LSH bucketing;
+                            the 100-TB path. Candidates from band-bucket
+                            join, verified with exact Jaccard. Tested by
+                            recall vs (2).
+4. ``simhash64``          — 64-bit SimHash fingerprints + hamming-
+                            distance candidate pairs.
+5. ``embedding_dup_pairs``— cosine near-dup over an embedding column
+                            (exact pairwise; the LSH-bucketed variant
+                            lives in operators.similarity).
+
+Skew note (100 TB): shared-shingle blocking explodes on stop-shingles.
+``jaccard_dup_pairs`` optionally drops shingles whose document frequency
+exceeds ``max_shingle_df`` — for near-dup thresholds >= 0.5 a pair
+cannot lose ALL its shared shingles unless those shingles are ubiquitous,
+and the MinHash path (3) is the intended operator at that scale anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized_text(col, *, lowercase: bool = True) -> object:
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    return F.lower(c) if lowercase else c
+
+
+# --------------------------------------------------------------------------
+# 1. exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative of每 exact (normalized) text.
+
+    Shuffles only (digest, id): group on md5 of normalized text so the
+    exchange carries 32 bytes + id per row, then semi-join winners back
+    to payloads.
+    Output: original columns of the surviving rows.
+    """
+    keyed = docs.withColumn("__h__", F.md5(normalized_text(text_col)))
+    winners = keyed.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, on=["__h__", id_col], how="semi").drop("__h__")
+    )
+
+
+def duplicate_groups(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dup clusters: (text_hash, n_dups, doc_ids) for texts seen
+    more than once."""
+    return (
+        docs.select(
+            F.md5(normalized_text(text_col)).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# shingling helpers
+# --------------------------------------------------------------------------
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-grams as ARRAY<STRING> — pure SQL (codegen):
+    split → transform over a sequence of start offsets → array_distinct."""
+    words = F.split(normalized_text(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def with_shingles(
+    docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. exact n-gram Jaccard similarity join
+# --------------------------------------------------------------------------
+
+def jaccard_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via shared-shingle blocking.
+
+    Plan: explode shingles → self-equi-join on shingle (Catalyst
+    shuffle-hash on the shingle key) → count shared per pair → join
+    set sizes → filter. Exact because J(a,b) > 0 ⟹ a,b share a shingle.
+    Output: (doc_a, doc_b, jaccard DOUBLE rounded to 6dp), doc_a < doc_b.
+    """
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > max_shingle_df)
+        )
+        ex = ex.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
+    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash + banded LSH — the 100-TB path
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 128,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — min over per-seed
+    xxhash64 of each shingle, fully JVM-side (no Python in the hot
+    path): sig[i] = min_s xxhash64(seed_i, s)."""
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
+        ),
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    num_hashes/bands rows; docs colliding on any full band become
+    candidate pairs; candidates verified with exact Jaccard (one
+    array_intersect on the shingle sets — no re-shuffle of text).
+
+    Scale shape: the only wide exchange is on (band_idx, band_hash) —
+    a pair of longs — and candidate verification touches candidate rows
+    only. This is the operator to run at 100 TB; `jaccard_dup_pairs`
+    is its correctness oracle at test scale.
+    Output: (doc_a, doc_b, jaccard) like jaccard_dup_pairs (when
+    verify=True), else raw candidate pairs.
+    """
+    rows = num_hashes // bands
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
+    # Compute signatures directly from the cached shingles (avoid re-shingling).
+    sigcol = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
+        ),
+    )
+    sigs = sh.select("doc_id", sigcol.alias("sig"))
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * rows + 1, rows)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    cands = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        return cands
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word tokens, vectorized in numpy (Arrow
+    batches): bit j of the fingerprint = sign of the sum over tokens of
+    (+1 / -1 per token-hash bit j). Output: (doc_id, simhash BIGINT)."""
+
+    def _batch(batches):
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["__norm__"]):
+                toks = text.split(" ") if text else []
+                if not toks:
+                    out[i] = 0
+                    continue
+                hashes = np.array(
+                    [np.uint64(hash_token(t)) for t in toks], dtype=np.uint64
+                )
+                bits = (
+                    (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64)
+                acc = (2 * bits - 1).sum(axis=0)
+                fp = np.uint64(0)
+                for j in range(64):
+                    if acc[j] > 0:
+                        fp |= np.uint64(1) << np.uint64(j)
+                out[i] = np.int64(fp)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    def hash_token(t: str) -> int:
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        )
+
+    prepped = docs.select(
+        F.col(id_col).alias("doc_id"), normalized_text(text_col).alias("__norm__")
+    )
+    return prepped.mapInPandas(_batch, "doc_id long, simhash long")
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, using the
+    standard 4-block trick: split 64 bits into 4 16-bit blocks; pairs
+    within hamming<=3 must agree on >= 1 block → equi-join per block,
+    verify hamming on candidates. Output: (doc_a, doc_b, hamming INT)."""
+    fp = simhash64(docs, id_col=id_col, text_col=text_col).cache()
+    blocks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "block_idx", "block_val",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "block_idx", "block_val",
+    )
+    return (
+        a.join(b, on=["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. embedding cosine near-dup (exact pairwise)
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine >= threshold pairs via distributed block-nested-loop
+    matmul.
+
+    Naive crossJoin + per-pair expression cosine is interpreted (HOFs
+    don't codegen) — ~100× too slow. Instead: hash vectors into
+    ``n_blocks`` blocks, emit each unordered block pair (bi <= bj) once,
+    and compute the full block×block similarity with ONE numpy matmul
+    per group inside applyInPandas. O(n²) work stays, but it runs at
+    BLAS speed across n_blocks*(n_blocks+1)/2 parallel tasks and only
+    ships each block ~n_blocks times. The ANN variant for 100 TB is
+    operators.similarity.lsh_dup_pairs (recall-tested against this).
+    Output: (id_a, id_b, cos 6dp), id_a < id_b.
+    """
+    base = vecs.select(
+        F.col(id_col).alias("__id__"),
+        F.col(vec_col).cast("array<double>").alias("__v__"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))).alias("__blk__"),
+    )
+    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+    spark = vecs.sparkSession
+    pair_df = spark.createDataFrame(pairs, "bi int, bj int")
+    # Each vector row participates in every block-pair touching its block:
+    # tag side 'a' for rows of block bi and side 'b' for rows of block bj.
+    sides = base.join(
+        F.broadcast(pair_df),
+        (F.col("__blk__") == F.col("bi")) | (F.col("__blk__") == F.col("bj")),
+    )
+    thr = float(threshold)
+
+    def _block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        av = pdf[pdf["__blk__"] == bi]
+        bv = pdf[pdf["__blk__"] == bj]
+        if len(av) == 0 or len(bv) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ma = np.array(av["__v__"].tolist(), dtype=np.float64)
+        mb = np.array(bv["__v__"].tolist(), dtype=np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        sims = (ma @ mb.T) / np.outer(na, nb)
+        ia = av["__id__"].to_numpy()
+        ib = bv["__id__"].to_numpy()
+        rows_i, cols_j = np.nonzero(np.round(sims, 6) >= thr)
+        id_a = ia[rows_i]
+        id_b = ib[cols_j]
+        cos = np.round(sims[rows_i, cols_j], 6)
+        if bi == bj:
+            # symmetric matrix: each unordered pair appears twice — keep one
+            keep = id_a < id_b
+            id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+        else:
+            # cross-block: each unordered pair appears once, order arbitrary
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": cos})
+
+    return (
+        sides.groupBy("bi", "bj")
+        .applyInPandas(_block, "id_a long, id_b long, cos double")
+    )

@@ -1,0 +1,145 @@
+"""Graph operators over the (entities, facts, edges) hypergraph
+(reference G1-G3).
+
+A fact is a hyperedge over >=1 entities; the normalized ``edges``
+DataFrame (fact_id, entity) makes every graph op a join:
+
+- 1-hop neighbours  = self-join of edges on fact_id,
+- multi-hop explore = iterated frontier joins (BFS),
+- co-occurrence     = pairwise self-join per fact.
+
+Scale notes: edges is two narrow columns — at 100 TB of documents the
+edge table is orders of magnitude smaller than the fact payloads, so we
+join on edges and only rejoin payloads at the end. Frontier joins cache
++ localCheckpoint per hop to cut lineage growth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def neighbours(edges: DataFrame, entity: str, *, sort_facts: bool = True) -> DataFrame:
+    """G1 — co-members of every fact incident to ``entity``, with the
+    shared fact ids (reference storage.py:213-224).
+
+    Output: (entity STRING, fact_ids ARRAY<BIGINT>, n_facts BIGINT).
+    fact_ids sorted ascending for deterministic comparison (the
+    reference's insertion order == ascending id order, since ids are
+    append-ordered).
+    """
+    mine = edges.filter(F.col("entity") == F.lit(entity)).select("fact_id")
+    out = (
+        edges.join(F.broadcast(mine), on="fact_id", how="semi")
+        .filter(F.col("entity") != F.lit(entity))
+        .groupBy("entity")
+        .agg(
+            F.collect_list("fact_id").alias("fact_ids"),
+            F.count("fact_id").alias("n_facts"),
+        )
+    )
+    if sort_facts:
+        out = out.withColumn("fact_ids", F.array_sort("fact_ids"))
+    return out
+
+
+def explore(
+    edges: DataFrame,
+    origins: Sequence[str],
+    max_depth: int = 2,
+    max_relations: int | None = 15,
+    *,
+    cap_all_depths: bool = False,
+) -> DataFrame:
+    """G2 — multi-hop neighbourhood expansion (reference
+    hippoview app.py:37-63).
+
+    Reference quirks preserved:
+    - per-node cap keeps the ``max_relations`` neighbours with the MOST
+      shared facts (app.py:47-50),
+    - the cap is only applied at depth 1 — recursive calls omit
+      ``max_relations`` (app.py:55-62). ``cap_all_depths=True`` gives
+      the saner scalable behavior.
+    - visited-set dedup: a node expanded at depth d is not re-expanded.
+
+    Implementation: iterative BFS, one frontier join per hop (k hops =
+    k jobs). Returns discovered links
+    (src STRING, dst STRING, n_facts BIGINT, fact_ids ARRAY<BIGINT>, depth INT).
+    """
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(o,) for o in origins], "entity string")
+    frontier = visited
+    results = None
+    for depth in range(1, max_depth + 1):
+        fr = frontier.select(F.col("entity").alias("src"))
+        links = (
+            edges.withColumnRenamed("entity", "src")
+            .join(F.broadcast(fr), on="src", how="inner")
+            .join(edges.withColumnRenamed("entity", "dst"), on="fact_id")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(
+                F.count("fact_id").alias("n_facts"),
+                F.array_sort(F.collect_list("fact_id")).alias("fact_ids"),
+            )
+            .withColumn("depth", F.lit(depth))
+        )
+        if max_relations is not None and (depth == 1 or cap_all_depths):
+            w = Window.partitionBy("src").orderBy(
+                F.desc("n_facts"), F.asc("dst")
+            )
+            links = (
+                links.withColumn("__rk__", F.row_number().over(w))
+                .filter(F.col("__rk__") <= max_relations)
+                .drop("__rk__")
+            )
+        links = links.localCheckpoint(eager=True)  # cut lineage per hop
+        results = links if results is None else results.unionByName(links)
+        next_frontier = (
+            links.select(F.col("dst").alias("entity"))
+            .distinct()
+            .join(visited, on="entity", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(next_frontier).localCheckpoint(eager=True)
+        frontier = next_frontier
+        if frontier.isEmpty():
+            break
+    if results is None:
+        return spark.createDataFrame(
+            [], "src string, dst string, n_facts long, fact_ids array<long>, depth int"
+        )
+    # Keep first (shallowest) discovery of each (src,dst) pair.
+    w = Window.partitionBy("src", "dst").orderBy("depth")
+    return (
+        results.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .drop("__rk__")
+    )
+
+
+def cooccurrence(edges: DataFrame, fact_ids: DataFrame | None = None) -> DataFrame:
+    """G3 — unordered entity-pair projection with weights (reference
+    hippoview app.py:144-167: itertools.combinations per fact, merged).
+
+    Self-join on fact_id with ``a < b`` to emit each unordered pair once.
+    Output: (entity_a, entity_b, weight BIGINT, fact_ids ARRAY<BIGINT>).
+    """
+    e = edges
+    if fact_ids is not None:
+        e = e.join(F.broadcast(fact_ids.select("fact_id").distinct()), "fact_id", "semi")
+    a = e.select("fact_id", F.col("entity").alias("entity_a"))
+    b = e.select("fact_id", F.col("entity").alias("entity_b"))
+    return (
+        a.join(b, on="fact_id")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(
+            F.count("fact_id").alias("weight"),
+            F.array_sort(F.collect_list("fact_id")).alias("fact_ids"),
+        )
+    )

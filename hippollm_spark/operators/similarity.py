@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns: exact top-k baselines and
+approximate (LSH / IVF) scale paths.
+
+- ``topk_per_query``       — exact brute-force cosine top-k for a batch of
+                             query vectors (the correctness baseline).
+- ``RandomHyperplaneLSH``  — signed-random-projection signatures; bucket
+                             join for candidate generation (cosine ANN).
+- ``ivf_build / ivf_topk`` — IVF-style partition pruning: k-means-ish
+                             centroids (deterministic seeded init +
+                             Lloyd iterations in DataFrame ops), probe
+                             only the ``nprobe`` nearest inverted lists.
+
+At 100 TB the exact path is one scan + TakeOrdered per query batch
+(queries broadcast, no shuffle); the IVF path prunes the scan to
+nprobe/nlist of the data — the classic recall/throughput dial.
+ANN variants are tested by recall against the exact baseline, never by
+hash (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hippollm_spark.functions import vectors as V
+
+
+def topk_per_query(
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbours for each query vector.
+
+    Plan: broadcast the (small) query table, score every (query, vec)
+    pair JVM-side, rank with a window per query. One shuffle of
+    (query_id, vec_id, score) — never the vectors themselves.
+    Output: (query_id, vec_id, rank INT, score 6dp), score = cosine
+    similarity (desc) or negative L2 (so rank 1 is always 'closest').
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    paired = vecs.select(id_col, vec_col).crossJoin(q)
+    if metric == "cosine":
+        score = V.cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    elif metric == "l2":
+        score = -V.l2_distance(F.col(vec_col), F.col(query_vec_col))
+    else:
+        raise ValueError(metric)
+    scored = paired.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(score, 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine)
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim)
+
+
+def srp_signature(
+    vecs: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Signed-random-projection signature as a single LONG bucket id.
+    Hyperplanes are seeded + broadcast; the sign-bit packing runs as a
+    vectorized Arrow UDF (one matmul per batch)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    @F.pandas_udf("long")
+    def _sig(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return vecs.withColumn(out_col, _sig(F.col(vec_col)))
+
+
+def lsh_dup_pairs(
+    vecs: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: candidates = vectors sharing a
+    bucket in ANY of ``n_tables`` independent hash tables; candidates
+    verified with exact cosine. The scalable counterpart of
+    dedup.embedding_dup_pairs (recall-tested against it)."""
+    sig = vecs.select(id_col, vec_col)
+    for t in range(n_tables):
+        sig = srp_signature(
+            sig, dim, n_bits, seed + 1000 * t, vec_col=vec_col, out_col=f"b{t}"
+        )
+    buckets = sig.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table_idx", "bucket"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table_idx", "bucket"
+    )
+    cands = (
+        a.join(b, on=["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("cos", F.round(V.cosine_similarity("va", "vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style partition pruning
+# --------------------------------------------------------------------------
+
+def ivf_build(
+    vecs: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train centroids (seeded sample init + Lloyd iterations, all
+    driver-side numpy on a sample — centroid table is tiny) and return
+    (assigned DataFrame with 'list_id', centroids ndarray).
+
+    At scale the assigned table is written partitioned by list_id so a
+    probe reads only nprobe partitions (partition pruning at the file
+    level)."""
+    sample = np.array(
+        [r[0] for r in vecs.select(vec_col).limit(100_000).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cents)):
+            mask = assign == j
+            if mask.any():
+                cents[j] = sample[mask].mean(0)
+
+    @F.pandas_udf("int")
+    def _assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    assigned = vecs.withColumn("list_id", _assign(F.col(vec_col)))
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest inverted lists, exact-score only those.
+    The list_id filter is a pushable predicate → partition pruning when
+    the table is partitioned by list_id."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d = ((centroids - q) ** 2).sum(1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    pruned = assigned.filter(F.col("list_id").isin(probe))
+    return (
+        pruned.withColumn("distance", V.l2_distance(F.col(vec_col), list(q)))
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,129 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; zero Python in the hot
+path) so they run at scan speed over 100 TB — these are the per-document
+map stages of a data-curation pipeline and must not shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators.dedup import normalized_text
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. (Heuristic quality is not the point — the
+# deterministic, SQL-expressible scoring is.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "con", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "une", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "nicht"],
+}
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = normalized_text(text_col, lowercase=False)
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, " ")))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-ish proxy: count word pieces + digits + punctuation runs via
+    a tokenizer-style regex. Deterministic, JVM-side."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    return F.size(toks)
+
+
+def stopword_hits(text_col: Column | str, words: list[str]) -> Column:
+    """Number of tokens that appear in ``words`` (count with
+    multiplicity, via filter on the token array)."""
+    toks = F.split(normalized_text(text_col), " ")
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def detect_language(text_col: Column | str) -> Column:
+    """Stopword-hit language ID: argmax over LANG_MARKERS hit counts,
+    tie-break alphabetically; 'und' (undetermined) when zero hits.
+
+    Argmax = comparator array_sort on (hits desc, lang asc), take the
+    head — still a single codegen'd expression per row."""
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_hits(text_col, ws).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, ws in sorted(LANG_MARKERS.items())
+        ]
+    )
+    ordered = F.array_sort(
+        pairs,
+        lambda l, r: F.when(l["hits"] > r["hits"], -1)
+        .when(l["hits"] < r["hits"], 1)
+        .when(l["lang"] < r["lang"], -1)
+        .when(l["lang"] > r["lang"], 1)
+        .otherwise(0),
+    )
+    return F.when(ordered[0]["hits"] <= 0, F.lit("und")).otherwise(ordered[0]["lang"])
+
+
+def quality_features(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features + composite score (rounded 6dp):
+
+    - n_chars, n_tokens, avg token length
+    - punct_ratio: non-alnum-non-space chars / chars
+    - stopword_ratio: english stopword tokens / tokens
+    - uniq_ratio: distinct tokens / tokens (repetition detector)
+    - quality_score: clamped linear combination, in [0, 1]
+    """
+    c = F.col(text_col)
+    toks = F.split(normalized_text(text_col), " ")
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop = stopword_hits(text_col, LANG_MARKERS["en"])
+    uniq = F.size(F.array_distinct(toks))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round((n_chars - (n_tok - 1)) / n_tok, 6).alias("avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(uniq / F.greatest(n_tok, F.lit(1)), 6).alias("uniq_ratio"),
+    )
+    # Composite score in EXACT integer arithmetic (doubles diverge
+    # across engines by 1 ulp — FMA, decimal→double casts): each
+    # 6dp-rounded ratio is re-scaled to an exact integer (×1e6, off-
+    # integer by ~1e-9 so the round is unambiguous), weights are
+    # integers, and the output is score × 1e8 as BIGINT.
+    e6 = 1_000_000
+    punct_e6 = F.round(F.col("punct_ratio") * e6, 0).cast("long")
+    stop_e6 = F.round(F.col("stopword_ratio") * e6, 0).cast("long")
+    uniq_e6 = F.round(F.col("uniq_ratio") * e6, 0).cast("long")
+    a_e6 = F.least(F.col("n_tokens").cast("long") * 10_000, F.lit(e6).cast("long"))
+    b_e6 = F.lit(e6) - F.least(punct_e6 * 4, F.lit(e6).cast("long"))
+    c_e6 = F.least(stop_e6 * 5, F.lit(e6).cast("long"))
+    score_e8 = a_e6 * 25 + b_e6 * 25 + c_e6 * 20 + uniq_e6 * 30
+    return out.withColumn("quality_score_e8", score_e8.cast("long"))
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Stable content fingerprint: md5 of the normalized text.
+    (md5 matches across Spark and DuckDB, so it doubles as the dedup
+    key and the oracle-checkable fingerprint.)"""
+    return F.md5(normalized_text(text_col))
+
+
+def with_fingerprints(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fingerprint")
+    )

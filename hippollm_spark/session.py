@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the engine.
+
+Local test profile: ``local[$SPARK_GRAFT_CPUS]`` single-JVM. The same
+builder config is what we would ship cluster-side (AQE on, Arrow on,
+UTC session TZ); only master/memory are environment-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime coalesce + skew-join mitigation — essential at scale,
+    # harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / mapInPandas / toPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp comparison against the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Keep partition count ~ cores locally; on a cluster this is set to
+    # ~2-3x total cores (AQE coalesces down when partial aggs shrink).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def get_spark(app_name: str = "hippollm_spark", **overrides: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

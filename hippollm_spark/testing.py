@@ -1,0 +1,50 @@
+"""Deterministic fakes for model-dependent operators.
+
+The reference tests with random langchain ``FakeEmbeddings(size=740)``
+(reference tests/test_storage.py:24), which is only structurally
+deterministic. For cross-engine hash-matching we need fully reproducible
+vectors, so we use the FIXTURES.md §5 hash embedding:
+
+    v[i] = (sha256(text || str(i)) mod 2001 - 1000) / 1000.0
+
+LLM / NLI backends are scripted lookup tables (see pipelines.backends).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def hash_embedding(text: str, dim: int = 384) -> list[float]:
+    """Deterministic pseudo-embedding of ``text`` (driver-side helper)."""
+    out = np.empty(dim, dtype=np.float64)
+    for i in range(dim):
+        h = hashlib.sha256((text + str(i)).encode("utf-8")).digest()
+        out[i] = (int.from_bytes(h, "big") % 2001 - 1000) / 1000.0
+    return [float(x) for x in out]
+
+
+def hash_embedding_udf(dim: int = 384) -> Column:
+    """Arrow-batched pandas_udf computing the hash embedding per row.
+
+    This stands in for the SentenceTransformer pandas_udf of the real
+    embedding stage (reference storage.py:117-122) — same signature and
+    batching, deterministic output.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: hash_embedding("" if t is None else t, dim))
+
+    return _embed
+
+
+def embed_column(col: Column | str, dim: int = 384) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return hash_embedding_udf(dim)(c)

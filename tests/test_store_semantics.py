@@ -1,0 +1,115 @@
+"""Port of the reference's storage unit tests to the Spark engine
+(reference tests/test_storage.py — add/retrieve entities & facts,
+adjacency, union/intersection filtered kNN incl. the k>|ids| unranked
+short-circuit)."""
+
+from __future__ import annotations
+
+from hippollm_spark.fixtures import DIM
+from hippollm_spark.operators import knn, relational
+from hippollm_spark.testing import hash_embedding
+
+
+def test_entity_point_lookup(store_tables):
+    ents = store_tables["entities"]
+    row = relational.get_entity(ents, "Paris").collect()
+    assert len(row) == 1 and row[0]["description"] == "Capital of France"
+    assert relational.get_entity(ents, "Atlantis").count() == 0
+
+
+def test_fact_lookup_and_adjacency(store_tables):
+    facts, edges = store_tables["facts"], store_tables["edges"]
+    assert relational.get_fact(facts, 0).first()["text"].startswith("Paris is")
+    adj = {
+        (r["fact_id"], r["entity"]) for r in edges.collect()
+    }
+    assert adj == {(0, "Paris"), (0, "France"), (1, "London"), (1, "UK")}
+
+
+def test_union_and_intersection(store_tables):
+    edges = store_tables["edges"]
+    union = relational.fact_ids_by_entities_union(edges, ["Paris", "London"])
+    assert {r["fact_id"] for r in union.collect()} == {0, 1}
+    inter = relational.fact_ids_by_entities_intersection(edges, ["Paris", "France"])
+    assert {r["fact_id"] for r in inter.collect()} == {0}
+    # Paris ∧ London share no fact (reference tests/test_storage.py:99-102)
+    inter2 = relational.fact_ids_by_entities_intersection(edges, ["Paris", "London"])
+    assert inter2.count() == 0
+
+
+def test_knn_facts_ordering(store_tables):
+    facts = store_tables["facts"]
+    q = hash_embedding("Paris is the capital of France", DIM)
+    top = knn.knn_facts(facts, q, k=1).collect()
+    # embeddings are stored float32 → tiny nonzero self-distance
+    assert top[0]["id"] == 0 and abs(top[0]["distance"]) < 1e-4
+
+
+def test_filtered_knn_short_circuit_unranked(store_tables):
+    """k >= |candidates| → all candidates returned, no distance column
+    (reference storage.py:308-309)."""
+    facts, edges = store_tables["facts"], store_tables["edges"]
+    q = hash_embedding("anything", DIM)
+    res = knn.knn_facts_with_entities_union(facts, edges, q, ["Paris", "London"], k=5)
+    assert "distance" not in res.columns
+    assert {r["id"] for r in res.collect()} == {0, 1}
+
+
+def test_filtered_knn_ranked(store_tables):
+    facts, edges = store_tables["facts"], store_tables["edges"]
+    q = hash_embedding("London is the capital of the UK", DIM)
+    res = knn.knn_facts_with_entities_union(
+        facts, edges, q, ["Paris", "London", "France", "UK"], k=1
+    ).collect()
+    assert len(res) == 1 and res[0]["id"] == 1
+
+
+def test_intersection_knn(store_tables):
+    facts, edges = store_tables["facts"], store_tables["edges"]
+    q = hash_embedding("Capital", DIM)
+    res = knn.knn_facts_with_entities_intersection(
+        facts, edges, q, ["Paris", "France"], k=2
+    )
+    assert {r["id"] for r in res.collect()} == {0}
+
+
+def test_upsert_guard_and_add_entities(store_tables, spark):
+    ents = store_tables["entities"]
+    new = spark.createDataFrame(
+        [("Paris", "dup should be skipped"), ("Berlin", "Capital of Germany")],
+        "name string, description string",
+    )
+    fresh = relational.new_entities_only(new, ents)
+    assert [r["name"] for r in fresh.collect()] == ["Berlin"]
+    from hippollm_spark.testing import hash_embedding_udf
+
+    merged = relational.add_entities(ents, new, embed=hash_embedding_udf(DIM))
+    assert merged.count() == 5
+    berlin = merged.filter("name = 'Berlin'").first()
+    assert berlin["embedding"] is not None and len(berlin["embedding"]) == DIM
+
+
+def test_add_facts_dense_ids(store_tables, spark):
+    facts = store_tables["facts"]
+    new = spark.createDataFrame(
+        [("Berlin is the capital of Germany", ["Berlin", "Germany"])],
+        "text string, entities array<string>",
+    )
+    merged = relational.add_facts(facts, new)
+    ids = sorted(r["id"] for r in merged.select("id").collect())
+    assert ids == [0, 1, 2]
+
+
+def test_prune_lone_entities(store_tables, spark):
+    ents = store_tables["entities"]
+    edges = store_tables["edges"]
+    with_lone = ents.unionByName(
+        spark.createDataFrame(
+            [("Atlantis", "sunk", None)],
+            ents.schema,
+        )
+    )
+    pruned = relational.prune_lone_entities(with_lone, edges)
+    assert pruned.count() == 4
+    lone = relational.lone_entities(with_lone, edges)
+    assert [r["name"] for r in lone.collect()] == ["Atlantis"]
