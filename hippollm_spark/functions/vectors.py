@@ -29,10 +29,19 @@ def _as_double(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
-def l2_squared(a: Column | str, b: Column | Sequence[float]) -> Column:
+def _as_col_or_vec(b: Column | str | Sequence[float]) -> Column:
+    """Column passes through, a string is a column NAME, any other
+    sequence is a literal query vector."""
+    if isinstance(b, Column):
+        return b
+    if isinstance(b, str):
+        return F.col(b)
+    return to_vec(b)
+
+
+def l2_squared(a: Column | str, b: Column | str | Sequence[float]) -> Column:
     """Sum of squared differences (monotone in L2; avoids the sqrt)."""
-    if not isinstance(b, Column):
-        b = to_vec(b)
+    b = _as_col_or_vec(b)
     diffsq = F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffsq, F.lit(0.0), lambda acc, v: acc + v)
 
@@ -42,9 +51,8 @@ def l2_distance(a: Column | str, b: Column | Sequence[float]) -> Column:
     return F.sqrt(l2_squared(a, b))
 
 
-def dot(a: Column | str, b: Column | Sequence[float]) -> Column:
-    if not isinstance(b, Column):
-        b = to_vec(b)
+def dot(a: Column | str, b: Column | str | Sequence[float]) -> Column:
+    b = _as_col_or_vec(b)
     prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
@@ -53,12 +61,11 @@ def norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, F.col(a) if isinstance(a, str) else a))
 
 
-def cosine_similarity(a: Column | str, b: Column | Sequence[float]) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str | Sequence[float]) -> Column:
     """dot(a,b) / (|a||b|) — matches DuckDB ``list_cosine_similarity``."""
-    if not isinstance(b, Column):
-        b = to_vec(b)
+    b = _as_col_or_vec(b)
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_distance(a: Column | str, b: Column | Sequence[float]) -> Column:
+def cosine_distance(a: Column | str, b: Column | str | Sequence[float]) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)

@@ -1,0 +1,107 @@
+"""Dedup family tests: exactness of the Jaccard join, recall of the
+approximate paths, block-matmul cosine correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "  The   quick brown fox jumps over the lazy dog "),  # ws/case dup of 0
+        (5, "another unrelated document mentioning nothing"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    surv = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert surv == [0, 1, 3, 5]
+
+
+def test_duplicate_groups(docs):
+    groups = dedup.duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 2, 4]
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_dup_pairs(docs, threshold=0.5).collect()
+    }
+    # exact dups have J=1.0
+    assert pairs[(0, 2)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert pairs[(2, 4)] == 1.0
+    # near-dup shares 6 of 7+7 distinct 3-shingles → J = 6/8
+    assert pairs[(0, 1)] == 0.75
+    assert (0, 3) not in pairs
+
+
+def test_minhash_recall_and_precision(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_dup_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=32).collect()
+    }
+    # verification step makes precision exact; bands=32/rows=4 makes
+    # recall ~1 at J>=0.5 on this tiny set
+    assert approx <= exact
+    assert len(approx) >= len(exact) - 1
+
+
+def test_minhash_recall_on_documents(documents):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_dup_pairs(documents, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(documents, threshold=0.5).collect()
+    }
+    assert approx <= exact
+    recall = len(approx) / max(len(exact), 1)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
+    }
+    # exact dups have identical fingerprints (hamming 0)
+    assert (0, 2) in pairs and (0, 4) in pairs and (2, 4) in pairs
+
+
+def test_embedding_dup_pairs_matches_bruteforce(spark, embeddings):
+    from hippollm_spark.functions import vectors as V
+
+    fast = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_dup_pairs(embeddings, threshold=0.4).collect()
+    }
+    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    slow = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert abs(fast[k] - slow[k]) < 1e-9

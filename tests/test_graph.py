@@ -1,0 +1,71 @@
+"""Graph operator tests (reference G1-G3 semantics, hippoview
+app.py:37-63,144-167)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hippollm_spark.operators import graph
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # fact 0: {A,B}; fact 1: {A,B,C}; fact 2: {B,C}; fact 3: {C,D}; fact 4: {D,E}
+    rows = [
+        (0, "A"), (0, "B"),
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "B"), (2, "C"),
+        (3, "C"), (3, "D"),
+        (4, "D"), (4, "E"),
+    ]
+    return spark.createDataFrame(rows, "fact_id long, entity string").cache()
+
+
+def test_neighbours(edges):
+    res = {r["entity"]: (r["n_facts"], r["fact_ids"]) for r in graph.neighbours(edges, "A").collect()}
+    assert res == {"B": (2, [0, 1]), "C": (1, [1])}
+
+
+def test_neighbours_of_leaf(edges):
+    res = {r["entity"]: r["n_facts"] for r in graph.neighbours(edges, "E").collect()}
+    assert res == {"D": 1}
+
+
+def test_cooccurrence(edges):
+    res = {
+        (r["entity_a"], r["entity_b"]): (r["weight"], r["fact_ids"])
+        for r in graph.cooccurrence(edges).collect()
+    }
+    assert res[("A", "B")] == (2, [0, 1])
+    assert res[("B", "C")] == (2, [1, 2])
+    assert res[("C", "D")] == (1, [3])
+    assert ("A", "C") in res and ("D", "E") in res
+    assert len(res) == 5
+
+
+def test_cooccurrence_restricted(edges, spark):
+    ids = spark.createDataFrame([(0,)], "fact_id long")
+    res = {(r["entity_a"], r["entity_b"]) for r in graph.cooccurrence(edges, ids).collect()}
+    assert res == {("A", "B")}
+
+
+def test_explore_depth_and_visited(edges):
+    # From A, depth 1: B, C. Depth 2 adds D (via C). E only at depth 3.
+    d1 = graph.explore(edges, ["A"], max_depth=1, max_relations=None)
+    assert {r["dst"] for r in d1.collect()} == {"B", "C"}
+    d2 = graph.explore(edges, ["A"], max_depth=2, max_relations=None)
+    got = {(r["src"], r["dst"], r["depth"]) for r in d2.collect()}
+    # depth-2 frontier = {B, C}; their unvisited neighbours include D
+    assert ("C", "D", 2) in got
+    assert {r["dst"] for r in d2.collect()} >= {"B", "C", "D"}
+    # A itself never re-expanded as dst from origin set at depth 2
+    d3 = graph.explore(edges, ["A"], max_depth=3, max_relations=None)
+    assert ("D", "E", 3) in {(r["src"], r["dst"], r["depth"]) for r in d3.collect()}
+
+
+def test_explore_max_relations_cap(edges):
+    # Cap depth-1 fanout to the single strongest neighbour (B with 2 facts
+    # beats C with 1 — reference app.py:47-50 keeps most-shared-facts).
+    capped = graph.explore(edges, ["A"], max_depth=1, max_relations=1)
+    rows = capped.collect()
+    assert {(r["src"], r["dst"]) for r in rows} == {("A", "B")}

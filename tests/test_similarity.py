@@ -1,0 +1,92 @@
+"""Similarity search: exact top-k correctness, LSH/IVF recall vs exact."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators import similarity
+
+
+def test_topk_per_query_self_is_rank1(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = similarity.topk_per_query(embeddings, queries, k=3)
+    rank1 = {r["query_id"]: r["vec_id"] for r in res.filter("rank = 1").collect()}
+    assert rank1 == {i: i for i in range(5)}
+    assert res.count() == 15
+
+
+def test_topk_matches_numpy(spark, embeddings):
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    q = mat[7]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))[:10]
+    expected = pdf["vec_id"].to_numpy()[order].tolist()
+    queries = embeddings.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        r["vec_id"]
+        for r in similarity.topk_per_query(embeddings, queries, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_lsh_dup_pairs_recall(spark, embeddings):
+    from hippollm_spark.operators.dedup import embedding_dup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_dup_pairs(embeddings, 0.4).collect()
+    }
+    # SRP collision prob per bit for cos=0.4 is 1 - acos(0.4)/pi ≈ 0.63;
+    # at such a low threshold short signatures + many tables are needed
+    # (0.63^4 per table, 16 tables → expected recall ≈ 0.95). High
+    # thresholds (the real near-dup regime) tolerate longer signatures.
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_dup_pairs(
+            embeddings, dim=64, threshold=0.4, n_bits=4, n_tables=16
+        ).collect()
+    }
+    assert approx <= exact  # exact verification → perfect precision
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.6, f"LSH recall {recall} over {len(exact)} pairs"
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    from hippollm_spark.operators.knn import knn
+
+    q = [float(x) for x in embeddings.filter("vec_id = 3").first()["embedding"]]
+    exact = [r["vec_id"] for r in knn(embeddings, q, 10, id_col="vec_id").collect()]
+    assigned, cents = similarity.ivf_build(embeddings, nlist=8, iters=3)
+    assigned = assigned.cache()
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4, id_col="vec_id").collect()
+    ]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"IVF recall@10 {overlap}"
+    # nprobe = nlist → identical to exact
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, cents, q, k=10, nprobe=8, id_col="vec_id").collect()
+    ]
+    assert full == exact
+
+
+def test_knn_pandas_method_matches_sql(spark, embeddings):
+    from hippollm_spark.operators.knn import knn
+
+    q = [float(x) for x in embeddings.filter("vec_id = 11").first()["embedding"]]
+    sql_ids = [r["vec_id"] for r in knn(embeddings, q, 8, id_col="vec_id").collect()]
+    pd_ids = [
+        r["vec_id"]
+        for r in knn(embeddings, q, 8, id_col="vec_id", method="pandas").collect()
+    ]
+    assert sql_ids == pd_ids

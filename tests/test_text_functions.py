@@ -1,0 +1,112 @@
+"""Splitter invariants (reference tests/test_splitters.py:21-31) and the
+bullet-parser golden cases (reference tests/test_helpers.py:3-63)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hippollm_spark.functions import text as TX
+
+LOREM = (
+    "Spark is a unified analytics engine. It scales to thousands of nodes.\n\n"
+    "Catalyst optimizes logical plans; Tungsten generates code. "
+    "Shuffles are the expensive part, so partition wisely! "
+    "Broadcast the small side; salt the skewed keys.\n\n"
+    "Structured Streaming handles late data with watermarks."
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, LOREM), (1, "short text"), (2, "x" * 205), (3, "")]
+    return spark.createDataFrame(rows, "doc_id long, content string").cache()
+
+
+def _check_invariants(chunks, docs):
+    """Reference splitter invariants: first chunk starts at 0, last ends
+    at len(content), text == substring(content, pos_start, pos_end)."""
+    joined = chunks.join(docs, "doc_id")
+    bad = joined.filter(
+        F.col("text")
+        != F.expr("substring(content, pos_start + 1, pos_end - pos_start)")
+    )
+    assert bad.count() == 0
+    firsts = chunks.groupBy("doc_id").agg(F.min("pos_start").alias("s")).collect()
+    assert all(r["s"] == 0 for r in firsts)
+    lasts = (
+        chunks.groupBy("doc_id")
+        .agg(F.max("pos_end").alias("e"))
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert all(r["e"] == len(r["content"]) for r in lasts if r["content"])
+
+
+def test_split_naive_invariants(docs, spark):
+    chunks = TX.split_naive(docs.filter("content != ''"), chunk_size=50)
+    _check_invariants(chunks, docs)
+    two = chunks.filter("doc_id = 2").orderBy("chunk_idx").collect()
+    assert [r["pos_start"] for r in two] == [0, 50, 100, 150, 200]
+    assert two[-1]["pos_end"] == 205 and len(two[-1]["text"]) == 5
+
+
+def test_split_paragraphs(docs):
+    chunks = TX.split_paragraphs(docs.filter("doc_id = 0"))
+    rows = chunks.orderBy("chunk_idx").collect()
+    assert len(rows) == 3
+    assert rows[0]["pos_start"] == 0
+    # +2 offset per '\n\n' separator (reference splitters.py:80-96)
+    assert rows[1]["pos_start"] == rows[0]["pos_end"] + 2
+    assert rows[2]["pos_end"] == len(LOREM)
+
+
+def test_split_recursive_invariants(docs):
+    chunks = TX.split_recursive(docs.filter("content != ''"), chunk_size=80)
+    _check_invariants(chunks, docs)
+    assert chunks.filter(F.length("text") > 80).count() == 0
+
+
+def test_first_sentence(spark):
+    df = spark.createDataFrame(
+        [("Hello world. Second sentence.",), ("No terminator here",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(TX.first_sentence("t")).collect()]
+    assert got == ["Hello world.", "No terminator here"]
+
+
+# Golden cases mirroring the reference's seven parser tests
+# (tests/test_helpers.py:3-63).
+PARSER_CASES = [
+    ("- fact one\n- fact two", ["fact one", "fact two"]),
+    ("* fact one\n* fact two", ["fact one", "fact two"]),
+    ("1. fact one\n2. fact two", ["fact one", "fact two"]),
+    ("Here are the facts:\n- fact one\n- fact two", ["fact one", "fact two"]),
+    ("There are no facts.", []),
+    ("None", []),
+    ("fact one\nfact two", ["fact one", "fact two"]),
+    ("Facts:\n- a\n- b", ["a", "b"]),
+]
+
+
+@pytest.mark.parametrize("raw,expected", PARSER_CASES)
+def test_parse_bullet_points(raw, expected):
+    assert TX.parse_bullet_points(raw) == expected
+
+
+def test_parse_bullets_only_first_block():
+    raw = "- a\n- b\nSome trailing prose explains things."
+    assert TX.parse_bullet_points(raw, only_first_bullets=True) == ["a", "b"]
+    assert TX.parse_bullet_points(raw) == ["a", "b", "Some trailing prose explains things."]
+
+
+def test_choice_selection():
+    assert TX.choice_selection("Paris", ["Paris", "London"]) == "Paris"
+    assert TX.choice_selection("I think it is London", ["Paris", "London"]) == "London"
+    assert TX.choice_selection("none of these", ["Paris"]) is None
+
+
+def test_is_yes(spark):
+    df = spark.createDataFrame([(" Yes!",), ("no",), ("YEAH",)], "t string")
+    assert [r[0] for r in df.select(TX.is_yes("t")).collect()] == [True, False, True]
