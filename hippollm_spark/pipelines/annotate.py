@@ -1,0 +1,458 @@
+"""The annotation write-path as staged Spark jobs (reference C1-C5,
+annotator.py:116-243).
+
+The reference processes one document in a nested Python loop with one
+synchronous model call per fact — no batching, no parallelism
+(annotator.py:185-218). Here every model interaction is an Arrow-batched
+``mapInPandas`` stage over a DataFrame, and the per-fact candidate
+lookups become set-oriented joins:
+
+  docs
+   └─ contextualize          (LLM, one call per doc        — C1 prelude)
+   └─ split into chunks      (splitter from functions.text — T1-T3)
+   └─ extract facts          (LLM + bullet parse, exploded — C2)
+   └─ reformulate            (LLM per fact                 — C5)
+   └─ dedup                  (kNN join → NLI gate → LLM confirm — C3)
+   └─ extract+resolve entities (LLM, kNN join, NLI rank, LLM gate — C4)
+   └─ append with dense ids  (M1/M2 via operators.relational)
+
+Sequentiality caveat (SURVEY.md §7a): the reference dedups fact N
+against facts 1..N-1 *including ones added moments earlier in the same
+doc*. Batch mode approximates this by gating each fact against (a) all
+existing store facts and (b) all *earlier-ordinal* facts of the same
+batch — identical results unless a fact matches an earlier fact that
+was itself dropped as redundant (a chain), which the scripted-model
+tests pin down. Exact serial parity is available by feeding documents
+one at a time.
+
+Backends (LLM / NLI) are plain picklable objects shipped to executors
+(deterministic ScriptedLLM / ScriptedNLI in tests — FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hippollm_spark.functions.text import (
+    first_sentence,
+    parse_bullet_points,
+    split_naive,
+    split_paragraphs,
+    split_recursive,
+)
+from hippollm_spark.pipelines import prompts
+from hippollm_spark.pipelines.backends import GRAMMAR_YN
+from hippollm_spark.store import HippoStore
+
+
+def get_splitter(strategy: str):
+    """T6 — splitter factory (reference splitters.py:122-135)."""
+    return {
+        "naive": split_naive,
+        "paragraph": split_paragraphs,
+        "recursive": split_recursive,
+    }[strategy]
+
+
+@dataclass
+class AnnotateConfig:
+    splitter: str = "recursive"
+    chunk_size: int = 1000
+    ctx_size: int = 5000     # reference annotator.py:227
+    k_dedup: int = 5         # reference C3 candidate count
+    k_link: int = 10         # reference annotator.py:158
+    embed_dim: int = 384
+
+
+# --------------------------------------------------------------------------
+# Stage 1 — contextualize (C1 prelude: LLM on the first ctx_size chars)
+# --------------------------------------------------------------------------
+
+def contextualize(docs: DataFrame, llm, ctx_size: int = 5000) -> DataFrame:
+    """(doc_id, title, url, context) — one LLM call per document on its
+    head excerpt (reference annotator.py:227-231 takes the first
+    sentence of the answer as context)."""
+
+    def _run(batches):
+        for pdf in batches:
+            ctx = [
+                llm.invoke(
+                    prompts.CONTEXTUALIZATION.format(
+                        title=t or "", text=(c or "")[:ctx_size]
+                    )
+                )
+                for t, c in zip(pdf["title"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "title": pdf["title"],
+                    "url": pdf["url"],
+                    "context": ctx,
+                }
+            )
+
+    out = docs.select("doc_id", "title", "url", "content").mapInPandas(
+        _run, "doc_id long, title string, url string, context string"
+    )
+    return out.withColumn("context", first_sentence("context"))
+
+
+# --------------------------------------------------------------------------
+# Stage 2+3 — chunk and extract facts (C2 front half)
+# --------------------------------------------------------------------------
+
+def extract_facts(chunks: DataFrame, contexts: DataFrame, llm) -> DataFrame:
+    """Explode each chunk into candidate fact strings.
+    Output: (doc_id, chunk_idx, pos_start, pos_end, fact_ordinal, fact_text)."""
+    joined = chunks.join(contexts.select("doc_id", "context"), "doc_id")
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = llm.invoke(
+                    prompts.ANNOTATION.format(context=r.context or "", chunk=r.text)
+                )
+                for i, fact in enumerate(parse_bullet_points(raw)):
+                    rows.append(
+                        (r.doc_id, r.chunk_idx, r.pos_start, r.pos_end, i, fact)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chunk_idx", "pos_start", "pos_end",
+                    "fact_ordinal", "fact_text",
+                ],
+            )
+
+    return joined.mapInPandas(
+        _run,
+        "doc_id long, chunk_idx int, pos_start int, pos_end int, "
+        "fact_ordinal int, fact_text string",
+    )
+
+
+def reformulate(facts: DataFrame, contexts: DataFrame, llm) -> DataFrame:
+    """C5 — make each fact self-contained; first line of the answer wins
+    (reference annotator.py:116-123)."""
+    joined = facts.join(contexts.select("doc_id", "context"), "doc_id")
+
+    cols = [f.name for f in facts.schema.fields]
+
+    def _run(batches):
+        for pdf in batches:
+            out = [
+                llm.invoke(
+                    prompts.REFORMULATION.format(context=c or "", fact=t)
+                ).strip().splitlines()[0]
+                if t
+                else t
+                for c, t in zip(pdf["context"], pdf["fact_text"])
+            ]
+            res = pdf[cols].copy()
+            res["fact_text"] = out
+            yield res
+
+    return joined.mapInPandas(_run, facts.schema)
+
+
+# --------------------------------------------------------------------------
+# Stage 4 — dedup against store + earlier batch facts (C3)
+# --------------------------------------------------------------------------
+
+def _knn_candidates(
+    new_facts: DataFrame, existing: DataFrame, k: int, query_id: str = "__ord__"
+) -> DataFrame:
+    """Top-k existing facts per new fact by embedding distance — the
+    batched form of the reference's per-fact Chroma query (storage.py:266)."""
+    from hippollm_spark.operators.similarity import topk_per_query
+
+    queries = new_facts.select(
+        F.col(query_id).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_per_query(
+        existing.select(F.col("id").alias("vec_id"), "text", "embedding"),
+        queries,
+        k=k,
+        metric="l2",
+    )
+
+
+def dedup_facts(
+    new_facts: DataFrame,
+    store: HippoStore,
+    llm,
+    nli,
+    embed,
+    k: int = 5,
+) -> DataFrame:
+    """C3 — mark each candidate fact redundant or fresh.
+
+    Per new fact: k nearest existing-store facts + all earlier-ordinal
+    batch facts → NLI entailment gate → LLM confrontation (yes/no
+    grammar, reference annotator.py:126-145) → redundant facts merge
+    provenance into their match (handled by caller); fresh facts
+    survive. Returns new_facts + (redundant BOOLEAN, dup_of BIGINT).
+    """
+    new_facts = new_facts.withColumn("embedding", embed(F.col("fact_text")))
+    n_existing = store.facts.count()
+
+    # Candidate pairs against the existing store (empty store → none).
+    if n_existing > 0:
+        cands = _knn_candidates(new_facts, store.facts, k).select(
+            F.col("query_id").alias("__ord__"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(None).cast("long").alias("cand_ord"),
+        )
+        cand_texts = store.facts.select(
+            F.col("id").alias("cand_id"), F.col("text").alias("cand_text")
+        )
+        pairs = cands.join(cand_texts, "cand_id")
+    else:
+        pairs = None
+
+    # Earlier-ordinal facts within the batch (the sequential-dedup
+    # approximation; see module docstring).
+    a = new_facts.select(F.col("__ord__"), F.col("fact_text"))
+    b = new_facts.select(
+        F.col("__ord__").alias("cand_ord"), F.col("fact_text").alias("cand_text")
+    )
+    intra = (
+        a.crossJoin(b)
+        .filter(F.col("cand_ord") < F.col("__ord__"))
+        .select("__ord__", F.lit(None).cast("long").alias("cand_id"), "cand_ord", "cand_text")
+    )
+    all_pairs = intra if pairs is None else pairs.unionByName(intra)
+
+    fact_texts = new_facts.select("__ord__", "fact_text")
+    scored = all_pairs.join(fact_texts, "__ord__")
+
+    def _gate(batches):
+        for pdf in batches:
+            verdicts = []
+            for r in pdf.itertuples(index=False):
+                ok = nli.detect_entailment(r.cand_text, r.fact_text)
+                if ok:
+                    ans = llm.invoke(
+                        prompts.CONFRONTATION.format(
+                            fact_a=r.cand_text, fact_b=r.fact_text
+                        ),
+                        grammar=GRAMMAR_YN,
+                        max_tokens=3,
+                    )
+                    ok = ans.strip().lower().startswith("y")
+                verdicts.append(ok)
+            res = pdf[["__ord__", "cand_id", "cand_ord"]].copy()
+            res["redundant"] = verdicts
+            yield res
+
+    verdicts = scored.mapInPandas(
+        _gate, "__ord__ long, cand_id long, cand_ord long, redundant boolean"
+    )
+    dup = (
+        verdicts.filter("redundant")
+        .groupBy("__ord__")
+        .agg(F.min(F.coalesce("cand_id", F.col("cand_ord") + 1_000_000_000)).alias("dup_of"))
+    )
+    return new_facts.join(dup, "__ord__", "left").withColumn(
+        "redundant", F.col("dup_of").isNotNull()
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage 5 — entity extraction + resolution (C4)
+# --------------------------------------------------------------------------
+
+def extract_entities(facts: DataFrame, llm) -> DataFrame:
+    """(… , entity_mention STRING) — LLM bullet list per fact, first
+    block only (reference annotator.py:148-153)."""
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            # NB: itertuples renames underscore-prefixed columns — zip instead
+            for ordi, text in zip(pdf["__ord__"], pdf["fact_text"]):
+                raw = llm.invoke(prompts.ENTITY_EXTRACTION.format(fact=text))
+                for m in parse_bullet_points(raw, only_first_bullets=True):
+                    rows.append((ordi, m))
+            yield pd.DataFrame(rows, columns=["__ord__", "entity_mention"])
+
+    return facts.select(F.col("__ord__"), "fact_text").mapInPandas(
+        _run, "__ord__ long, entity_mention string"
+    )
+
+
+def resolve_entities(
+    mentions: DataFrame,
+    store: HippoStore,
+    llm,
+    nli,
+    embed,
+    k: int = 10,
+) -> DataFrame:
+    """C4 — map each mention to a canonical stored entity or keep it as
+    a new entity (reference annotator.py:156-182).
+
+    Order of checks per mention (reference semantics):
+    1. exact name match in the store wins immediately
+       (annotator.py:172-174 prepends it),
+    2. else kNN k=10 over entity embeddings → NLI entailment rank →
+       LLM equivalence gate, first Yes wins,
+    3. else the mention becomes a new entity.
+    Output: (entity_mention, resolved STRING, is_new BOOLEAN).
+    """
+    uniq = mentions.select("entity_mention").distinct()
+    n_entities = store.entities.count()
+    if n_entities == 0:
+        return uniq.select(
+            "entity_mention",
+            F.col("entity_mention").alias("resolved"),
+            F.lit(True).alias("is_new"),
+        )
+
+    exact = uniq.join(
+        store.entities.select(F.col("name").alias("entity_mention")),
+        "entity_mention",
+        "semi",
+    ).withColumn("resolved", F.col("entity_mention")).withColumn("is_new", F.lit(False))
+
+    unresolved = uniq.join(exact.select("entity_mention"), "entity_mention", "anti")
+    if unresolved.isEmpty():
+        return exact
+
+    from hippollm_spark.operators.similarity import topk_per_query
+
+    q = unresolved.withColumn("embedding", embed(F.col("entity_mention")))
+    cand = topk_per_query(
+        store.entities.select("name", "embedding"),
+        q.select(
+            F.col("entity_mention").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        k=k,
+        id_col="name",
+        metric="l2",
+    ).select(
+        F.col("query_id").alias("entity_mention"),
+        F.col("vec_id").alias("candidate"),
+        "rank",
+    )
+
+    def _gate(batches):
+        for pdf in batches:
+            rows = []
+            for mention, grp in pdf.groupby("entity_mention", sort=False):
+                grp = grp.sort_values("rank")
+                ranked = nli.entailment_classify(
+                    mention, grp["candidate"].tolist()
+                )
+                chosen = None
+                for cand_name, _score in ranked:
+                    ans = llm.invoke(
+                        prompts.ENTITY_EQUIVALENCE.format(
+                            entity_a=cand_name, entity_b=mention
+                        ),
+                        grammar=GRAMMAR_YN,
+                        max_tokens=3,
+                    )
+                    if ans.strip().lower().startswith("y"):
+                        chosen = cand_name
+                        break
+                rows.append(
+                    (mention, chosen if chosen else mention, chosen is None)
+                )
+            yield pd.DataFrame(rows, columns=["entity_mention", "resolved", "is_new"])
+
+    gated = cand.mapInPandas(
+        _gate, "entity_mention string, resolved string, is_new boolean"
+    )
+    # mentions with zero kNN candidates (store smaller than k edge case)
+    uncovered = unresolved.join(gated.select("entity_mention"), "entity_mention", "anti").select(
+        "entity_mention",
+        F.col("entity_mention").alias("resolved"),
+        F.lit(True).alias("is_new"),
+    )
+    return exact.unionByName(gated).unionByName(uncovered)
+
+
+# --------------------------------------------------------------------------
+# The full pipeline (C1)
+# --------------------------------------------------------------------------
+
+def annotate_documents(
+    store: HippoStore,
+    docs: DataFrame,
+    llm,
+    nli,
+    embed,
+    cfg: AnnotateConfig | None = None,
+) -> HippoStore:
+    """Run the staged annotation pipeline and return the updated store.
+
+    Every stage is one Spark job over the whole batch of documents;
+    model calls are Arrow-batched on executors.
+    """
+    cfg = cfg or AnnotateConfig()
+    ctxs = contextualize(docs, llm, cfg.ctx_size).cache()
+    splitter = get_splitter(cfg.splitter)
+    if cfg.splitter == "paragraph":
+        chunks = splitter(docs)
+    else:
+        chunks = splitter(docs, cfg.chunk_size)
+
+    raw_facts = extract_facts(chunks, ctxs, llm)
+    # Stable batch ordinal = document order, chunk order, bullet order —
+    # the reference's serial processing order (annotator.py:185-218).
+    # Unpartitioned row_number funnels one task, which is fine here: a
+    # batch is bounded by LLM throughput long before this matters.
+    raw_facts = raw_facts.withColumn(
+        "__ord__",
+        F.row_number()
+        .over(Window.orderBy("doc_id", "chunk_idx", "fact_ordinal"))
+        .cast("long"),
+    )
+    reformed = reformulate(raw_facts, ctxs, llm)
+    gated = dedup_facts(reformed, store, llm, nli, embed, cfg.k_dedup).cache()
+    fresh = gated.filter(~F.col("redundant"))
+
+    mentions = extract_entities(fresh, llm)
+    resolved = resolve_entities(mentions, store, llm, nli, embed, cfg.k_link).cache()
+
+    new_entities = resolved.filter("is_new").select(
+        F.col("resolved").alias("name"), F.lit("").alias("description")
+    )
+    store.add_entities(new_entities)
+
+    fact_entities = (
+        mentions.join(resolved, "entity_mention")
+        .groupBy("__ord__")
+        .agg(F.array_distinct(F.collect_list("resolved")).alias("entities"))
+    )
+    doc_info = docs.select("doc_id", "title", "url")
+    new_facts = (
+        fresh.join(fact_entities, "__ord__", "left")
+        .join(F.broadcast(doc_info), "doc_id")
+        .select(
+            F.col("fact_text").alias("text"),
+            F.coalesce("entities", F.array().cast("array<string>")).alias("entities"),
+            F.array(
+                F.struct(
+                    F.col("title").alias("name"),
+                    F.lit("").alias("description"),
+                    F.col("url").alias("url"),
+                    F.lit(None).cast("timestamp").alias("date"),
+                    F.col("pos_start"),
+                    F.col("pos_end"),
+                )
+            ).alias("sources"),
+            F.col("__ord__"),
+        )
+        .orderBy("__ord__")
+        .drop("__ord__")
+    )
+    store.add_facts(new_facts)
+    return store

@@ -1,0 +1,99 @@
+"""Structured Streaming wrappers for incremental ingest.
+
+The reference has no streaming at all (SURVEY.md §2.10) — ingestion is
+a per-document batch loop. This module provides the streaming twins of
+the batch event queries in ``__spark_entry__`` plus an incremental
+annotation source: the same logical plans, with watermarks for late
+data, runnable off any streaming source (file source in tests, Kafka in
+production — swap ``readStream.format``).
+
+Batch/stream parity: ``windowed_counts``/``sessionize`` accept either a
+static or streaming DataFrame; the driver-contract batch queries
+(events_windowed / sessionization) are the DuckDB-checkable versions of
+exactly these aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-based streaming source over parquet event drops (timestamps
+    already µs; use ``__spark_entry__._events`` conversion when pointing
+    at the raw ns-typed testdata)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) window counts/sums per event type with a
+    watermark for late data. Output: (window_start, window_end,
+    event_type, n_events, sum_value)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session aggregation with a dynamic session window
+    (stream-native twin of the batch lag+cumsum sessionization).
+    Output: (user_id, session_start, session_end, n_events)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming aggregation to completion against a finite file
+    source and land results in an in-memory table (test/bench harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,72 @@
+"""Multimodal plumbing: binary columns, metadata structs, mapInPandas
+decode/feature stages (codec stubbed deterministically)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hippollm_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", b"\x89PNGfakebytes0", (32, 24, 3, None, None, "png")),
+        (1, "image", b"\x89PNGfakebytes1", (64, 48, 3, None, None, "png")),
+        (2, "audio", b"RIFFfakeaudio", (None, None, 1, 16000, None, "wav")),
+        (3, "video", b"\x00\x00fakevideo", (320, 240, 3, None, 25, "mp4")),
+        (4, "image", None, (None, None, None, None, None, None)),
+    ]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(3).cache()
+
+
+def test_decode_image_stats_fake(media):
+    out = MM.decode_image_stats(media.filter("kind = 'image'"), fake=True)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 4}
+    assert rows[0]["width"] == 32 and rows[0]["height"] == 24
+    assert len(rows[0]["mean"]) == 3
+    assert all(0.0 <= x <= 1.0 for x in rows[0]["mean"])
+    # deterministic: same bytes → same stats
+    again = {r["media_id"]: r["mean"] for r in MM.decode_image_stats(
+        media.filter("kind = 'image'"), fake=True
+    ).collect()}
+    assert again[1] == rows[1]["mean"]
+
+
+def test_media_embedding_shape_and_determinism(media):
+    out = MM.media_embedding(media, dim=64).collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r["embedding"]) == 64
+    by_id = {r["media_id"]: r["embedding"] for r in out}
+    again = {
+        r["media_id"]: r["embedding"] for r in MM.media_embedding(media, dim=64).collect()
+    }
+    assert by_id == again
+    # distinct content → distinct vectors
+    assert by_id[0] != by_id[1]
+
+
+def test_media_embedding_joins_into_similarity(spark, media):
+    """The multimodal feature table plugs into the generic similarity
+    operators (the whole point of the opaque-binary design)."""
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.similarity import topk_per_query
+
+    emb = MM.media_embedding(media, dim=64)
+    queries = emb.filter("media_id = 0").select(
+        F.col("media_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = topk_per_query(emb, queries, k=3, id_col="media_id")
+    rows = top.orderBy("rank").collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["score"] == 1.0
+
+
+def test_sample_frames(media):
+    out = MM.sample_frames(media, every_n=10)
+    rows = out.collect()
+    # video has 25 frames → sampled at 0, 10, 20
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 10, 20]
+    assert all(r["media_id"] == 3 and len(r["frame"]) == 32 for r in rows)
