@@ -126,18 +126,35 @@ def cooccurrence(edges: DataFrame, fact_ids: DataFrame | None = None) -> DataFra
     """G3 — unordered entity-pair projection with weights (reference
     hippoview app.py:144-167: itertools.combinations per fact, merged).
 
-    Self-join on fact_id with ``a < b`` to emit each unordered pair once.
+    Shape: collect each fact's (deduped, sorted) entity set with ONE
+    shuffle, generate the C(k,2) pairs locally per fact (k = entities
+    per fact is small and bounded — a hyperedge has a handful of
+    members), then one aggregation shuffle on the pair key. This beats
+    the naive edges⨝edges self-join (3 shuffles, and the join
+    materializes the same pairs anyway). Skew note: a pathological
+    fact with thousands of members would blow up k² — cap upstream if
+    ingesting untrusted hyperedges.
     Output: (entity_a, entity_b, weight BIGINT, fact_ids ARRAY<BIGINT>).
     """
     e = edges
     if fact_ids is not None:
         e = e.join(F.broadcast(fact_ids.select("fact_id").distinct()), "fact_id", "semi")
-    a = e.select("fact_id", F.col("entity").alias("entity_a"))
-    b = e.select("fact_id", F.col("entity").alias("entity_b"))
+    per_fact = e.groupBy("fact_id").agg(
+        F.array_sort(F.collect_set("entity")).alias("ents")
+    )
+    n = F.size("ents")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ents"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ents"), i + 2, n),
+                lambda y: F.struct(x.alias("entity_a"), y.alias("entity_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, on="fact_id")
-        .filter(F.col("entity_a") < F.col("entity_b"))
-        .groupBy("entity_a", "entity_b")
+        per_fact.select("fact_id", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.entity_a").alias("entity_a"), F.col("p.entity_b").alias("entity_b"))
         .agg(
             F.count("fact_id").alias("weight"),
             F.array_sort(F.collect_list("fact_id")).alias("fact_ids"),

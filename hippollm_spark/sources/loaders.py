@@ -1,0 +1,138 @@
+"""Document sources (reference S3-S6: loaders.py,
+experiments/bootstrap_wikipedia.py).
+
+- ``load_text``            — whole-file text documents (S4).
+- ``load_wikipedia``       — driver-side single-page fetch (S3);
+                             network-gated, injectable fetcher.
+- ``parse_pageviews``      — the wikimedia pageviews dump scan+aggregate
+                             (S5, bootstrap_wikipedia.py:32-46): the
+                             reference's only big-data workload, here a
+                             pure DataFrame scan→filter→split→groupBy.
+- ``enrich_descriptions``  — partition-batched API enrichment (S6,
+                             bootstrap_wikipedia.py:49-85): batches of
+                             50 titles per request inside mapInPandas;
+                             the HTTP call is injectable (no network in
+                             tests; executors make real calls in prod).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_text(spark: SparkSession, location: str, doc_id: int = 0) -> DataFrame:
+    """S4 — one document per file (reference loaders.py:14-18)."""
+    df = spark.read.text(location, wholetext=True)
+    return df.select(
+        F.lit(doc_id).alias("doc_id"),
+        F.lit(location.rsplit("/", 1)[-1]).alias("title"),
+        F.lit(location).alias("url"),
+        F.col("value").alias("content"),
+        F.lit(None).cast("timestamp").alias("date"),
+    )
+
+
+def load_wikipedia(
+    spark: SparkSession,
+    query: str,
+    fetcher: Callable[[str], tuple[str, str, str]] | None = None,
+    max_chars: int = 1_000_000,
+) -> DataFrame:
+    """S3 — first matching Wikipedia page as a one-row docs DataFrame
+    (reference loaders.py:6-11 caps content at 1M chars).
+
+    ``fetcher(query) -> (title, url, content)`` is injectable; the
+    default requires network access (absent in tests)."""
+    if fetcher is None:
+        raise NotImplementedError(
+            "no network in this environment — inject fetcher=lambda q: (title, url, content)"
+        )
+    title, url, content = fetcher(query)
+    return spark.createDataFrame(
+        [(0, title, url, (content or "")[:max_chars], None)],
+        "doc_id long, title string, url string, content string, date timestamp",
+    )
+
+
+def parse_pageviews(
+    spark: SparkSession, path: str, lang_prefix: str = "en "
+) -> DataFrame:
+    """S5 — pageview dump lines ``"<lang> <title> <count> <bytes?>"`` →
+    per-title view sums for one language (reference
+    bootstrap_wikipedia.py:32-46).
+
+    Scan → prefix filter (pushed to the text scan) → split → groupBy
+    sum. At the reference's real scale (~720 hourly dumps, 1.5M titles)
+    this is one shuffle on title — the reference needed a thread pool
+    and six hours; this is exactly the shape Spark eats for breakfast.
+    Output: (title STRING, views BIGINT).
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), " ")
+    return (
+        lines.filter(F.col("value").startswith(lang_prefix))
+        .select(
+            parts.getItem(1).alias("title"),
+            # try_cast: malformed counts → NULL → filtered (ANSI-safe)
+            parts.getItem(2).try_cast("long").alias("views"),
+        )
+        .filter(F.col("views").isNotNull())
+        .groupBy("title")
+        .agg(F.sum("views").alias("views"))
+    )
+
+
+def enrich_descriptions(
+    titles: DataFrame,
+    fetch_batch: Callable[[Sequence[str]], dict[str, str]],
+    batch_size: int = 50,
+    *,
+    title_col: str = "title",
+) -> DataFrame:
+    """S6 — batched description lookup (reference
+    bootstrap_wikipedia.py:49-85 batches 50 titles per API request with
+    an async semaphore; here each executor partition batches its own
+    rows — partition parallelism replaces the asyncio machinery).
+
+    ``fetch_batch(titles) -> {title: description}`` is the injectable
+    API call. Output: titles + (description STRING).
+    """
+
+    def _run(batches):
+        for pdf in batches:
+            out_desc = []
+            vals = pdf[title_col].tolist()
+            for i in range(0, len(vals), batch_size):
+                chunk = vals[i : i + batch_size]
+                got = fetch_batch(chunk)
+                out_desc.extend(got.get(t) for t in chunk)
+            res = pdf.copy()
+            res["description"] = out_desc
+            yield res
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        titles.schema.fields + [T.StructField("description", T.StringType())]
+    )
+    return titles.mapInPandas(_run, schema)
+
+
+def bootstrap_entities(
+    store,
+    pageviews: DataFrame,
+    fetch_batch: Callable[[Sequence[str]], dict[str, str]],
+    min_views: int = 100,
+) -> None:
+    """C6 — the reference's entity bootstrap (bootstrap_wikipedia.py:
+    118-192): aggregate pageviews → threshold → enrich descriptions →
+    bulk add_entities (embedding stage inside the store's write path)."""
+    kept = pageviews.filter(F.col("views") >= min_views)
+    enriched = enrich_descriptions(kept.select(F.col("title").alias("name")), fetch_batch, title_col="name")
+    store.add_entities(
+        enriched.select("name", F.coalesce("description", F.lit("")).alias("description"))
+    )
