@@ -161,6 +161,96 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals — ROLLUP over (returnflag, linestatus);
+    grouping nulls coalesced to 'ALL' for cross-engine stability."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias(
+                "sum_price"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each priority (the generic
+    top-k-per-group window pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): each purchase event
+    matched to the user's most recent click at-or-before it."""
+    from hippollm_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        right_cols=["event_id"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("event_id_asof").alias("click_event_id")
+    )
+
+
 # ===========================================================================
 # Graph / relational operators (P*, G*) on the FIXTURES.md §6 mapping
 # ===========================================================================
@@ -212,6 +302,15 @@ def q_g1_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fact_ids").alias("min_fact"),
         F.array_max("fact_ids").alias("max_fact"),
     )
+
+
+def q_g2_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — 2-hop BFS from one entity, uncapped; links keep their
+    first-discovery depth (reference hippoview app.py:37-63)."""
+    from hippollm_spark.operators.graph import explore
+
+    out = explore(_edges(spark, sf_dir), [ENTITY_A], max_depth=2, max_relations=None)
+    return out.select("src", "dst", "n_facts", "depth")
 
 
 def q_g3_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,6 +508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_rollup": q_tpch_rollup,
+        "window_topk": q_window_topk,
+        "quantiles": q_quantiles,
+        "asof_join": q_asof_join,
+        "g2_explore": q_g2_explore,
         "p1_entity_lookup": q_p1_entity_lookup,
         "p4_union": q_p4_union,
         "p5_intersection": q_p5_intersection,
@@ -495,6 +600,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
             GROUP BY n_name
             ORDER BY revenue DESC, n_name ASC
+        """,
+        "tpch_q6": """
+            SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   count(*) AS n_rows,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_price
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "window_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+            FROM orders
+            QUALIFY rank <= 3
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   (SELECT c.event_id FROM c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id
+            FROM p
+        """,
+        "g2_explore": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            l1 AS (
+                SELECT '{ENTITY_A}' AS src, e2.entity AS dst,
+                       count(*) AS n_facts, 1 AS depth
+                FROM edges e1 JOIN edges e2 ON e1.fact_id = e2.fact_id
+                WHERE e1.entity = '{ENTITY_A}' AND e2.entity <> '{ENTITY_A}'
+                GROUP BY e2.entity
+            ),
+            front AS (SELECT DISTINCT dst FROM l1),
+            l2 AS (
+                SELECT e1.entity AS src, e2.entity AS dst,
+                       count(*) AS n_facts, 2 AS depth
+                FROM edges e1
+                JOIN front f ON e1.entity = f.dst
+                JOIN edges e2 ON e1.fact_id = e2.fact_id
+                WHERE e2.entity <> e1.entity
+                GROUP BY e1.entity, e2.entity
+            ),
+            all_l AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+            SELECT src, dst, n_facts, depth FROM (
+                SELECT *, row_number() OVER (PARTITION BY src, dst ORDER BY depth) AS rk
+                FROM all_l
+            ) WHERE rk = 1
         """,
         "p1_entity_lookup": f"""
             SELECT p_partkey, p_name, p_brand, p_retailprice

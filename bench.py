@@ -22,6 +22,12 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_rollup",
+    "window_topk",
+    "quantiles",
+    "asof_join",
+    "g2_explore",
     "p4_union",
     "p5_intersection",
     "g1_neighbours",

@@ -1,0 +1,141 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+As-of join (each left row matched to the latest right row with
+``right.ts <= left.ts``, per key) is implemented with the union-tag
+trick: tag both sides, union, and carry the last right-side payload
+forward with a running ``last_value(ignorenulls)`` window per key.
+One shuffle on (key), no join at all — this beats the naive
+join+filter+rank (which shuffles both sides AND materializes every
+candidate pair) and stays exact.
+
+A `merge_asof`-style grouped-pandas variant is provided for tolerance
+semantics; the window variant is the scale path.
+
+Range join: bucketize the range key to turn an inequality join into an
+equi-join on bucket + residual filter — the standard Spark shape for
+interval matching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row: columns of the most recent right row with
+    ``right.on <= left.on``, matched per ``by`` key. Left rows with no
+    prior right row keep NULLs.
+
+    Ties on the timestamp: the right row sorts BEFORE the left row at
+    the same instant (tag 0 < 1), i.e. `<=` semantics, matching
+    ``pd.merge_asof`` and DuckDB ``ASOF JOIN``. Among multiple right
+    rows at the SAME instant, pass ``tiebreak`` (a right column name,
+    e.g. its unique id) to deterministically pick the greatest —
+    otherwise partition order decides.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    right_cols = right_cols or [c for c in right.columns if c not in by + [on]]
+    if tiebreak is not None and tiebreak not in right_cols:
+        right_cols = right_cols + [tiebreak]
+
+    lt = left.withColumn("__side__", F.lit(1))
+    rt = right.select(
+        *by, on, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    ).withColumn("__side__", F.lit(0))
+
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    order = [F.col(on).asc(), F.col("__side__").asc()]
+    if tiebreak is not None:
+        order.append(F.col(f"{tiebreak}{suffix}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__fill_{c}__")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("__side__") == 1).drop(
+        "__side__", *[f"{c}{suffix}" for c in right_cols]
+    )
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__fill_{c}__", f"{c}{suffix}")
+    return out
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    tolerance=None,
+) -> DataFrame:
+    """merge_asof per key group via cogrouped applyInPandas — for
+    tolerance/nearest semantics the window variant doesn't cover."""
+    import pandas as pd
+
+    out_schema = left.schema.simpleString().strip("struct<>") + "," + ",".join(
+        f"{c}_asof:{f.dataType.simpleString()}"
+        for c, f in zip(right.columns, right.schema.fields)
+        if c not in (on, by)
+    )
+
+    def _merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_pdf = l_pdf.sort_values(on)
+        r_pdf = r_pdf.sort_values(on).rename(
+            columns={c: f"{c}_asof" for c in r_pdf.columns if c not in (on, by)}
+        )
+        merged = pd.merge_asof(
+            l_pdf, r_pdf.drop(columns=[by], errors="ignore"), on=on,
+            tolerance=tolerance, direction="backward",
+        )
+        return merged
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda l, r: _merge(l, r), out_schema.replace(":", " "))
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """point-in-interval join via bucketization: explode each right
+    interval into the buckets it covers, equi-join on bucket, then the
+    exact residual filter. Turns the O(n·m) inequality join into a
+    hash join whose fanout is interval_width/bucket_width."""
+    lb = left.withColumn("__b__", (F.col(left_point) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "__bs__", (F.col(right_start) / bucket_width).cast("long")
+    ).withColumn("__be__", (F.col(right_end) / bucket_width).cast("long"))
+    rexp = rb.withColumn(
+        "__b__", F.explode(F.sequence(F.col("__bs__"), F.col("__be__")))
+    ).drop("__bs__", "__be__")
+    return (
+        lb.join(rexp, on="__b__", how=how)
+        .filter(
+            (F.col(left_point) >= F.col(right_start))
+            & (F.col(left_point) <= F.col(right_end))
+        )
+        .drop("__b__")
+    )

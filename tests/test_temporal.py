@@ -1,0 +1,106 @@
+"""As-of join and range join semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators import temporal
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", ts(10)),
+            (2, "A", ts(20)),
+            (3, "B", ts(5)),
+            (4, "B", ts(0)),   # before any quote
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (100, "A", ts(9), 9.5),
+            (101, "A", ts(10), 10.0),   # same instant as trade 1 → matched (<=)
+            (102, "A", ts(15), 11.0),
+            (103, "B", ts(4), 4.0),
+            (104, "B", ts(4), 4.5),     # duplicate instant → tiebreak on id
+        ],
+        "quote_id long, sym string, ts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_semantics(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = temporal.asof_join(
+        trades, quotes, on="ts", by="sym",
+        right_cols=["quote_id", "px"], tiebreak="quote_id",
+    )
+    got = {r["trade_id"]: (r["quote_id_asof"], r["px_asof"]) for r in out.collect()}
+    assert got[1] == (101, 10.0)   # equal timestamp matches
+    assert got[2] == (102, 11.0)   # latest prior
+    assert got[3] == (104, 4.5)    # tie at ts(4) → greatest quote_id
+    assert got[4] == (None, None)  # nothing before
+    assert out.count() == trades.count()  # left-join semantics
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, 50),
+            "ts": rng.randint(0, 1000, 50).astype("datetime64[s]"),
+        }
+    ).assign(lid=range(50))
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 3, 40),
+            "ts": rng.randint(0, 1000, 40).astype("datetime64[s]"),
+        }
+    ).assign(rid=range(40), val=rng.randn(40).round(3))
+    # drop duplicate (k, ts) on the right so merge_asof's tie handling
+    # can't differ from ours
+    right = right.drop_duplicates(["k", "ts"])
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    out = temporal.asof_join(
+        sl, sr, on="ts", by="k", right_cols=["rid", "val"], tiebreak="rid"
+    ).toPandas()
+
+    expected = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+    )
+    e = {r.lid: r.rid for r in expected.itertuples()}
+    g = {r.lid: r.rid_asof for r in out.itertuples()}
+    for lid in e:
+        ev = e[lid]
+        gv = g[lid]
+        assert (pd.isna(ev) and pd.isna(gv)) or ev == gv, (lid, ev, gv)
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, 5), (2, 15), (3, 25), (4, 99)], "pid long, x long"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0, 10), (20, 10, 20), (30, 0, 30)], "iid long, lo long, hi long"
+    )
+    out = temporal.range_join(points, intervals, "x", "lo", "hi", bucket_width=8)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10), (1, 30), (2, 20), (2, 30), (3, 30)]
