@@ -290,6 +290,23 @@ def q_p6_lone_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m1_upsert_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/M1 — upsert guard: names in the incoming batch not already
+    present in the entity table survive (reference storage.py:188-190).
+    Batch = low-key part names (all collide) + supplier names (all new)."""
+    from hippollm_spark.operators.relational import new_entities_only
+
+    part = _t(spark, sf_dir, "part")
+    existing = part.select(F.col("p_name").alias("name")).distinct()
+    new = (
+        part.filter(F.col("p_partkey") < 100)
+        .select(F.col("p_name").alias("name"))
+        .union(_t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name")))
+        .distinct()
+    )
+    return new_entities_only(new, existing)
+
+
 def q_g1_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — 1-hop neighbours with shared-fact counts (reference
     storage.py:213-224)."""
@@ -518,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_union": q_p4_union,
         "p5_intersection": q_p5_intersection,
         "p6_lone_entities": q_p6_lone_entities,
+        "m1_upsert_guard": q_m1_upsert_guard,
         "g1_neighbours": q_g1_neighbours,
         "g3_cooccurrence": q_g3_cooccurrence,
         "v3_knn": q_v3_knn,
@@ -688,6 +706,16 @@ def oracle_sql() -> dict[str, str]:
             WITH edges AS ({_EDGES_SQL})
             SELECT DISTINCT p_name FROM part
             WHERE p_name NOT IN (SELECT entity FROM edges)
+        """,
+        "m1_upsert_guard": """
+            WITH existing AS (SELECT DISTINCT p_name AS name FROM part),
+            newbatch AS (
+                SELECT DISTINCT p_name AS name FROM part WHERE p_partkey < 100
+                UNION
+                SELECT s_name AS name FROM supplier
+            )
+            SELECT name FROM newbatch
+            WHERE name NOT IN (SELECT name FROM existing)
         """,
         "g1_neighbours": f"""
             WITH edges AS ({_EDGES_SQL}),

@@ -160,6 +160,75 @@ def split_recursive(
 
 
 # --------------------------------------------------------------------------
+# T4 — semantic splitter (reference splitters.py:99-119 via langchain
+# SemanticChunker): split at sentence boundaries where consecutive
+# sentence embeddings are most dissimilar (cosine distance above the
+# given percentile of all gaps in the document).
+# --------------------------------------------------------------------------
+
+_SENT_RE = re.compile(r".*?[.!?](?:\s+|$)|.+$", re.DOTALL)
+
+
+def _sentences_with_spans(text: str) -> list[tuple[str, int, int]]:
+    out = []
+    pos = 0
+    for m in _SENT_RE.finditer(text):
+        s = m.group(0)
+        if not s:
+            continue
+        out.append((s, pos, pos + len(s)))
+        pos += len(s)
+    return out
+
+
+def split_semantic(
+    docs: DataFrame,
+    embed_fn,
+    breakpoint_percentile: float = 80.0,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """T4 — embedding-breakpoint chunking as one Arrow stage per
+    partition: sentence-split, embed each sentence with ``embed_fn``
+    (text -> list[float], executor-local), compute consecutive cosine
+    distances, cut where the distance exceeds the per-document
+    percentile. Deterministic given a deterministic embedder."""
+    import numpy as np
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                txt = txt or ""
+                sents = _sentences_with_spans(txt)
+                if not sents:
+                    continue
+                if len(sents) == 1:
+                    rows.append((did, 0, sents[0][0], sents[0][1], sents[0][2]))
+                    continue
+                vecs = np.array([embed_fn(s) for s, _, _ in sents], dtype=np.float64)
+                norms = np.linalg.norm(vecs, axis=1)
+                norms[norms == 0] = 1.0
+                unit = vecs / norms[:, None]
+                gaps = 1.0 - np.einsum("ij,ij->i", unit[:-1], unit[1:])
+                thr = np.percentile(gaps, breakpoint_percentile)
+                cut_after = set(np.nonzero(gaps > thr)[0])
+                chunk_start, idx = 0, 0
+                for i, (_s, _b, e) in enumerate(sents):
+                    if i in cut_after or i == len(sents) - 1:
+                        b = sents[chunk_start][1]
+                        rows.append((did, idx, txt[b:e], b, e))
+                        idx += 1
+                        chunk_start = i + 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "text", "pos_start", "pos_end"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_run, CHUNKS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # T7 — first sentence (reference helpers.py:12-15 via nltk; deterministic
 # regex port: first run of chars ending in . ! ? followed by space/EOT)
 # --------------------------------------------------------------------------

@@ -142,6 +142,10 @@ def with_dense_ids(df: DataFrame, offset: int = 0, id_col: str = "id") -> DataFr
         (r["__pid__"], r["cnt"])
         for r in part.groupBy("__pid__").agg(F.count("*").alias("cnt")).collect()
     )
+    if not counts:
+        # empty input: an empty create_map() is VOID-typed and breaks
+        # the lookup expression — just stamp the (absent) rows
+        return df.withColumn(id_col, F.lit(offset).cast("long"))
     offsets, acc = {}, offset
     for pid in sorted(counts):
         offsets[pid] = acc
