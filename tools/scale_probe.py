@@ -1,0 +1,142 @@
+"""Scale probe: generate multi-million-row synthetic tables at runtime
+(in /tmp — the driver's testdata is read-only) and measure the novel
+operators' scaling behavior. Results feed DESIGN.md §5.
+
+Usage: python tools/scale_probe.py [n_vectors] [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n_vec = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_doc = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    dim = 64
+
+    from hippollm_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+
+    # ---- synthetic embeddings: deterministic, fully JVM-generated ----
+    vec_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2001)) - 1000) / 1000.0,
+    ).cast("array<float>")
+    t0 = time.time()
+    (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            vec_expr.alias("embedding"),
+            F.pmod(F.col("id"), F.lit(10)).cast("int").alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/vecs")
+    )
+    print(f"gen {n_vec:,} vectors: {time.time()-t0:.1f}s")
+    vecs = spark.read.parquet(f"{tmp}/vecs")
+
+    from hippollm_spark.operators.knn import knn
+    from hippollm_spark.operators.similarity import ivf_build, ivf_topk, topk_per_query
+    from hippollm_spark.testing import hash_embedding
+
+    q = hash_embedding("scale probe query", dim)
+
+    t0 = time.time()
+    exact = [r["vec_id"] for r in knn(vecs, q, 10, id_col="vec_id").collect()]
+    t_exact = time.time() - t0
+    print(f"exact kNN over {n_vec:,}: {t_exact:.2f}s")
+
+    t0 = time.time()
+    exact_pd = [
+        r["vec_id"] for r in knn(vecs, q, 10, id_col="vec_id", method="pandas").collect()
+    ]
+    print(f"exact kNN (pandas matmul): {time.time()-t0:.2f}s (agrees: {exact == exact_pd})")
+
+    t0 = time.time()
+    queries = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk_per_query(vecs, queries, k=10).write.mode("overwrite").format("noop").save()
+    print(f"batch top-k (8 queries): {time.time()-t0:.2f}s")
+
+    t0 = time.time()
+    assigned, cents = ivf_build(vecs, nlist=32, iters=3)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{tmp}/ivf")
+    ivf_tbl = spark.read.parquet(f"{tmp}/ivf")
+    t_build = time.time() - t0
+    t0 = time.time()
+    approx = [
+        r["vec_id"] for r in ivf_topk(ivf_tbl, cents, q, k=10, nprobe=4, id_col="vec_id").collect()
+    ]
+    t_probe = time.time() - t0
+    recall = len(set(exact) & set(approx)) / 10
+    print(
+        f"IVF: build+write {t_build:.1f}s, probe(nprobe=4/32) {t_probe:.2f}s, "
+        f"recall@10 {recall:.2f}, speedup {t_exact / max(t_probe, 1e-9):.1f}x"
+    )
+
+    # ---- synthetic docs: zipf-ish vocab, planted near-dups ----
+    words = F.transform(
+        F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(40)) + 20),
+        lambda i: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i), F.lit(5000)).cast("string")
+        ),
+    )
+    t0 = time.time()
+    (
+        spark.range(n_doc)
+        .select(
+            F.col("id").alias("doc_id"),
+            # every 100th doc duplicates its predecessor's content seed
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.pmod(F.xxhash64(F.expr("id - id % 100")), F.lit(40)) + 20,
+                    ),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.expr("id - (case when id % 100 < 2 then id % 100 else 0 end)"), i),
+                            F.lit(5000),
+                        ).cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/docs")
+    )
+    _ = words
+    print(f"gen {n_doc:,} docs: {time.time()-t0:.1f}s")
+    docs = spark.read.parquet(f"{tmp}/docs")
+
+    from hippollm_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    t0 = time.time()
+    kept = exact_dedup(docs).count()
+    print(f"exact dedup over {n_doc:,}: {time.time()-t0:.1f}s ({n_doc - kept:,} dups removed)")
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=32).count()
+    print(f"minhash LSH over {n_doc:,}: {time.time()-t0:.1f}s ({pairs:,} near-dup pairs)")
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
