@@ -390,13 +390,22 @@ def annotate_documents(
     nli,
     embed,
     cfg: AnnotateConfig | None = None,
+    log=None,
 ) -> HippoStore:
     """Run the staged annotation pipeline and return the updated store.
 
     Every stage is one Spark job over the whole batch of documents;
-    model calls are Arrow-batched on executors.
+    model calls are Arrow-batched on executors. Pass an
+    ``lineage.ActionLog`` as ``log`` for the O1 structured action trail
+    (stage boundaries + config; reference log_helpers.py:12-52 logs
+    every model call — per-call records live executor-side, so the
+    driver-side trail records stages).
     """
     cfg = cfg or AnnotateConfig()
+    if log is not None:
+        from dataclasses import asdict
+
+        log.log("annotate_start", cfg=asdict(cfg))
     ctxs = contextualize(docs, llm, cfg.ctx_size).cache()
     splitter = get_splitter(cfg.splitter)
     if cfg.splitter == "paragraph":
@@ -455,4 +464,11 @@ def annotate_documents(
         .drop("__ord__")
     )
     store.add_facts(new_facts)
+    if log is not None:
+        log.log(
+            "annotate_done",
+            facts_kept=fresh.count(),
+            facts_dropped=gated.filter("redundant").count(),
+            new_entities=resolved.filter("is_new").count(),
+        )
     return store

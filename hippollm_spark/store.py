@@ -219,3 +219,24 @@ class HippoStore:
 
     def check_integrity(self) -> dict[str, int]:
         return relational.integrity_report(self.entities, self.facts)
+
+    def restore_integrity(self) -> None:
+        """P8 analog (reference storage.py:152-169 reconciles the
+        Chroma side against the graph side). In the single-table design
+        the only divergence possible is a NULL embedding (e.g. rows
+        imported without a model) — re-embed exactly those rows."""
+        if self.embed is None:
+            raise ValueError("restore_integrity needs an embed function")
+        ent_fix = F.when(
+            F.col("embedding").isNull(),
+            self.embed(
+                F.concat(
+                    "name", F.lit(" ("), F.coalesce("description", F.lit("")), F.lit(")")
+                )
+            ),
+        ).otherwise(F.col("embedding"))
+        self.entities = self.entities.withColumn("embedding", ent_fix)
+        fact_fix = F.when(
+            F.col("embedding").isNull(), self.embed(F.col("text"))
+        ).otherwise(F.col("embedding"))
+        self.facts = self.facts.withColumn("embedding", fact_fix)
