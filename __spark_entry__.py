@@ -48,10 +48,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
     reader rejects; read nanos as long and convert to microsecond
     timestamps with integer division (ns epoch > 2^53, so double math
-    would lose precision). DuckDB's ns→µs cast truncates identically."""
+    would lose precision). DuckDB's ns→µs cast truncates identically.
+
+    The session TZ is pinned to UTC and the result cast to
+    TIMESTAMP_NTZ so wall-clock values match DuckDB's naive timestamps
+    regardless of the host session's timezone configuration."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,10 +502,11 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag-sum — the batch twin of streaming session_window)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # NTZ-safe gap: timestamp difference is a day-time interval
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0),
     )
     return (
         flagged.groupBy("user_id")
