@@ -100,6 +100,40 @@ class ScriptedNLI:
         return [(o, -negs) for negs, _, o in scored]
 
 
+class ExtractiveFakeLLM:
+    """Deterministic rule-based 'LLM' that makes the full annotation
+    pipeline usable with no model runtime: facts = sentences of the
+    chunk, entities = capitalized words, no dedup confirmations. Useful
+    for CLI runs, demos, and load tests; swap for a real backend in
+    production."""
+
+    _SENT = __import__("re").compile(r"[^.!?]+[.!?]?")
+    _CAP = __import__("re").compile(r"\b[A-Z][A-Za-z0-9_-]+\b")
+
+    def invoke(self, prompt, grammar=None, max_tokens=None, stop=None) -> str:
+        if grammar == GRAMMAR_YN:
+            return "No"
+        if "Summary:" in prompt:
+            body = prompt.split("Excerpt:\n", 1)[-1]
+            first = self._SENT.search(body.strip())
+            return first.group(0).strip() if first else ""
+        if "Facts:" in prompt and "Passage:" in prompt:
+            chunk = prompt.split("Passage:\n", 1)[-1].rsplit("Facts:", 1)[0]
+            sents = [s.strip() for s in self._SENT.findall(chunk) if s.strip()]
+            return "\n".join(f"- {s.rstrip('.!?')}" for s in sents) or "None"
+        if "Rewritten:" in prompt:
+            stmt = prompt.split("Statement: ", 1)[-1].rsplit("Rewritten:", 1)[0]
+            return stmt.strip()
+        if "Entities:" in prompt:
+            fact = prompt.split("Fact: ", 1)[-1].rsplit("Entities:", 1)[0]
+            seen: list[str] = []
+            for m in self._CAP.findall(fact):
+                if m not in seen:
+                    seen.append(m)
+            return "\n".join(f"- {e}" for e in seen) or "None"
+        return "None"
+
+
 # --- real-provider stubs (no network in the test container) ---------------
 
 class HttpLlmBackend:

@@ -61,6 +61,14 @@ class HippoStore:
     # -- persistence (native parquet) --------------------------------------
 
     def save(self, path: str) -> None:
+        """Overwrite-safe save: a loaded store's DataFrames lazily read
+        from the very files an overwrite deletes (read→overwrite of the
+        same location corrupts the write), so materialize first with an
+        eager localCheckpoint. A production deployment would use a
+        table format (Delta/Iceberg) or versioned directories instead;
+        the semantics here are the same."""
+        self.entities = self.entities.localCheckpoint(eager=True)
+        self.facts = self.facts.localCheckpoint(eager=True)
         self.entities.write.mode("overwrite").parquet(os.path.join(path, "entities.parquet"))
         self.facts.write.mode("overwrite").parquet(os.path.join(path, "facts.parquet"))
 
