@@ -229,9 +229,12 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+            # round at 4dp: quartiles of 2-decimal prices have <= 4 decimals,
+            # so the 4dp grid contains the exact value (2dp rounding sits ON
+            # the half-cent boundary and flips between engines)
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
         )
         .orderBy("l_returnflag")
     )
@@ -653,9 +656,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quantiles": """
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-                   round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
             FROM lineitem
             GROUP BY l_returnflag
             ORDER BY l_returnflag
