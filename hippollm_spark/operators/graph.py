@@ -54,6 +54,7 @@ def explore(
     max_relations: int | None = 15,
     *,
     cap_all_depths: bool = False,
+    checkpoint_after: int = 2,
 ) -> DataFrame:
     """G2 — multi-hop neighbourhood expansion (reference
     hippoview app.py:37-63).
@@ -97,15 +98,24 @@ def explore(
                 .filter(F.col("__rk__") <= max_relations)
                 .drop("__rk__")
             )
-        links = links.localCheckpoint(eager=True)  # cut lineage per hop
+        # Hop outputs are reused three times (early-exit probe, result
+        # union, next frontier): cache() gives the reuse without the
+        # eager extra job of localCheckpoint. Past ``checkpoint_after``
+        # hops, ALSO cut lineage — plans grow multiplicatively with
+        # depth and deep traversals re-plan forever otherwise.
+        links = links.cache()
+        if depth >= checkpoint_after:
+            links = links.localCheckpoint(eager=True)
         results = links if results is None else results.unionByName(links)
+        if depth == max_depth:
+            break  # last hop: the next frontier would never be expanded
         next_frontier = (
             links.select(F.col("dst").alias("entity"))
             .distinct()
             .join(visited, on="entity", how="left_anti")
-            .localCheckpoint(eager=True)
+            .cache()
         )
-        visited = visited.unionByName(next_frontier).localCheckpoint(eager=True)
+        visited = visited.unionByName(next_frontier).cache()
         frontier = next_frontier
         if frontier.isEmpty():
             break
