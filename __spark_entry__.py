@@ -224,20 +224,17 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group."""
+    """Exact interpolated percentiles per group — sort-based
+    (constant memory per group; Spark's builtin `percentile` buffers
+    whole groups). Rounded at 4dp: quartiles of 2-decimal prices have
+    <= 4 decimals, so the 4dp grid contains the exact value (2dp
+    rounding sits ON the half-cent boundary and flips between engines)."""
+    from hippollm_spark.operators.stats import exact_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            # round at 4dp: quartiles of 2-decimal prices have <= 4 decimals,
-            # so the 4dp grid contains the exact value (2dp rounding sits ON
-            # the half-cent boundary and flips between engines)
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return exact_percentiles(
+        li, "l_extendedprice", "l_returnflag", [0.25, 0.5, 0.75], round_to=4
+    ).orderBy("l_returnflag")
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,34 @@
+"""Sort-based exact percentiles vs numpy's linear interpolation."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hippollm_spark.operators.stats import exact_percentiles
+
+
+def test_exact_percentiles_match_numpy(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        (("g%d" % (i % 3)), float(v)) for i, v in enumerate(rng.rand(500) * 100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p10"], r["p50"], r["p99"])
+        for r in exact_percentiles(df, "v", "g", [0.1, 0.5, 0.99]).collect()
+    }
+    for g in ["g0", "g1", "g2"]:
+        vals = np.array([v for k, v in rows if k == g])
+        want = np.percentile(vals, [10, 50, 99], method="linear")
+        for a, b in zip(got[g], want):
+            assert abs(a - b) < 1e-9, (g, got[g], want)
+
+
+def test_exact_percentiles_edge_cases(spark):
+    df = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    row = exact_percentiles(df, "v", "g", [0.0, 0.5, 1.0]).first()
+    assert (row["p0"], row["p50"], row["p100"]) == (5.0, 5.0, 5.0)
+
+    df2 = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    row2 = exact_percentiles(df2, "v", "g", [0.25, 1.0]).first()
+    assert row2["p25"] == 1.25 and row2["p100"] == 2.0
