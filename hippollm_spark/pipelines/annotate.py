@@ -472,3 +472,27 @@ def annotate_documents(
             new_entities=resolved.filter("is_new").count(),
         )
     return store
+
+
+def annotate_documents_serial(
+    store: HippoStore,
+    docs: DataFrame,
+    llm,
+    nli,
+    embed,
+    cfg: AnnotateConfig | None = None,
+    log=None,
+) -> HippoStore:
+    """Exact-parity mode (SURVEY.md §7a): documents processed one at a
+    time in ascending doc_id order, so every fact is deduplicated
+    against ALL facts added before it — including those from earlier
+    documents of the same run — exactly like the reference's serial
+    loop (annotator.py:185-218). Trades throughput for bit-parity;
+    the batch mode is the scale path."""
+    ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    for did in ids:
+        one = docs.filter(F.col("doc_id") == did)
+        annotate_documents(store, one, llm, nli, embed, cfg, log=log)
+        store.entities = store.entities.localCheckpoint(eager=True)
+        store.facts = store.facts.localCheckpoint(eager=True)
+    return store

@@ -72,6 +72,33 @@ class HippoStore:
         self.entities.write.mode("overwrite").parquet(os.path.join(path, "entities.parquet"))
         self.facts.write.mode("overwrite").parquet(os.path.join(path, "facts.parquet"))
 
+    def save_bucketed(self, table_prefix: str, n_buckets: int = 16) -> None:
+        """Cluster-layout save: facts bucketed+sorted by id, entities
+        bucketed by name (saveAsTable — bucketing needs the metastore).
+        Later equi-joins/aggregations on the bucket keys read
+        co-located buckets and skip the shuffle entirely (verified in
+        tests: the bucketed facts⋈facts join plan has no Exchange)."""
+        (
+            self.facts.write.mode("overwrite")
+            .bucketBy(n_buckets, "id")
+            .sortBy("id")
+            .saveAsTable(f"{table_prefix}_facts")
+        )
+        (
+            self.entities.write.mode("overwrite")
+            .bucketBy(n_buckets, "name")
+            .saveAsTable(f"{table_prefix}_entities")
+        )
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, table_prefix: str, **kw) -> "HippoStore":
+        return cls(
+            spark,
+            entities=spark.table(f"{table_prefix}_entities"),
+            facts=spark.table(f"{table_prefix}_facts"),
+            **kw,
+        )
+
     @classmethod
     def load(cls, spark: SparkSession, path: str, **kw) -> "HippoStore":
         return cls(
