@@ -518,6 +518,66 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (wide activity matrix)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        *[F.col(c).alias(f"n_{c}") for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user reach and value stats per event type."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word trigrams by document frequency."""
+    from hippollm_spark.operators.dedup import with_shingles
+
+    sh = with_shingles(_t(spark, sf_dir, "documents"), n=3)
+    return (
+        sh.select(F.explode("shingles").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal: normalized text with English stopwords dropped
+    (a boilerplate-reduction map stage)."""
+    from hippollm_spark.operators.dedup import normalized_text
+    from hippollm_spark.operators.textstats import LANG_MARKERS
+
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    toks = F.split(normalized_text("text"), " ")
+    kept = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -561,6 +621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_naive": q_split_naive,
         "events_windowed": q_events_windowed,
         "sessionization": q_sessionization,
+        "events_pivot": q_events_pivot,
+        "user_activity": q_user_activity,
+        "top_ngrams": q_top_ngrams,
+        "text_clean": q_text_clean,
     }
 
 
@@ -876,6 +940,39 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "user_activity": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events,
+                   round(min(value), 2) AS min_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "top_ngrams": f"""
+            {_SHINGLES}
+            SELECT ngram, count(*) AS df FROM (
+                SELECT unnest(shingles) AS ngram FROM sh
+            ) GROUP BY ngram
+            ORDER BY df DESC, ngram ASC
+            LIMIT 20
+        """,
+        "text_clean": f"""
+            SELECT doc_id,
+                   array_to_string(list_filter(string_split({_NORM}, ' '),
+                       t -> NOT list_contains(['the','and','of','to','in','is','that','with'], t)), ' ') AS clean_text,
+                   len(list_filter(string_split({_NORM}, ' '),
+                       t -> NOT list_contains(['the','and','of','to','in','is','that','with'], t))) AS n_kept
+            FROM documents
         """,
         "sessionization": """
             WITH flagged AS (

@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "split_naive",
     "events_windowed",
     "sessionization",
+    "events_pivot",
+    "user_activity",
+    "top_ngrams",
+    "text_clean",
 ]
 
 
