@@ -209,6 +209,19 @@ class HippoStore:
         with open(os.path.join(path, "facts.json"), "w") as f:
             json.dump(facts, f)
 
+    def register_views(self, prefix: str = "") -> None:
+        """Expose the store as SQL views (``entities``, ``facts``,
+        ``edges``) so the whole Spark SQL surface — joins, windows,
+        grouping sets, CTEs — applies directly (SURVEY.md §2.10: the
+        reference has no SQL; we inherit it)."""
+        self.entities.createOrReplaceTempView(f"{prefix}entities")
+        self.facts.createOrReplaceTempView(f"{prefix}facts")
+        self.edges.createOrReplaceTempView(f"{prefix}edges")
+
+    def sql(self, query: str):
+        self.register_views()
+        return self.spark.sql(query)
+
     # -- reference API façade ------------------------------------------------
 
     def get_entity(self, name: str):

@@ -116,3 +116,15 @@ def test_load_reference_example_db(spark):
     # graph query end-to-end on real data
     nb = store.get_neighbours("Paris")
     assert nb.count() > 0
+
+
+def test_sql_surface(spark, tmp_path):
+    store = _mini_store(spark, str(tmp_path / "in"))
+    out = store.sql(
+        """
+        SELECT e.entity, count(*) AS n
+        FROM edges e JOIN facts f ON e.fact_id = f.id
+        GROUP BY e.entity ORDER BY e.entity
+        """
+    ).collect()
+    assert [(r["entity"], r["n"]) for r in out] == [("France", 1), ("Paris", 1)]
