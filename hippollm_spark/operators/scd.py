@@ -1,0 +1,82 @@
+"""CDC / SCD2 (slowly-changing dimension, type 2) without a table
+format: the anti-join + union + window emulation of MERGE INTO.
+
+``scd2_apply(current, changes)`` produces the new dimension state:
+- rows whose business key is untouched pass through,
+- changed keys close their open version (valid_to = change ts) and
+  append a new open version,
+- new keys open their first version.
+
+At scale this is two hash joins on the business key plus a union — the
+same physical work a MERGE in Delta/Iceberg performs, minus the
+transactional commit (which the table format would supply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OPEN_TS = "9999-12-31 23:59:59"
+
+
+def scd2_init(snapshot: DataFrame, ts_col: str = "effective_ts") -> DataFrame:
+    """Turn a plain snapshot into SCD2 shape: + valid_from / valid_to /
+    is_current."""
+    return snapshot.select(
+        "*",
+        F.col(ts_col).alias("valid_from"),
+        F.lit(OPEN_TS).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).drop(ts_col)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str = "effective_ts",
+) -> DataFrame:
+    """Apply a batch of changed rows (one row per key — latest change
+    wins if callers pre-deduplicate; enforced here with a window) to an
+    SCD2 dimension."""
+    from pyspark.sql import Window
+
+    attr_cols = [c for c in changes.columns if c not in (key, ts_col)]
+
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col))
+    latest = (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .filter("__rn__ = 1")
+        .drop("__rn__")
+    )
+
+    open_rows = current.filter("is_current")
+    closed_rows = current.filter("NOT is_current")
+
+    # keys with an actual attribute change (different values)
+    joined = open_rows.alias("c").join(
+        latest.alias("n"), on=key, how="inner"
+    )
+    diff_cond = None
+    for a in attr_cols:
+        c = F.col(f"c.{a}") != F.col(f"n.{a}")
+        c = c | (F.col(f"c.{a}").isNull() != F.col(f"n.{a}").isNull())
+        diff_cond = c if diff_cond is None else (diff_cond | c)
+    changed_keys = joined.filter(diff_cond).select(F.col(key), F.col(f"n.{ts_col}").alias("__chg_ts__"))
+
+    # close the open version of changed keys
+    closing = (
+        open_rows.join(F.broadcast(changed_keys), on=key, how="inner")
+        .withColumn("valid_to", F.col("__chg_ts__"))
+        .withColumn("is_current", F.lit(False))
+        .drop("__chg_ts__")
+    )
+    unchanged_open = open_rows.join(changed_keys.select(key), on=key, how="left_anti")
+
+    # new versions: changed keys + brand-new keys
+    new_keys = latest.join(open_rows.select(key), on=key, how="left_anti")
+    reopened = latest.join(F.broadcast(changed_keys.select(key)), on=key, how="semi")
+    fresh = scd2_init(new_keys.unionByName(reopened), ts_col)
+
+    return closed_rows.unionByName(closing).unionByName(unchanged_open).unionByName(fresh)
