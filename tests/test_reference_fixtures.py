@@ -1,0 +1,107 @@
+"""Run the engine's splitters over the REFERENCE's own fixture files
+(reference tests/assets/{rust,short}.txt) and assert the reference's
+splitter invariants (reference tests/test_splitters.py:21-31):
+first chunk starts at 0, last chunk ends at len(text), every chunk's
+text equals the substring at its recorded positions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+ASSETS = "/root/reference/tests/assets"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{ASSETS}/rust.txt"), reason="reference assets not present"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_docs(spark):
+    rows = []
+    for i, name in enumerate(["rust.txt", "short.txt"]):
+        with open(f"{ASSETS}/{name}", encoding="utf-8") as f:
+            rows.append((i, name, f.read()))
+    return spark.createDataFrame(rows, "doc_id long, name string, content string").cache()
+
+
+def _assert_invariants(chunks, ref_docs, *, contiguous: bool):
+    joined = chunks.join(ref_docs, "doc_id")
+    mismatched = joined.filter(
+        F.col("text") != F.expr("substring(content, pos_start + 1, pos_end - pos_start)")
+    )
+    assert mismatched.count() == 0
+    firsts = chunks.groupBy("doc_id").agg(F.min("pos_start").alias("s")).collect()
+    assert all(r["s"] == 0 for r in firsts)
+    lasts = (
+        chunks.groupBy("doc_id").agg(F.max("pos_end").alias("e")).join(ref_docs, "doc_id").collect()
+    )
+    assert all(r["e"] == len(r["content"]) for r in lasts)
+    if contiguous:
+        # chunks tile the document with no gaps
+        rows = chunks.orderBy("doc_id", "chunk_idx").collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for rs in by_doc.values():
+            for a, b in zip(rs, rs[1:]):
+                assert a["pos_end"] == b["pos_start"]
+
+
+def test_naive_splitter_on_reference_assets(spark, ref_docs):
+    from hippollm_spark.functions.text import split_naive
+
+    _assert_invariants(split_naive(ref_docs, chunk_size=1000), ref_docs, contiguous=True)
+
+
+def test_recursive_splitter_on_reference_assets(spark, ref_docs):
+    from hippollm_spark.functions.text import split_recursive
+
+    chunks = split_recursive(ref_docs, chunk_size=1000)
+    _assert_invariants(chunks, ref_docs, contiguous=True)
+    assert chunks.filter(F.length("text") > 1000).count() == 0
+    # both documents actually split into multiple chunks at size 1000
+    counts = {r["doc_id"]: r["n"] for r in chunks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] > 1
+
+
+def test_semantic_splitter_on_reference_assets(spark, ref_docs):
+    from hippollm_spark.functions.text import split_semantic
+    from hippollm_spark.testing import hash_embedding
+
+    chunks = split_semantic(ref_docs, lambda s: hash_embedding(s, 16), 80.0)
+    _assert_invariants(chunks, ref_docs, contiguous=True)
+
+
+def test_full_annotation_on_reference_asset(spark, ref_docs):
+    """The analog of the reference's gated long test
+    (tests/test_annotator.py: full annotate() on short.txt then
+    integrity + non-empty assertions) — runnable here because the
+    models are deterministic fakes."""
+    from hippollm_spark.pipelines.annotate import AnnotateConfig, annotate_documents
+    from hippollm_spark.pipelines.backends import ExtractiveFakeLLM, ScriptedNLI
+    from hippollm_spark.store import HippoStore
+    from hippollm_spark.testing import hash_embedding_udf
+
+    docs = ref_docs.filter("name = 'short.txt'").select(
+        "doc_id",
+        F.col("name").alias("title"),
+        F.lit("file://short.txt").alias("url"),
+        "content",
+        F.lit(None).cast("timestamp").alias("date"),
+    )
+    store = HippoStore(spark, embed=hash_embedding_udf(16), dim=16)
+    annotate_documents(
+        store, docs, ExtractiveFakeLLM(), ScriptedNLI(), hash_embedding_udf(16),
+        AnnotateConfig(splitter="recursive", chunk_size=1000, embed_dim=16),
+    )
+    assert store.facts.count() > 0
+    assert store.entities.count() > 0
+    assert store.check_integrity()["ok"] == 1
+    # hyperedges reference known entities only
+    dangling = store.edges.join(
+        store.entities.select(F.col("name").alias("entity")), "entity", "left_anti"
+    )
+    assert dangling.count() == 0
