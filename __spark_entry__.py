@@ -562,6 +562,23 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-span detection via winnowing fingerprints (MOSS scheme):
+    doc pairs sharing >= 20 selected rolling-hash fingerprints."""
+    from hippollm_spark.operators.textstats import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 20)
+    )
+
+
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword removal: normalized text with English stopwords dropped
     (a boilerplate-reduction map stage)."""
@@ -625,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": q_user_activity,
         "top_ngrams": q_top_ngrams,
         "text_clean": q_text_clean,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -973,6 +991,29 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split({_NORM}, ' '),
                        t -> NOT list_contains(['the','and','of','to','in','is','that','with'], t))) AS n_kept
             FROM documents
+        """,
+        "winnow_pairs": f"""
+            WITH hashes AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(length({_NORM}) - 7, 1) + 1),
+                           i -> ('0x' || substr(md5(substr({_NORM}, i, 8)), 1, 15))::BIGINT
+                       ) AS hs
+                FROM documents
+            ),
+            mins AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(hs) - 3, 1) + 1),
+                           j -> list_min(hs[j:j+3])
+                       )) AS fps
+                FROM hashes
+            ),
+            ex AS (SELECT doc_id, unnest(fps) AS fp FROM mins)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 20
         """,
         "sessionization": """
             WITH flagged AS (

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "user_activity",
     "top_ngrams",
     "text_clean",
+    "winnow_pairs",
 ]
 
 

@@ -132,6 +132,54 @@ def explore(
     )
 
 
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, *, checkpoint_every: int = 3
+) -> DataFrame:
+    """Connected components of the entity graph (entities linked when
+    they share a fact) via hash-min label propagation over the
+    BIPARTITE entity-fact incidence — each iteration pushes the minimum
+    component label entity→fact→entity. Converges in O(diameter)
+    rounds; two narrow shuffles per round (the classic large-graph CC
+    shape, no GraphFrames dependency).
+
+    Output: (entity STRING, component BIGINT) where component is the
+    min xxhash64 label over the member entities (stable across runs).
+    """
+    labels = (
+        edges.select("entity")
+        .distinct()
+        .withColumn("label", F.xxhash64("entity"))
+    ).cache()
+    for it in range(max_iter):
+        fact_min = (
+            edges.join(labels, "entity")
+            .groupBy("fact_id")
+            .agg(F.min("label").alias("fact_label"))
+        )
+        new_labels = (
+            edges.join(fact_min, "fact_id")
+            .groupBy("entity")
+            .agg(F.min("fact_label").alias("new_label"))
+        )
+        merged = (
+            labels.join(new_labels, "entity", "left")
+            .select(
+                "entity",
+                F.least(F.col("label"), F.coalesce("new_label", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("new_label") < F.col("label")).alias("__chg__"),
+            )
+        ).cache()
+        if it % checkpoint_every == checkpoint_every - 1:
+            merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("__chg__")).limit(1).count()
+        labels = merged.drop("__chg__")
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "component")
+
+
 def cooccurrence(edges: DataFrame, fact_ids: DataFrame | None = None) -> DataFrame:
     """G3 — unordered entity-pair projection with weights (reference
     hippoview app.py:144-167: itertools.combinations per fact, merged).

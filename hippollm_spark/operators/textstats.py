@@ -114,6 +114,67 @@ def quality_features(
     return out.withColumn("quality_score_e8", score_e8.cast("long"))
 
 
+def md5_long(col: Column | str) -> Column:
+    """First 60 bits of md5 as a BIGINT — a hash both Spark and DuckDB
+    compute identically (xxhash64 exists only in Spark)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (the MOSS
+    scheme): hash every character k-gram of the normalized text, slide
+    a window of ``window`` consecutive hashes, keep each window's
+    minimum, dedupe. Robust to insertions/reordering in a way whole-doc
+    hashing is not; shared fingerprints between documents indicate
+    copied spans.
+
+    Shape note: the tempting pure-array form (one transform computing
+    hashes, a second taking per-window array_min slices) is a trap —
+    Catalyst's projection collapse inlines the first transform into the
+    second, recomputing ALL k-gram md5s per window (O(n²) hashing; it
+    hangs at 500 docs). Instead: hash once, posexplode, and take the
+    windowed min with a frame — one md5 pass, one shuffle on doc_id.
+    Output: (doc_id, fp BIGINT), one row per selected fingerprint.
+    """
+    from pyspark.sql import Window
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), normalized_text(text_col).alias("__norm__")
+    ).selectExpr(
+        "doc_id",
+        f"transform(sequence(1, greatest(length(__norm__) - {k - 1}, 1)), "
+        f"  i -> cast(conv(substring(md5(substr(__norm__, i, {k})), 1, 15), 16, 10) as bigint)"
+        ") AS __hashes__",
+    )
+    exploded = staged.select(
+        "doc_id", F.posexplode("__hashes__").alias("pos", "h")
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    wall = Window.partitionBy("doc_id")
+    return (
+        exploded.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wmin).alias("fp"),
+            F.count("*").over(wall).alias("__n__"),
+        )
+        .filter(
+            (F.col("pos") <= F.col("__n__") - window)
+            | ((F.col("__n__") < window) & (F.col("pos") == 0))
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def fingerprint(text_col: Column | str) -> Column:
     """Stable content fingerprint: md5 of the normalized text.
     (md5 matches across Spark and DuckDB, so it doubles as the dedup

@@ -1,0 +1,71 @@
+"""Connected components over the hypergraph and winnowing fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators.graph import connected_components
+
+
+def test_connected_components_two_islands(spark):
+    # island 1: A-B-C via facts 0,1; island 2: D-E via fact 2; isolated F via fact 3
+    rows = [
+        (0, "A"), (0, "B"),
+        (1, "B"), (1, "C"),
+        (2, "D"), (2, "E"),
+        (3, "F"),
+    ]
+    edges = spark.createDataFrame(rows, "fact_id long, entity string")
+    out = {r["entity"]: r["component"] for r in connected_components(edges).collect()}
+    assert out["A"] == out["B"] == out["C"]
+    assert out["D"] == out["E"]
+    assert out["A"] != out["D"] != out["F"]
+    assert out["A"] != out["F"]
+
+
+def test_connected_components_chain_converges(spark):
+    # long chain: e0-e1-...-e9 each adjacent pair sharing a fact —
+    # needs several propagation rounds
+    rows = []
+    for i in range(9):
+        rows += [(i, f"e{i}"), (i, f"e{i+1}")]
+    edges = spark.createDataFrame(rows, "fact_id long, entity string")
+    out = {r["entity"]: r["component"] for r in connected_components(edges).collect()}
+    assert len(set(out.values())) == 1
+
+
+def test_winnowing_fingerprints_detect_copied_span(spark):
+    from hippollm_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro text here. {shared} trailing part one"),
+            (1, f"completely different start. {shared} other ending"),
+            (2, "no overlap at all with anything else whatsoever in here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=8, window=4).cache()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared_counts = {
+        (r["doc_a"], r["doc_b"]): r["n"]
+        for r in a.join(b, "fp")
+        .filter("doc_a < doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert shared_counts.get((0, 1), 0) >= 5       # the copied span is caught
+    assert shared_counts.get((0, 2), 0) <= 2       # unrelated docs barely collide
+    assert shared_counts.get((1, 2), 0) <= 2
+
+
+def test_winnowing_deterministic(spark):
+    docs = spark.createDataFrame([(0, "some document text for hashing")], "doc_id long, text string")
+    from hippollm_spark.operators.textstats import winnowing_fingerprints
+
+    one = sorted(r["fp"] for r in winnowing_fingerprints(docs).collect())
+    two = sorted(r["fp"] for r in winnowing_fingerprints(docs).collect())
+    assert one == two and len(one) > 0
