@@ -337,6 +337,20 @@ def q_g2_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst", "n_facts", "depth")
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the entity graph (hash-min label
+    propagation; iterative — no SQL oracle, rows-only check + pytest
+    convergence tests). Output: one row per component with its size."""
+    from hippollm_spark.operators.graph import connected_components
+
+    cc = connected_components(_edges(spark, sf_dir), max_iter=15)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_entities"), F.min("entity").alias("min_entity"))
+        .orderBy(F.desc("n_entities"), F.asc("min_entity"))
+    )
+
+
 def q_g3_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — entity co-occurrence projection (reference hippoview
     app.py:144-167)."""
@@ -643,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "text_clean": q_text_clean,
         "winnow_pairs": q_winnow_pairs,
+        "graph_components": q_graph_components,
     }
 
 

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "top_ngrams",
     "text_clean",
     "winnow_pairs",
+    "graph_components",
 ]
 
 
