@@ -578,18 +578,14 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-span detection via winnowing fingerprints (MOSS scheme):
-    doc pairs sharing >= 20 selected rolling-hash fingerprints."""
-    from hippollm_spark.operators.textstats import winnowing_fingerprints
+    doc pairs sharing >= 20 selected rolling-hash fingerprints, after
+    dropping boilerplate fingerprints present in > 2% of the corpus
+    (the skew/quadratic-blowup guard; mirrored in the oracle SQL)."""
+    from hippollm_spark.operators.textstats import winnow_dup_pairs
 
-    fps = winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=8, window=4)
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 20)
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_dup_pairs(
+        docs, k=8, window=4, min_shared=20, max_df=docs.count() // 50
     )
 
 
@@ -1024,9 +1020,14 @@ def oracle_sql() -> dict[str, str]:
                        )) AS fps
                 FROM hashes
             ),
-            ex AS (SELECT doc_id, unnest(fps) AS fp FROM mins)
+            ex AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
+            kept AS (
+                SELECT doc_id, fp FROM ex
+                QUALIFY count(*) OVER (PARTITION BY fp)
+                        <= (SELECT count(*) // 50 FROM documents)
+            )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-            FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 20
         """,

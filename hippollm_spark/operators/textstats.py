@@ -136,26 +136,46 @@ def winnowing_fingerprints(
     hashing is not; shared fingerprints between documents indicate
     copied spans.
 
-    Shape note: the tempting pure-array form (one transform computing
-    hashes, a second taking per-window array_min slices) is a trap —
-    Catalyst's projection collapse inlines the first transform into the
-    second, recomputing ALL k-gram md5s per window (O(n²) hashing; it
-    hangs at 500 docs). Instead: hash once, posexplode, and take the
-    windowed min with a frame — one md5 pass, one shuffle on doc_id.
+    Shape notes (each of these was a measured trap, not a guess):
+
+    - The pure-array form (one transform computing hashes, a second
+      taking per-window array_min slices) is O(n²): Catalyst's
+      projection collapse inlines the first transform into the second,
+      recomputing ALL k-gram md5s per window (hangs at 500 docs).
+    - Exploding a precomputed hash *array* is also wrong: Catalyst's
+      InferFiltersFromGenerate adds `size(hashes) > 0` and pushes it
+      through the exchange down to the scan, so the whole md5 pass runs
+      twice — once inside the scan stage, which for a compacted parquet
+      file may be a single partition (measured: 14 s single-core at
+      sf0.1). Instead explode the cheap *position* sequence and compute
+      each k-gram's hash per-row after the explode; the inferred filter
+      is then just `size(sequence(..)) > 0`.
+    - The (tiny) raw text is repartitioned by doc_id before the
+      compute-bound hash stage so it parallelizes regardless of the
+      scan's partition count; the window's partitionBy(doc_id) reuses
+      that partitioning — same total shuffle count.
+
     Output: (doc_id, fp BIGINT), one row per selected fingerprint.
     """
     from pyspark.sql import Window
 
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     staged = docs.select(
         F.col(id_col).alias("doc_id"), normalized_text(text_col).alias("__norm__")
-    ).selectExpr(
-        "doc_id",
-        f"transform(sequence(1, greatest(length(__norm__) - {k - 1}, 1)), "
-        f"  i -> cast(conv(substring(md5(substr(__norm__, i, {k})), 1, 15), 16, 10) as bigint)"
-        ") AS __hashes__",
-    )
+    ).repartition(n_part, "doc_id")
     exploded = staged.select(
-        "doc_id", F.posexplode("__hashes__").alias("pos", "h")
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(1, greatest(length(__norm__) - {k - 1}, 1))")
+        ).alias("pos", "i"),
+        "__norm__",
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(substring(md5(substr(__norm__, i, {k})), 1, 15), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
     )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     wall = Window.partitionBy("doc_id")
@@ -172,6 +192,49 @@ def winnowing_fingerprints(
         )
         .select("doc_id", "fp")
         .distinct()
+    )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    *,
+    min_shared: int = 20,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Copied-span pair detection over winnowing fingerprints: doc pairs
+    sharing >= ``min_shared`` fingerprints.
+
+    ``max_df`` drops fingerprints present in more than that many
+    documents (MOSS does the same: an 8-gram shared by half the corpus
+    is boilerplate, not evidence of copying). This is also the scale
+    guard — a fingerprint in f docs contributes f·(f-1)/2 candidate
+    pairs, so one boilerplate fingerprint across 1% of a 100 TB corpus
+    is a quadratic blowup.
+
+    Shape note: NOT a fp self-join — a self-join recomputes the whole
+    rolling-hash lineage once per side (no exchange reuse under AQE)
+    and shuffles the exploded fps twice. Instead group doc-ids per
+    fingerprint (one shuffle; the group size IS the doc-frequency, so
+    the max_df filter is free) and emit each group's unordered pairs
+    with a double explode. Output: (doc_a, doc_b, n_shared).
+    """
+    fps = winnowing_fingerprints(
+        docs, k=k, window=window, id_col=id_col, text_col=text_col
+    )
+    byfp = fps.groupBy("fp").agg(F.collect_list("doc_id").alias("__ds__"))
+    if max_df is not None:
+        byfp = byfp.filter(F.size("__ds__") <= max_df)
+    return (
+        byfp.select(F.explode("__ds__").alias("doc_a"), "__ds__")
+        .select("doc_a", F.explode("__ds__").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 
