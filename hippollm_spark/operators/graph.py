@@ -72,6 +72,12 @@ def explore(
     (src STRING, dst STRING, n_facts BIGINT, fact_ids ARRAY<BIGINT>, depth INT).
     """
     spark = edges.sparkSession
+    # The edges input is deliberately NOT cached: a BFS from few origins
+    # is selective, and leaving `edges` as its lazy plan lets Catalyst
+    # push the broadcast frontier into the underlying scans each hop.
+    # Materializing a derived edge view up front costs a full pass and
+    # (measured) loses to recompute-with-pushdown. Callers doing many
+    # traversals over the same big graph should persist edges themselves.
     visited = spark.createDataFrame([(o,) for o in origins], "entity string")
     frontier = visited
     results = None
