@@ -440,10 +440,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3). No SQL oracle."""
-    from hippollm_spark.operators.dedup import simhash_dup_pairs
+    """SimHash near-dup pairs (hamming <= 3) over the pure-SQL 60-bit
+    md5 simhash — fully oracle-checked: DuckDB recomputes the same
+    fingerprints bit-for-bit and brute-forces the pairs, while Spark
+    uses the 4-block candidate join."""
+    from hippollm_spark.operators.dedup import simhash60_sql, simhash_block_pairs
 
-    return simhash_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    fp = simhash60_sql(_t(spark, sf_dir, "documents"))
+    return simhash_block_pairs(fp, max_hamming=3, n_bits=60)
 
 
 # ===========================================================================
@@ -896,6 +900,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.doc_id = doc_a
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
+        """,
+        "dedup_simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
+                FROM documents
+            ),
+            hs AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+                FROM toks
+            ),
+            votes AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM hs, range(60) r(j)
+                GROUP BY 1, 2
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+                FROM votes GROUP BY 1
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "text_quality": f"""
             WITH base AS (

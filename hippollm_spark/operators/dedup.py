@@ -334,25 +334,62 @@ def simhash64(
     return prepped.mapInPandas(_batch, "doc_id long, simhash long")
 
 
-def simhash_dup_pairs(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def simhash60_sql(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, using the
-    standard 4-block trick: split 64 bits into 4 16-bit blocks; pairs
-    within hamming<=3 must agree on >= 1 block → equi-join per block,
-    verify hamming on candidates. Output: (doc_a, doc_b, hamming INT)."""
-    fp = simhash64(docs, id_col=id_col, text_col=text_col).cache()
+    """60-bit SimHash as pure SQL expressions: token hash = first 60
+    bits of md5, so every step is computable identically in DuckDB and
+    the fingerprints (and any pair query over them) are fully
+    oracle-checkable — unlike `simhash64`, whose blake2b token hash
+    exists only Python-side.
+
+    Plan shape: explode tokens → explode the 60 bit positions → two
+    codegen hash aggregations, (doc_id, bit) votes then per-doc bit
+    assembly. Rows peak at tokens×60 but carry three small columns; both
+    shuffles key on doc_id(+bit). Output: (doc_id, simhash BIGINT)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("t"),
+    )
+    hs = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = (
+        hs.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftrightunsigned(h, j) & 1 = 1"), 1).otherwise(-1)
+            ).alias("v")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END")).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_block_pairs(
+    fp: DataFrame, max_hamming: int = 3, *, n_bits: int = 64
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming over a
+    (doc_id, simhash) DataFrame, using the standard 4-block trick:
+    split n_bits into 4 blocks; pairs within hamming<=3 must agree on
+    >= 1 block → equi-join per block, verify hamming on candidates.
+    Output: (doc_a, doc_b, hamming INT)."""
+    block_bits = n_bits // 4
+    mask = (1 << block_bits) - 1
     blocks = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("simhash"), block_bits * b).bitwiseAND(
+                        F.lit(mask)
+                    )
                     for b in range(4)
                 ]
             )
@@ -373,8 +410,21 @@ def simhash_dup_pairs(
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def simhash_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs over the 64-bit blake2b simhash (the fast
+    Arrow-vectorized fingerprint). Output: (doc_a, doc_b, hamming)."""
+    fp = simhash64(docs, id_col=id_col, text_col=text_col).cache()
+    return simhash_block_pairs(fp, max_hamming, n_bits=64)
 
 
 # --------------------------------------------------------------------------

@@ -85,6 +85,23 @@ def test_simhash_finds_near_dups(docs):
     assert (0, 2) in pairs and (0, 4) in pairs and (2, 4) in pairs
 
 
+def test_simhash60_sql_matches_semantics(docs):
+    """The pure-SQL md5 simhash: exact/whitespace dups collapse to the
+    same fingerprint, unrelated docs stay far apart, and fingerprints
+    fit in 60 bits (cross-engine oracle contract)."""
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash60_sql(docs).collect()}
+    assert fps[0] == fps[2] == fps[4]
+    assert 0 <= fps[3] < 2**60 and fps[0] != fps[3]
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_block_pairs(
+            dedup.simhash60_sql(docs), max_hamming=3, n_bits=60
+        ).collect()
+    }
+    assert {(0, 2), (0, 4), (2, 4)} <= pairs
+    assert (0, 3) not in pairs
+
+
 def test_embedding_dup_pairs_matches_bruteforce(spark, embeddings):
     from hippollm_spark.functions import vectors as V
 
