@@ -429,13 +429,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (approximate candidate generation,
-    exact verification). No SQL oracle — recall-tested in pytest against
-    q_dedup_jaccard."""
+    """MinHash+LSH near-dup pairs (banded candidate generation, exact
+    Jaccard verification) — fully oracle-checked: with the md5 shingle
+    hash every stage (shingle→int64, seeded multiply-add permutation
+    mins, 32×4 banding, verify) is deterministic and DuckDB recomputes
+    it bit-for-bit from the same seed-42 parameters."""
     from hippollm_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=128, bands=32
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_hashes=128,
+        bands=32,
+        shingle_hash="md5",
     )
 
 
@@ -662,6 +668,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB replica of q_dedup_minhash: same seed-42 multiply-add
+    permutations (inlined as literals), same md5 60-bit shingle hash,
+    same 32 bands × 4 rows, same exact-Jaccard verification. HUGEINT
+    arithmetic reproduces numpy's uint64 wraparound exactly
+    ((h*a + b) mod 2^64; h < 2^60, a < 2^63 → product < 2^123)."""
+    from hippollm_spark.operators.dedup import _minhash_params
+
+    a, b = _minhash_params(128, seed=42)
+    vals = ", ".join(
+        f"({i}, {int(ai)}, {int(bi)})" for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    return f"""
+        {_SHINGLES},
+        hs AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        ),
+        perms(i, pa, pb) AS (VALUES {vals}),
+        sigrows AS (
+            SELECT doc_id, i,
+                   min((h::HUGEINT * pa + pb) % 18446744073709551616) AS mv
+            FROM hs CROSS JOIN perms
+            GROUP BY 1, 2
+        ),
+        bands AS (
+            SELECT doc_id, i // 4 AS band_idx, list(mv ORDER BY i) AS bv
+            FROM sigrows GROUP BY 1, 2
+        ),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band_idx = y.band_idx AND x.bv = y.bv
+             AND x.doc_id < y.doc_id
+        ),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh)
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                     / (sa.n + sb.n
+                        - len(list_intersect(sa.shingles, sb.shingles))), 6)
+                   AS jaccard
+        FROM cands
+        JOIN sized sa ON sa.doc_id = doc_a
+        JOIN sized sb ON sb.doc_id = doc_b
+        WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                    / (sa.n + sb.n
+                       - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.5
+    """
 _SHINGLES = f"""
     WITH w AS (
         SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
@@ -901,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
         """,
+        "dedup_minhash": _minhash_oracle_sql(),
         "dedup_simhash": f"""
             WITH toks AS (
                 SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t

@@ -169,6 +169,20 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+def _shingle_hash_expr(shingle_hash: str):
+    """Shingle-string → int64 hash column fn. 'xxhash64' is the fast
+    JVM default; 'md5' takes the first 60 bits of md5 — ~2× slower but
+    computable bit-identically in DuckDB, making MinHash+LSH output
+    fully oracle-checkable (the multiply-add permutations and banding
+    are deterministic given the seed, so the base hash is the only
+    engine-specific piece)."""
+    if shingle_hash == "xxhash64":
+        return F.xxhash64
+    if shingle_hash == "md5":
+        return lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 128,
@@ -177,6 +191,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[num_hashes]).
 
@@ -188,9 +203,10 @@ def minhash_signatures(
     (128 interpreted lambda passes per shingle) is ~20× slower.
     """
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
+    hexpr = _shingle_hash_expr(shingle_hash)
     hashed = sh.select(
         "doc_id",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"),
+        F.transform("shingles", lambda s: hexpr(s)).alias("hs"),
     )
     a, b = _minhash_params(num_hashes, seed)
 
@@ -219,6 +235,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify: bool = True,
+    shingle_hash: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     num_hashes/bands rows; docs colliding on any full band become
@@ -234,8 +251,9 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
+    hexpr = _shingle_hash_expr(shingle_hash)
     hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
+        "doc_id", F.transform("shingles", lambda s: hexpr(s)).alias("hs")
     )
     a, b = _minhash_params(num_hashes)
 
