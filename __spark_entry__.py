@@ -339,15 +339,18 @@ def q_g2_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the entity graph (hash-min label
-    propagation; iterative — no SQL oracle, rows-only check + pytest
-    convergence tests). Output: one row per component with its size."""
+    propagation), one row per component keyed by its lexicographically
+    smallest member — oracle-checked against a DuckDB recursive-CTE
+    transitive closure (feasible because the entity vocabulary is small;
+    the Spark side scales to graphs where a closure never would)."""
     from hippollm_spark.operators.graph import connected_components
 
     cc = connected_components(_edges(spark, sf_dir), max_iter=15)
     return (
         cc.groupBy("component")
-        .agg(F.count("*").alias("n_entities"), F.min("entity").alias("min_entity"))
-        .orderBy(F.desc("n_entities"), F.asc("min_entity"))
+        .agg(F.count("*").alias("n_entities"), F.min("entity").alias("component_root"))
+        .select("component_root", "n_entities")
+        .orderBy(F.desc("n_entities"), F.asc("component_root"))
     )
 
 
@@ -958,6 +961,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "graph_components": f"""
+            WITH RECURSIVE base AS ({_EDGES_SQL}),
+            ee AS (
+                SELECT DISTINCT a.entity AS ea, b.entity AS eb
+                FROM base a JOIN base b ON a.fact_id = b.fact_id
+            ),
+            reach(a, b) AS (
+                SELECT ea, eb FROM ee
+                UNION
+                SELECT r.a, e.eb FROM reach r JOIN ee e ON r.b = e.ea
+            ),
+            comp AS (SELECT a AS entity, min(b) AS root FROM reach GROUP BY a)
+            SELECT root AS component_root, count(*) AS n_entities
+            FROM comp GROUP BY root
+            ORDER BY n_entities DESC, component_root
+        """,
         "dedup_simhash": f"""
             WITH toks AS (
                 SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
