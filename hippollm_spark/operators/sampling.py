@@ -1,0 +1,118 @@
+"""Training-mix construction operators: deterministic sampling and
+sequence packing.
+
+Both are the "last mile" of a 100-TB data pipeline — after dedup and
+quality filtering, the surviving corpus is (a) subsampled per stratum to
+hit a target language/source mix, and (b) packed into fixed-size token
+chunks for training. Both must be deterministic so a re-run of the
+pipeline reproduces the same training set bit-for-bit.
+
+Scale notes
+-----------
+- ``stratified_sample`` shuffles once on the stratum key and does a
+  per-stratum top-N (window row_number) — no global sort. A hot stratum
+  (one language = 40% of the corpus) makes one fat partition; for that
+  case take ``method='threshold'`` which needs NO window at all: it
+  keeps a row iff its rank-hash falls below quota/stratum_size, one
+  aggregate + one broadcast join, fully parallel. (Threshold sampling
+  gives a binomial-sized sample, not exactly-N; both are standard.)
+- ``pack_sequences`` is a per-shard running sum. Sharding is the
+  parallelism unit: pack per (source, date, …) shard, never globally —
+  a global pack of 100 TB would be a single-partition window. Packing is
+  concat-and-chunk (the standard pretraining layout): documents are
+  concatenated in id order and sliced every ``ctx`` tokens, so a
+  document may straddle a boundary; ``chunk_id`` is the chunk where the
+  document STARTS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_hash(id_col: str = "doc_id"):
+    """Deterministic per-row rank: the first 15 hex digits of
+    md5(id) as a BIGINT in [0, 2^60). Engine-portable (DuckDB's
+    ``('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT`` is the
+    identical value), uniform, and independent of row order. Kept as an
+    exact integer — no float anywhere, so cross-engine comparisons can
+    never hit a rounding boundary."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    n_per_stratum: int = 100,
+    id_col: str = "doc_id",
+    method: str = "exact",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows with
+    the smallest ``rank_hash`` per stratum (``method='exact'``), or —
+    windowless, for skewed strata at scale — every row whose rank-hash
+    is below ``2^60 * n_per_stratum / |stratum|``
+    (``method='threshold'``)."""
+    r = rank_hash(id_col).alias("__r__")
+    if method == "exact":
+        w = Window.partitionBy(strata_col).orderBy("__r__", id_col)
+        return (
+            df.select("*", r)
+            .withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") <= n_per_stratum)
+            .drop("__r__", "__rk__")
+        )
+    if method == "threshold":
+        sizes = df.groupBy(strata_col).agg(F.count("*").alias("__n__"))
+        return (
+            df.select("*", r)
+            .join(F.broadcast(sizes), strata_col)
+            .filter(
+                F.col("__r__")
+                < F.lit(float(1 << 60)) * n_per_stratum / F.col("__n__")
+            )
+            .drop("__r__", "__n__")
+        )
+    raise ValueError(f"unknown method: {method!r}")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    ctx: int = 2048,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are laid out in ``id_col`` order and the token stream is sliced
+    every ``ctx`` tokens. Adds per document:
+
+    - ``start_offset``: position of the document's first token in the
+      shard's concatenated stream (exclusive running sum),
+    - ``chunk_id``: ``start_offset // ctx`` — the training chunk the
+      document starts in.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return docs.select(
+        "*",
+        start.alias("start_offset"),
+        (start / ctx).cast("long").alias("chunk_id"),
+    )
+
+
+def pack_summary(packed: DataFrame, *, shard_col: str = "lang") -> DataFrame:
+    """Per-chunk rollup of ``pack_sequences`` output: how many documents
+    start in each chunk and how many tokens they contribute."""
+    return packed.groupBy(shard_col, "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

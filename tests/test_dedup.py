@@ -122,3 +122,38 @@ def test_embedding_dup_pairs_matches_bruteforce(spark, embeddings):
     assert set(fast) == set(slow)
     for k in fast:
         assert abs(fast[k] - slow[k]) < 1e-9
+
+
+def test_canonicalize_collapses_chains(spark):
+    # a~b, b~c, plus isolated pair (10,11): chains collapse transitively
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_canonicalize(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_canonicalize_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: diameter 9 forces multiple propagation
+    # rounds (and a localCheckpoint) before everything reaches label 0
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_canonicalize(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_apply_dedup_keeps_canonicals_and_unpaired(docs):
+    pairs = dedup.jaccard_dup_pairs(docs, threshold=0.5)
+    assignments = dedup.dedup_canonicalize(pairs)
+    kept = sorted(
+        r["doc_id"] for r in dedup.apply_dedup(docs, assignments).collect()
+    )
+    # docs 0,1,2,4 are one near-dup group (canonical 0); 3 and 5 unpaired
+    assert kept == [0, 3, 5]

@@ -1,0 +1,87 @@
+"""Training-mix operators: deterministic stratified sampling, sequence
+packing, cross-corpus contamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators import sampling
+from hippollm_spark.operators.dedup import cross_jaccard_pairs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"doc number {i} with some shared filler text tokens", "en" if i % 2 else "fr")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_stratified_sample_exact_sizes_and_determinism(corpus):
+    s1 = sampling.stratified_sample(corpus, strata_col="lang", n_per_stratum=5)
+    s2 = sampling.stratified_sample(corpus, strata_col="lang", n_per_stratum=5)
+    ids1 = sorted((r["lang"], r["doc_id"]) for r in s1.collect())
+    ids2 = sorted((r["lang"], r["doc_id"]) for r in s2.collect())
+    assert ids1 == ids2  # bit-for-bit reproducible
+    per = {}
+    for lang, _ in ids1:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {"en": 5, "fr": 5}
+
+
+def test_stratified_sample_threshold_windowless(corpus):
+    # threshold mode: binomial-sized, but deterministic and subset-stable
+    out = sampling.stratified_sample(
+        corpus, strata_col="lang", n_per_stratum=10, method="threshold"
+    )
+    rows = out.collect()
+    assert 0 < len(rows) < 40
+    again = sampling.stratified_sample(
+        corpus, strata_col="lang", n_per_stratum=10, method="threshold"
+    )
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    rows = [(i, "a", 100) for i in range(10)]  # 10 docs x 100 tokens, one shard
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    packed = sampling.pack_sequences(docs, ctx=256, shard_col="lang").collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    # exclusive running sum: doc i starts at 100*i; chunk = start // 256
+    for i in range(10):
+        assert by_id[i]["start_offset"] == 100 * i
+        assert by_id[i]["chunk_id"] == (100 * i) // 256
+    # chunk boundaries: docs 0-2 chunk 0, 3-5 chunk 1, 6-7 chunk 2, 8-9 chunk 3
+    assert [by_id[i]["chunk_id"] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
+
+
+def test_pack_summary_token_conservation(spark):
+    rows = [(i, "en" if i % 2 else "fr", 37 + i) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    packed = sampling.pack_sequences(docs, ctx=128, shard_col="lang")
+    summ = sampling.pack_summary(packed, shard_col="lang")
+    total = summ.agg(F.sum("chunk_tokens"), F.sum("n_docs")).first()
+    assert total[0] == sum(37 + i for i in range(30))
+    assert total[1] == 30
+
+
+def test_cross_jaccard_finds_planted_contamination(spark):
+    bench = spark.createDataFrame(
+        [(1000, "the secret benchmark question about spark shuffles")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the secret benchmark question about spark shuffles"),  # leaked
+            (2, "an innocent training document about cooking pasta"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = cross_jaccard_pairs(corpus, bench, threshold=0.8).collect()
+    assert [(r["corpus_id"], r["bench_id"], r["jaccard"]) for r in hits] == [
+        (1, 1000, 1.0)
+    ]
