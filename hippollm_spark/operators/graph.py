@@ -108,10 +108,15 @@ def explore(
         # union, next frontier): cache() gives the reuse without the
         # eager extra job of localCheckpoint. Past ``checkpoint_after``
         # hops, ALSO cut lineage — plans grow multiplicatively with
-        # depth and deep traversals re-plan forever otherwise.
-        links = links.cache()
-        if depth >= checkpoint_after:
-            links = links.localCheckpoint(eager=True)
+        # depth and deep traversals re-plan forever otherwise. The FINAL
+        # hop is consumed exactly once (the result union; the loop
+        # breaks before building another frontier), so materializing it
+        # would be a pure extra pass — leave it lazy and let the final
+        # job fuse it with the first-discovery window.
+        if depth < max_depth:
+            links = links.cache()
+            if depth >= checkpoint_after:
+                links = links.localCheckpoint(eager=True)
         results = links if results is None else results.unionByName(links)
         if depth == max_depth:
             break  # last hop: the next frontier would never be expanded
@@ -129,12 +134,14 @@ def explore(
         return spark.createDataFrame(
             [], "src string, dst string, n_facts long, fact_ids array<long>, depth int"
         )
-    # Keep first (shallowest) discovery of each (src,dst) pair.
-    w = Window.partitionBy("src", "dst").orderBy("depth")
+    # Keep first (shallowest) discovery of each (src,dst) pair. min_by
+    # instead of a row_number window: a hash aggregate with partial
+    # (map-side) combine, no sort — (src,dst,depth) is unique per hop so
+    # there are no ties for min_by to break arbitrarily.
     return (
-        results.withColumn("__rk__", F.row_number().over(w))
-        .filter(F.col("__rk__") == 1)
-        .drop("__rk__")
+        results.groupBy("src", "dst")
+        .agg(F.min_by(F.struct("n_facts", "fact_ids", "depth"), "depth").alias("__f__"))
+        .select("src", "dst", "__f__.n_facts", "__f__.fact_ids", "__f__.depth")
     )
 
 
