@@ -459,6 +459,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_block_pairs(fp, max_hamming=3, n_bits=60)
 
 
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean) in long format
+    (label, pos, c) — the vector aggregate behind IVF coarse quantizers
+    and class prototypes. Exact decimal sums, one double division, 6dp
+    round: bit-identical to the DuckDB oracle."""
+    from hippollm_spark.functions.vectors import label_centroids
+
+    out = label_centroids(_t(spark, sf_dir, "embeddings"))
+    return out.orderBy("label", "pos")
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup decision: exact 3-gram Jaccard pairs at 0.5 →
     duplicate groups via min-label propagation over the pair graph →
@@ -714,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "pack_chunks": q_pack_chunks,
+        "emb_centroids": q_emb_centroids,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -1071,6 +1083,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = bench_id
             WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
             ORDER BY corpus_id, bench_id
+        """,
+        "emb_centroids": """
+            SELECT label, pos - 1 AS pos,
+                   round(sum(val::DECIMAL(38,10))::DOUBLE / count(*), 6) AS c
+            FROM (
+                SELECT label, unnest(embedding::DOUBLE[]) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+            )
+            GROUP BY label, pos ORDER BY label, pos
         """,
         "sample_stratified": """
             WITH r AS (

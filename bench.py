@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "contamination",
     "sample_stratified",
     "pack_chunks",
+    "emb_centroids",
     "text_quality",
     "text_langid",
     "text_tokens",

@@ -69,3 +69,31 @@ def cosine_similarity(a: Column | str, b: Column | str | Sequence[float]) -> Col
 
 def cosine_distance(a: Column | str, b: Column | str | Sequence[float]) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def label_centroids(
+    df,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """Per-label centroid (element-wise mean) of an embedding column, in
+    LONG format: (label, pos, c) — one row per label per dimension.
+
+    posexplode + hash-aggregate on (label, pos): the shuffle key carries
+    the dimension index, so the load is spread over labels × dim
+    reducers regardless of label skew, and Spark's map-side partial
+    aggregation means the shuffle volume is #partitions × #labels × dim
+    rows, independent of corpus size — the scalable shape for a 100-TB
+    corpus with a handful of labels.
+
+    Float discipline (cross-engine determinism): per-dimension sums are
+    exact DECIMAL(38,10) (order-independent), cast to DOUBLE once, then
+    one IEEE double division by the count and a 6dp round — every step
+    bit-identical between the JVM and the DuckDB oracle.
+    """
+    ex = df.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+    s = F.sum(F.col("val").cast("double").cast("decimal(38,10)"))
+    return ex.groupBy(label_col, "pos").agg(
+        F.round(s.cast("double") / F.count("*"), 6).alias("c")
+    )

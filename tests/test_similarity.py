@@ -106,3 +106,17 @@ def test_knn_pandas_method_matches_sql(spark, embeddings):
         for r in knn(embeddings, q, 8, id_col="vec_id", method="pandas").collect()
     ]
     assert sql_ids == pd_ids
+
+
+def test_label_centroids_match_numpy(embeddings):
+    from hippollm_spark.functions.vectors import label_centroids
+
+    got = {
+        (r["label"], r["pos"]): r["c"]
+        for r in label_centroids(embeddings).collect()
+    }
+    pdf = embeddings.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mean = np.mean(np.stack(grp["embedding"].map(np.asarray, na_action=None)).astype("float64"), axis=0)
+        for pos, v in enumerate(mean):
+            assert abs(got[(label, pos)] - v) < 1e-5
