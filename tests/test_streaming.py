@@ -71,3 +71,62 @@ def test_sessionize_batch_matches_sessionization_query(spark, event_dir):
     }
     got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in per_user}
     assert got == want
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode watermark semantics: an event arriving after the
+    watermark has passed its window's end is DROPPED, not merged —
+    the late-data contract windowed_counts advertises."""
+    drop = str(tmp_path / "drops")
+    schema = SE.EVENTS_DDL
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{drop}/{name}")
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # batch 1: three on-time events in [10:00, 10:10) + one at 11:00 that
+    # advances the watermark to 10:50, sealing the first window
+    write_file(
+        [
+            (1, t(10, 0), 1, "click", 1.0, "{}"),
+            (2, t(10, 2), 1, "click", 1.0, "{}"),
+            (3, t(10, 5), 1, "click", 1.0, "{}"),
+            (4, t(11, 0), 1, "click", 1.0, "{}"),
+        ],
+        "f1",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{drop}/*")
+    )
+    agg = SE.windowed_counts(stream, window="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE event for the sealed window (10:02 < watermark
+    # 10:50) plus a fresh one to trigger the batch
+    write_file(
+        [
+            (5, t(10, 2), 1, "click", 100.0, "{}"),
+            (6, t(11, 5), 1, "click", 1.0, "{}"),
+        ],
+        "f2",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the sealed window holds only the 3 on-time events; the late row
+    # (value=100) never entered it
+    assert rows[t(10, 0)] == (3, 3.0)
