@@ -130,8 +130,48 @@ def main() -> None:
     print(f"exact dedup over {n_doc:,}: {time.time()-t0:.1f}s ({n_doc - kept:,} dups removed)")
 
     t0 = time.time()
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=32).count()
+    pair_df = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=32)
+    pair_df.write.mode("overwrite").parquet(f"{tmp}/pairs")
+    pairs_tbl = spark.read.parquet(f"{tmp}/pairs")
+    pairs = pairs_tbl.count()
     print(f"minhash LSH over {n_doc:,}: {time.time()-t0:.1f}s ({pairs:,} near-dup pairs)")
+
+    from hippollm_spark.operators.dedup import dedup_canonicalize
+
+    t0 = time.time()
+    groups = dedup_canonicalize(pairs_tbl)
+    n_drop = groups.filter(F.col("doc_id") != F.col("canonical_id")).count()
+    print(
+        f"canonicalize {pairs:,} pairs: {time.time()-t0:.1f}s "
+        f"({n_drop:,} docs marked for drop)"
+    )
+
+    from hippollm_spark.operators.sampling import pack_sequences, stratified_sample
+
+    docs_meta = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(16)).cast("int").alias("shard"),
+        (F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    t0 = time.time()
+    n_samp = stratified_sample(
+        docs_meta, strata_col="shard", n_per_stratum=1000, method="threshold"
+    ).count()
+    print(f"threshold-sample {n_doc:,} docs (16 strata): {time.time()-t0:.1f}s ({n_samp:,} kept)")
+
+    t0 = time.time()
+    n_chunks = (
+        pack_sequences(docs_meta, ctx=2048, shard_col="shard")
+        .agg(F.countDistinct("shard", "chunk_id"))
+        .first()[0]
+    )
+    print(f"pack {n_doc:,} docs into 2048-token chunks: {time.time()-t0:.1f}s ({n_chunks:,} chunks)")
+
+    from hippollm_spark.functions.vectors import label_centroids
+
+    t0 = time.time()
+    label_centroids(vecs).write.mode("overwrite").format("noop").save()
+    print(f"label centroids over {n_vec:,}x{dim}: {time.time()-t0:.1f}s")
 
     import shutil
 
