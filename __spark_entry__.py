@@ -459,6 +459,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_block_pairs(fp, max_hamming=3, n_bits=60)
 
 
+def q_ingest_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 bulk entity ingest (reference storage.py:183-199 as a batch):
+    guarded insert of 15k customer rows against a 10% pre-seeded store,
+    embedding the fresh rows' "name (description)" repr with the
+    deterministic dim-384 sha256 stand-in via an Arrow-batched
+    pandas_udf — the full write-path shape (anti-join guard → embed →
+    union). Output: one row per entity with a 6dp checksum of its
+    embedding (NULL for pre-seeded rows, which skip embedding), so the
+    DuckDB oracle replays every one of the 384 hash dims bit-for-bit.
+    Throughput context: the reference ingests 62.5 entities/s
+    single-process (bootstrap_wikipedia.py:184); this query's sf0.1
+    wall clock / 15,000 rows gives our per-core-comparable rate."""
+    from hippollm_spark.operators.relational import add_entities
+    from hippollm_spark.testing import hash_embedding_udf
+
+    cust = _t(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_name").alias("name"), F.col("c_mktsegment").alias("description")
+    )
+    new = cust.select(
+        F.col("c_name").alias("name"), F.col("c_mktsegment").alias("description")
+    )
+    # embed_partitions: AQE coalesces the guard's small-in-bytes shuffle
+    # to ~1 partition, which would serialize the per-row embedding UDF
+    # onto one core (measured 6×) — spread the model stage explicitly.
+    out = add_entities(existing, new, embed=hash_embedding_udf(384), embed_partitions=64)
+    return out.select(
+        "name",
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double")),
+            6,
+        ).alias("emb_sum"),
+    ).orderBy("name")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (element-wise mean) in long format
     (label, pos, c) — the vector aggregate behind IVF coarse quantizers
@@ -726,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pack_chunks": q_pack_chunks,
         "emb_centroids": q_emb_centroids,
+        "ingest_m1": q_ingest_m1,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -1083,6 +1119,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = bench_id
             WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
             ORDER BY corpus_id, bench_id
+        """,
+        "ingest_m1": """
+            WITH base AS (
+                SELECT c_name AS name,
+                       c_name || ' (' || c_mktsegment || ')' AS r,
+                       c_custkey % 10 = 0 AS pre
+                FROM customer
+            ),
+            vals AS (
+                SELECT name,
+                       ((list_reduce(
+                           list_transform(range(1, 65),
+                             j -> strpos('0123456789abcdef',
+                                         substr(sha256(r || i::VARCHAR), j, 1)) - 1),
+                           (acc, x) -> (acc * 16 + x) % 2001
+                        ) - 1000) / 1000.0)::FLOAT::DOUBLE AS v, i
+                FROM base, range(0, 384) t(i)
+                WHERE NOT pre
+            ),
+            sums AS (
+                SELECT name,
+                       round(list_reduce(list(v ORDER BY i), (a, b) -> a + b), 6)
+                           AS emb_sum
+                FROM vals GROUP BY name
+            )
+            SELECT name, emb_sum FROM sums
+            UNION ALL
+            SELECT name, NULL FROM base WHERE pre
+            ORDER BY name
         """,
         "emb_centroids": """
             SELECT label, pos - 1 AS pos,

@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "quantiles",
     "asof_join",
     "g2_explore",
+    "p1_entity_lookup",
+    "m1_upsert_guard",
+    "p6_lone_entities",
     "p4_union",
     "p5_intersection",
     "g1_neighbours",
@@ -49,6 +52,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "pack_chunks",
     "emb_centroids",
+    "ingest_m1",
     "text_quality",
     "text_langid",
     "text_tokens",

@@ -165,12 +165,23 @@ def add_entities(
     entities: DataFrame,
     new: DataFrame,
     embed=None,
+    embed_partitions: int | None = None,
 ) -> DataFrame:
     """M1 batch — guarded insert of new (name, description) rows with
     embeddings of ``"name (description)"`` (reference storage.py:183-199
-    embeds the repr string, which is part of the semantics)."""
+    embeds the repr string, which is part of the semantics).
+
+    ``embed_partitions``: repartition the fresh rows before the
+    embedding stage. The guard's window shuffle is tiny in bytes, so
+    AQE coalesces it to very few partitions — correct for the shuffle,
+    catastrophic for the downstream per-row model inference, which then
+    runs on one core (measured 6× on 15k rows). Byte-based partition
+    sizing is blind to compute-heavy columns-to-come; set this to
+    ~2× total cores whenever ``embed`` is a real model stage."""
     fresh = new_entities_only(new, entities)
     if embed is not None:
+        if embed_partitions:
+            fresh = fresh.repartition(embed_partitions)
         repr_col = F.concat(F.col("name"), F.lit(" ("), F.col("description"), F.lit(")"))
         fresh = fresh.withColumn("embedding", embed(repr_col))
     return entities.unionByName(fresh, allowMissingColumns=True)

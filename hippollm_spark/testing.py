@@ -22,11 +22,17 @@ from pyspark.sql import types as T
 
 
 def hash_embedding(text: str, dim: int = 384) -> list[float]:
-    """Deterministic pseudo-embedding of ``text`` (driver-side helper)."""
+    """Deterministic pseudo-embedding of ``text`` (driver-side helper).
+
+    dim i = sha256(text + str(i)) as a 256-bit int, mod 2001, affine to
+    [-1, 1]. The shared-prefix hash state is computed once and
+    ``copy()``d per dim — identical digests, ~5× fewer bytes hashed."""
+    base = hashlib.sha256(text.encode("utf-8"))
     out = np.empty(dim, dtype=np.float64)
     for i in range(dim):
-        h = hashlib.sha256((text + str(i)).encode("utf-8")).digest()
-        out[i] = (int.from_bytes(h, "big") % 2001 - 1000) / 1000.0
+        h = base.copy()
+        h.update(str(i).encode("utf-8"))
+        out[i] = (int.from_bytes(h.digest(), "big") % 2001 - 1000) / 1000.0
     return [float(x) for x in out]
 
 
