@@ -66,6 +66,13 @@ class AnnotateConfig:
     k_dedup: int = 5         # reference C3 candidate count
     k_link: int = 10         # reference annotator.py:158
     embed_dim: int = 384
+    # Spread rows across this many partitions immediately before each
+    # LLM mapInPandas stage. AQE sizes shuffle partitions by BYTES, and
+    # chunk/fact rows are tiny — left alone it coalesces them onto a
+    # handful of cores while each row costs an LLM call (the measured
+    # 6x ingest_m1 effect, but per-row cost here is 1000x larger).
+    # None = leave partitioning to the upstream plan (test-scale default).
+    inference_partitions: int | None = None
 
 
 # --------------------------------------------------------------------------
@@ -106,10 +113,14 @@ def contextualize(docs: DataFrame, llm, ctx_size: int = 5000) -> DataFrame:
 # Stage 2+3 — chunk and extract facts (C2 front half)
 # --------------------------------------------------------------------------
 
-def extract_facts(chunks: DataFrame, contexts: DataFrame, llm) -> DataFrame:
+def extract_facts(
+    chunks: DataFrame, contexts: DataFrame, llm, partitions: int | None = None
+) -> DataFrame:
     """Explode each chunk into candidate fact strings.
     Output: (doc_id, chunk_idx, pos_start, pos_end, fact_ordinal, fact_text)."""
     joined = chunks.join(contexts.select("doc_id", "context"), "doc_id")
+    if partitions:
+        joined = joined.repartition(partitions)
 
     def _run(batches):
         for pdf in batches:
@@ -137,10 +148,14 @@ def extract_facts(chunks: DataFrame, contexts: DataFrame, llm) -> DataFrame:
     )
 
 
-def reformulate(facts: DataFrame, contexts: DataFrame, llm) -> DataFrame:
+def reformulate(
+    facts: DataFrame, contexts: DataFrame, llm, partitions: int | None = None
+) -> DataFrame:
     """C5 — make each fact self-contained; first line of the answer wins
     (reference annotator.py:116-123)."""
     joined = facts.join(contexts.select("doc_id", "context"), "doc_id")
+    if partitions:
+        joined = joined.repartition(partitions)
 
     cols = [f.name for f in facts.schema.fields]
 
@@ -413,7 +428,7 @@ def annotate_documents(
     else:
         chunks = splitter(docs, cfg.chunk_size)
 
-    raw_facts = extract_facts(chunks, ctxs, llm)
+    raw_facts = extract_facts(chunks, ctxs, llm, cfg.inference_partitions)
     # Stable batch ordinal = document order, chunk order, bullet order —
     # the reference's serial processing order (annotator.py:185-218).
     # Unpartitioned row_number funnels one task, which is fine here: a
@@ -424,7 +439,7 @@ def annotate_documents(
         .over(Window.orderBy("doc_id", "chunk_idx", "fact_ordinal"))
         .cast("long"),
     )
-    reformed = reformulate(raw_facts, ctxs, llm)
+    reformed = reformulate(raw_facts, ctxs, llm, cfg.inference_partitions)
     gated = dedup_facts(reformed, store, llm, nli, embed, cfg.k_dedup).cache()
     fresh = gated.filter(~F.col("redundant"))
 

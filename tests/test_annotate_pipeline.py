@@ -113,3 +113,22 @@ def test_annotate_empty_store_bootstrap(spark):
     assert store.facts.count() == 1
     assert sorted(r["name"] for r in store.entities.collect()) == ["Paris", "Seine"]
     assert store.facts.first()["id"] == 0
+
+
+def test_annotate_inference_partitions_invariant(spark):
+    """Spreading the LLM stages over explicit partitions (the AQE
+    counter-measure for expensive per-row inference) must not change any
+    result — partitioning is physical, the pipeline is deterministic."""
+    empty = HippoStore(spark, embed=hash_embedding_udf(DIM), dim=DIM)
+    docs = spark.createDataFrame(
+        [(1, "t", "u", CHUNK2, None)],
+        "doc_id long, title string, url string, content string, date timestamp",
+    )
+    store = annotate_documents(
+        empty, docs, ScriptedLLM(script=LLM_SCRIPT), ScriptedNLI(),
+        hash_embedding_udf(DIM),
+        AnnotateConfig(splitter="paragraph", embed_dim=DIM,
+                       inference_partitions=4),
+    )
+    assert store.facts.count() == 1
+    assert sorted(r["name"] for r in store.entities.collect()) == ["Paris", "Seine"]
