@@ -86,6 +86,49 @@ def main() -> None:
         f"recall@10 {recall:.2f}, speedup {t_exact / max(t_probe, 1e-9):.1f}x"
     )
 
+    # ---- clustered vectors: IVF's intended regime ----
+    # 32 well-separated centroids (scaled ±4) + small per-vector noise
+    # (±0.5): real embeddings cluster, uniform random (above) is IVF's
+    # worst case. Same probe, same budget, honest best-case counterpart.
+    cent_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.pmod(F.col("id"), F.lit(32)), i), F.lit(2001)) - 1000)
+        / 250.0,
+    )
+    noise_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i, F.lit(7)), F.lit(2001)) - 1000) / 2000.0,
+    )
+    (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(cent_expr, noise_expr, lambda a, b: (a + b).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/cvecs")
+    )
+    cvecs = spark.read.parquet(f"{tmp}/cvecs")
+    exact_c = [r["vec_id"] for r in knn(cvecs, q, 10, id_col="vec_id").collect()]
+    t0 = time.time()
+    cassigned, ccents = ivf_build(cvecs, nlist=32, iters=3)
+    cassigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{tmp}/civf")
+    civf = spark.read.parquet(f"{tmp}/civf")
+    t_build = time.time() - t0
+    t0 = time.time()
+    approx_c = [
+        r["vec_id"]
+        for r in ivf_topk(civf, ccents, q, k=10, nprobe=4, id_col="vec_id").collect()
+    ]
+    t_probe = time.time() - t0
+    recall_c = len(set(exact_c) & set(approx_c)) / 10
+    print(
+        f"IVF clustered: build+write {t_build:.1f}s, probe(nprobe=4/32) {t_probe:.2f}s, "
+        f"recall@10 {recall_c:.2f}"
+    )
+
     # ---- synthetic docs: zipf-ish vocab, planted near-dups ----
     words = F.transform(
         F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(40)) + 20),
