@@ -459,6 +459,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_block_pairs(fp, max_hamming=3, n_bits=60)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE query: quality
+    gate → language gate → held-out split → exact dedup → near-dup
+    canonicalization → benchmark decontamination → per-language
+    concat-and-chunk packing summary. End-to-end oracle: DuckDB replays
+    every stage (integer quality score, langid argmax, md5 winners,
+    recursive-CTE dup closure, cross-corpus Jaccard, windowed packing),
+    so a regression in any stage OR any stage handoff breaks the hash.
+    Output: (lang_pred, n_docs, n_tokens, n_chunks)."""
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_ingest_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 bulk entity ingest (reference storage.py:183-199 as a batch):
     guarded insert of 15k customer rows against a 10% pre-seeded store,
@@ -762,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "emb_centroids": q_emb_centroids,
         "ingest_m1": q_ingest_m1,
+        "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
@@ -1119,6 +1134,141 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = bench_id
             WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
             ORDER BY corpus_id, bench_id
+        """,
+        "corpus_curation": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id, text, lang, length(text) AS n_chars,
+                       string_split({_NORM}, ' ') AS toks,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                       round(len(list_filter(toks, t -> list_contains({en}, t)))
+                             / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
+                       round(len(list_distinct(toks))
+                             / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
+                FROM base
+            ),
+            score AS (
+                SELECT doc_id, n_tokens,
+                       (least(n_tokens * 10000, 1000000) * 25
+                        + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
+                        + least(CAST(round(stopword_ratio * 1000000) AS BIGINT) * 5, 1000000) * 20
+                        + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS q
+                FROM feat
+            ),
+            lidh AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains({de}, x))) AS h_de,
+                       len(list_filter(toks, x -> list_contains({en}, x))) AS h_en,
+                       len(list_filter(toks, x -> list_contains({es}, x))) AS h_es,
+                       len(list_filter(toks, x -> list_contains({fr}, x))) AS h_fr
+                FROM base
+            ),
+            lid AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                            WHEN h_es >= h_fr THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM lidh
+            ),
+            keep AS (
+                SELECT b.doc_id, b.text, b.lang, b.toks, l.lang_pred, s.n_tokens
+                FROM base b
+                JOIN score s ON s.doc_id = b.doc_id
+                JOIN lid l ON l.doc_id = b.doc_id
+                WHERE s.q >= 55000000 AND l.lang_pred != 'und'
+            ),
+            corpus AS (SELECT * FROM keep WHERE doc_id % 20 != 0),
+            bench AS (SELECT * FROM keep WHERE doc_id % 20 = 0),
+            edwin AS (
+                SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id, md5({_NORM}) AS h FROM corpus)
+                GROUP BY h
+            ),
+            surv1 AS (SELECT c.* FROM corpus c JOIN edwin USING (doc_id)),
+            shs AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM surv1
+            ),
+            exs AS (SELECT doc_id, unnest(shingles) AS s FROM shs),
+            szs AS (SELECT doc_id, len(shingles) AS n FROM shs),
+            jp AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            jpairs AS (
+                SELECT doc_a, doc_b FROM jp
+                JOIN szs na ON na.doc_id = doc_a
+                JOIN szs nb ON nb.doc_id = doc_b
+                WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
+            ),
+            ee AS (
+                SELECT doc_a AS a, doc_b AS b FROM jpairs
+                UNION SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM ee
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN ee e ON r.b = e.a
+            ),
+            jdrops AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+            surv2 AS (
+                SELECT * FROM surv1
+                WHERE doc_id NOT IN (SELECT doc_id FROM jdrops)
+            ),
+            shb AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM bench
+            ),
+            exs2 AS (
+                SELECT * FROM exs WHERE doc_id IN (SELECT doc_id FROM surv2)
+            ),
+            exb AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM shb),
+            szb AS (SELECT doc_id AS bench_id, len(shingles) AS n FROM shb),
+            cp AS (
+                SELECT e.doc_id AS corpus_id, b.bench_id, count(*) AS inter
+                FROM exs2 e JOIN exb b USING (s) GROUP BY 1, 2
+            ),
+            conts AS (
+                SELECT DISTINCT corpus_id AS doc_id FROM cp
+                JOIN szs nc ON nc.doc_id = corpus_id
+                JOIN szb nb ON nb.bench_id = cp.bench_id
+                WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
+            ),
+            clean AS (
+                SELECT * FROM surv2
+                WHERE doc_id NOT IN (SELECT doc_id FROM conts)
+            ),
+            p AS (
+                SELECT doc_id, lang, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS st
+                FROM clean
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   count(DISTINCT st // 2048)::BIGINT AS n_chunks
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         "ingest_m1": """
             WITH base AS (

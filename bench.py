@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "pack_chunks",
     "emb_centroids",
     "ingest_m1",
+    "corpus_curation",
     "text_quality",
     "text_langid",
     "text_tokens",

@@ -47,7 +47,7 @@ def normalized_text(col, *, lowercase: bool = True) -> object:
 def exact_dedup(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Keep the lowest-id representative of每 exact (normalized) text.
+    """Keep the lowest-id representative of each exact (normalized) text.
 
     Shuffles only (digest, id): group on md5 of normalized text so the
     exchange carries 32 bytes + id per row, then semi-join winners back
@@ -555,9 +555,18 @@ def dedup_canonicalize(
     keepers — filter the corpus with a left-anti join against the drops.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().cache()
+    # Eager checkpoint, not cache: every loop round's plan nests the
+    # previous round's, and a cache does NOT cut the *logical* plan —
+    # when `pairs` is itself a deep pipeline (similarity join over a
+    # filtered corpus), Catalyst re-analyzes that whole prefix on every
+    # round (measured: 7s/round of pure planning vs <1s of work).
+    # Checkpointing reduces the loop's base to a leaf; the pairs
+    # computation runs once either way.
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -586,7 +595,15 @@ def dedup_canonicalize(
         labels = merged.drop("__chg__")
         if changed == 0:
             break
-    return labels.withColumnRenamed("label", "canonical_id")
+    # Cut lineage at the operator boundary: the loop leaves a plan that
+    # nests one join+agg per round, and downstream consumers (anti-join
+    # → cross-corpus join → window) would pay Catalyst analysis over
+    # the whole pyramid at every reuse — measured 200s+ of pure
+    # planning in the curation pipeline at toy data sizes. The loop's
+    # convergence counts already materialized every row, so this
+    # checkpoint costs one tiny job and makes the result a leaf.
+    out = labels.withColumnRenamed("label", "canonical_id")
+    return out.localCheckpoint(eager=True)
 
 
 def apply_dedup(

@@ -1,0 +1,105 @@
+"""End-to-end corpus curation: the full training-data preparation
+pipeline as one composed DataFrame program.
+
+quality filter → language filter → exact dedup → near-dup
+canonicalization → benchmark decontamination → per-language packing
+summary. This is the workflow every operator in ``operators.dedup`` /
+``operators.sampling`` / ``operators.textstats`` exists to serve; the
+composition is itself oracle-checked end-to-end (``corpus_curation`` in
+``__spark_entry__``), so a regression in ANY stage — or in how stages
+hand off to each other — breaks the hash.
+
+Scale shape: every stage is a narrow map, a hash aggregate, or a
+broadcast/semi join over the *shrinking* survivor set; nothing
+re-touches dropped rows. The only per-corpus shuffles are the dedup
+blocking joins, which key on digests/shingles, never payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators.dedup import (
+    apply_dedup,
+    cross_jaccard_pairs,
+    dedup_canonicalize,
+    exact_dedup,
+    jaccard_dup_pairs,
+)
+from hippollm_spark.operators.sampling import pack_sequences
+from hippollm_spark.operators.textstats import detect_language, quality_features
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    min_quality_e8: int = 55_000_000,
+    jaccard_threshold: float = 0.5,
+    contamination_threshold: float = 0.5,
+    bench_mod: int = 20,
+    ctx: int = 2048,
+) -> DataFrame:
+    """Run the curation pipeline; returns the per-language summary
+    (lang_pred, n_docs, n_tokens, n_chunks) of the surviving corpus.
+
+    Stages:
+    1. quality gate: integer composite score >= ``min_quality_e8``
+       (exact cross-engine arithmetic, see textstats.quality_features)
+    2. language gate: n-gram language ID != 'und'
+    3. held-out split: doc_id % ``bench_mod`` == 0 is the benchmark
+       slice; it is *never* part of the training corpus
+    4. exact dedup: lowest-id winner per normalized-text digest
+    5. near-dup canonicalization: exact Jaccard pairs at
+       ``jaccard_threshold`` → min-label propagation → drop non-canonical
+    6. decontamination: drop survivors overlapping the benchmark slice
+       at ``contamination_threshold``
+    7. concat-and-chunk packing per predicted language at ``ctx`` tokens
+    """
+    scored = quality_features(docs).select("doc_id", "quality_score_e8", "n_tokens")
+    lid = docs.select("doc_id", detect_language("text").alias("lang_pred"))
+    # keep/surv are each consumed by several downstream branches (dedup
+    # blocking, canonicalization's iterative counts, decontamination) —
+    # cache the shrinking survivor sets so the quality/langid/join
+    # prefix runs once, not once per branch. At cluster scale the same
+    # role is played by checkpointing the survivor table between stages.
+    keep = (
+        docs.join(scored, "doc_id")
+        .join(lid, "doc_id")
+        .filter(
+            (F.col("quality_score_e8") >= min_quality_e8)
+            & (F.col("lang_pred") != "und")
+        )
+    ).cache()
+    bench = keep.filter(F.col("doc_id") % bench_mod == 0)
+    corpus = keep.filter(F.col("doc_id") % bench_mod != 0)
+
+    surv = exact_dedup(corpus).cache()
+    pairs = jaccard_dup_pairs(surv, threshold=jaccard_threshold, n=3)
+    surv = apply_dedup(surv, dedup_canonicalize(pairs)).cache()
+
+    cont = cross_jaccard_pairs(surv, bench, threshold=contamination_threshold, n=3)
+    clean = surv.join(
+        cont.select(F.col("corpus_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+    # Pack by the corpus's shard column (per-language token streams);
+    # the predicted language was the GATE, the table's lang column is
+    # the training-mix dimension users report on.
+    packed = pack_sequences(
+        clean.withColumn("n_tokens", F.col("n_tokens").cast("long")),
+        ctx=ctx,
+        shard_col="lang",
+        token_count_col="n_tokens",
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("chunk_id").alias("n_chunks"),
+        )
+        .orderBy("lang")
+    )

@@ -85,3 +85,38 @@ def test_cross_jaccard_finds_planted_contamination(spark):
     assert [(r["corpus_id"], r["bench_id"], r["jaccard"]) for r in hits] == [
         (1, 1000, 1.0)
     ]
+
+
+def test_curate_corpus_end_to_end(spark):
+    """Composed curation pipeline over a corpus with every defect class:
+    a low-quality doc, an exact dup, a near-dup chain, and a benchmark
+    leak — exactly one clean survivor group must remain."""
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests with the dog in the warm sun of the meadow"
+    )
+    near = good.replace("meadow", "field")
+    leak = (
+        "the secret benchmark question is about the spark shuffle and "
+        "the answer is in the catalyst optimizer with the codegen"
+    )
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, good, "en", "s", len(good)),            # exact dup of 1
+        (3, near, "en", "s", len(near)),            # near-dup of 1
+        (5, "x y z", "en", "s", 5),                 # fails quality gate
+        (7, leak, "en", "s", len(leak)),            # contaminated vs 20
+        (9, "een doc zonder bekende stopwoorden hier", "nl", "s", 40),  # 'und'
+        (20, leak, "en", "s", len(leak)),           # benchmark slice (20 % 20 == 0)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curate_corpus(docs, min_quality_e8=50_000_000).collect()
+    # survivors: doc 1 only (2 exact-dropped, 3 near-dropped, 5 quality,
+    # 7 decontaminated, 9 language, 20 held out)
+    assert len(out) == 1
+    assert out[0]["lang"] == "en" and out[0]["n_docs"] == 1
+    assert out[0]["n_chunks"] == 1
