@@ -83,9 +83,17 @@ def main() -> None:
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        # Isolate queries: drop caches left by earlier queries and let
+        # the ContextCleaner reap dead checkpoint RDDs — 44 queries x 2
+        # runs of accumulated cache/checkpoint blocks otherwise build
+        # executor memory pressure that inflates late queries by 2x.
+        spark.catalog.clearCache()
+        gc.collect()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -83,24 +83,58 @@ def duplicate_groups(
 # shingling helpers
 # --------------------------------------------------------------------------
 
-def word_shingles(text_col: str, n: int = 3):
-    """Distinct word n-grams as ARRAY<STRING> — pure SQL (codegen):
-    split → transform over a sequence of start offsets → array_distinct."""
-    words = F.split(normalized_text(text_col), " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(
-        starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+def shingles_from_tokens(tokens_col, n: int = 3):
+    """Distinct word n-grams from an ARRAY<STRING> tokens COLUMN — the
+    input must be a bound column, not an expression: a higher-order
+    ``transform`` evaluates its lambda body per element, so an embedded
+    split/regexp expression would be recomputed once per shingle
+    (O(doc_len²) regex work — measured 6× on the corpus trigram query).
+    ``with_shingles`` materializes the tokens in their own projection;
+    Catalyst keeps the boundary because the reference is non-cheap and
+    multiply-used."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # n-grams as a fold of zip_with over shifted slices instead of
+    # transform(starts, i -> array_join(slice(toks, i+1, n))): HOFs run
+    # interpreted, and the slice form allocates a subarray per element
+    # (measured 3.5× slower). A start position that runs off the end
+    # sees NULL on the final zip step (slices only shrink), so killing
+    # final-step NULLs keeps exactly starts 1..len-n+1.
+    acc = toks
+    for k in range(1, n):
+        rhs = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        if k < n - 1:
+            acc = F.zip_with(acc, rhs, lambda a, b: F.concat_ws(" ", a, b))
+        else:
+            acc = F.zip_with(
+                acc,
+                rhs,
+                lambda a, b: F.when(b.isNull(), F.lit(None)).otherwise(
+                    F.concat_ws(" ", a, b)
+                ),
+            )
+    grams = F.filter(acc, lambda x: x.isNotNull())
     return F.array_distinct(
-        F.when(F.size(words) >= n, grams).otherwise(F.array(F.array_join(words, " ")))
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-grams as ARRAY<STRING> directly from a text
+    column. Prefer ``with_shingles`` (tokens materialized first) in
+    plans — this single-expression form re-runs the tokenizer per
+    shingle inside the transform lambda (see shingles_from_tokens)."""
+    return shingles_from_tokens(F.split(normalized_text(text_col), " "), n)
 
 
 def with_shingles(
     docs: DataFrame, n: int = 3, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shingles")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("__toks__"),
+    )
+    return toks.select(
+        "doc_id", shingles_from_tokens("__toks__", n).alias("shingles")
     )
 
 
