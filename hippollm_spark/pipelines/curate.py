@@ -41,7 +41,9 @@ def curate_corpus(
     ctx: int = 2048,
 ) -> DataFrame:
     """Run the curation pipeline; returns the per-language summary
-    (lang_pred, n_docs, n_tokens, n_chunks) of the surviving corpus.
+    (lang, n_docs, n_tokens, n_chunks) of the surviving corpus — the
+    predicted language is the GATE, the table's lang column is the
+    reporting dimension.
 
     Stages:
     1. quality gate: integer composite score >= ``min_quality_e8``
