@@ -39,6 +39,7 @@ def curate_corpus(
     contamination_threshold: float = 0.5,
     bench_mod: int = 20,
     ctx: int = 2048,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Run the curation pipeline; returns the per-language summary
     (lang, n_docs, n_tokens, n_chunks) of the surviving corpus — the
@@ -57,6 +58,15 @@ def curate_corpus(
     6. decontamination: drop survivors overlapping the benchmark slice
        at ``contamination_threshold``
     7. concat-and-chunk packing per predicted language at ``ctx`` tokens
+
+    ``max_shingle_df`` is the stop-shingle skew guard for BOTH
+    similarity joins and is MANDATORY at scale: boilerplate n-grams
+    shared by a large fraction of the corpus (headers, license tails,
+    stopword runs) turn shared-shingle blocking into a near-cross-join —
+    measured as a wedged 200k-doc run in tools/scale_probe.py until the
+    cap was wired through. Leave None only for small clean corpora
+    (the sf oracle checks, where the cap must be off so DuckDB's
+    uncapped SQL replays identically).
     """
     scored = quality_features(docs).select("doc_id", "quality_score_e8", "n_tokens")
     lid = docs.select("doc_id", detect_language("text").alias("lang_pred"))
@@ -77,10 +87,15 @@ def curate_corpus(
     corpus = keep.filter(F.col("doc_id") % bench_mod != 0)
 
     surv = exact_dedup(corpus).cache()
-    pairs = jaccard_dup_pairs(surv, threshold=jaccard_threshold, n=3)
+    pairs = jaccard_dup_pairs(
+        surv, threshold=jaccard_threshold, n=3, max_shingle_df=max_shingle_df
+    )
     surv = apply_dedup(surv, dedup_canonicalize(pairs)).cache()
 
-    cont = cross_jaccard_pairs(surv, bench, threshold=contamination_threshold, n=3)
+    cont = cross_jaccard_pairs(
+        surv, bench, threshold=contamination_threshold, n=3,
+        max_shingle_df=max_shingle_df,
+    )
     clean = surv.join(
         cont.select(F.col("corpus_id").alias("doc_id")).distinct(),
         "doc_id",

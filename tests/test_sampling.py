@@ -120,3 +120,35 @@ def test_curate_corpus_end_to_end(spark):
     assert len(out) == 1
     assert out[0]["lang"] == "en" and out[0]["n_docs"] == 1
     assert out[0]["n_chunks"] == 1
+
+
+def test_curate_corpus_with_shingle_cap_same_result(spark):
+    """The stop-shingle skew guard must not change the outcome when the
+    cap is above every real shingle's document frequency."""
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests with the dog in the warm sun of the meadow"
+    )
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, good.replace("meadow", "field"), "en", "s", len(good)),
+        (3, "a completely different story about the spark optimizer and the "
+            "catalyst engine with many of the tokens", "en", "s", 100),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base = sorted(
+        map(tuple, curate_corpus(docs, min_quality_e8=50_000_000).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            curate_corpus(
+                docs, min_quality_e8=50_000_000, max_shingle_df=10
+            ).collect(),
+        )
+    )
+    assert base == capped and len(base) == 1

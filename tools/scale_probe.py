@@ -216,6 +216,35 @@ def main() -> None:
     label_centroids(vecs).write.mode("overwrite").format("noop").save()
     print(f"label centroids over {n_vec:,}x{dim}: {time.time()-t0:.1f}s")
 
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    # The synthetic vocab (w####) has no stopwords, so append an English
+    # tail — otherwise langid yields 'und' for every row and the gates
+    # drop the whole corpus before the interesting stages run.
+    cdocs = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" the and of to in is that with")).alias(
+            "text"
+        ),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("es")),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("lang"),
+    )
+    t0 = time.time()
+    # max_shingle_df: the appended stopword tail is shared boilerplate
+    # across ALL docs — without the stop-shingle cap the similarity
+    # join's blocking key degenerates into a near-cross-join (observed:
+    # run wedged at this stage). 5% of the corpus is a generous cap.
+    summary = curate_corpus(
+        cdocs, min_quality_e8=40_000_000, max_shingle_df=n_doc // 20
+    ).collect()
+    kept = sum(r["n_docs"] for r in summary)
+    print(
+        f"curate {n_doc:,} docs end-to-end: {time.time()-t0:.1f}s "
+        f"({kept:,} kept across {len(summary)} langs)"
+    )
+
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
