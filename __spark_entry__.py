@@ -392,6 +392,51 @@ def q_v4_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round("distance", 6).alias("distance"))
 
 
+def _fact_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture facts-with-embeddings table for V5/V6: every hypergraph
+    fact id carries the embedding of vec_id = fact_id % 500."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids = _edges(spark, sf_dir).select("fact_id").distinct()
+    return ids.join(emb, ids.fact_id % 500 == emb.vec_id).select(
+        "fact_id", "embedding"
+    )
+
+
+def q_v5_union_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 — closest facts touching ANY of two entities (reference
+    storage.py:325-330): P4 union candidates, then filtered kNN."""
+    from hippollm_spark.operators.knn import knn_facts_with_entities_union
+
+    q = _query_vec(spark, sf_dir, 0)
+    out = knn_facts_with_entities_union(
+        _fact_vectors(spark, sf_dir),
+        _edges(spark, sf_dir),
+        q,
+        [ENTITY_A, ENTITY_B],
+        k=5,
+        id_col="fact_id",
+    )
+    return out.select("fact_id", F.round("distance", 6).alias("distance"))
+
+
+def q_v6_intersection_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 — closest facts touching ALL of two entities (reference
+    storage.py:332-337): P5 relational-division candidates, then
+    filtered kNN."""
+    from hippollm_spark.operators.knn import knn_facts_with_entities_intersection
+
+    q = _query_vec(spark, sf_dir, 0)
+    out = knn_facts_with_entities_intersection(
+        _fact_vectors(spark, sf_dir),
+        _edges(spark, sf_dir),
+        q,
+        [ENTITY_A, ENTITY_B],
+        k=5,
+        id_col="fact_id",
+    )
+    return out.select("fact_id", F.round("distance", 6).alias("distance"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch similarity search: exact cosine top-5 for 3 query vectors."""
     from hippollm_spark.operators.similarity import topk_per_query
@@ -764,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_cooccurrence": q_g3_cooccurrence,
         "v3_knn": q_v3_knn,
         "v4_filtered_knn": q_v4_filtered_knn,
+        "v5_union_knn": q_v5_union_knn,
+        "v6_intersection_knn": q_v6_intersection_knn,
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_dup_pairs": q_emb_dup_pairs,
         "dedup_exact": q_dedup_exact,
@@ -1036,6 +1083,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE label IN (1, 2, 3)
             ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, vec_id ASC
             LIMIT 10
+        """,
+        "v5_union_knn": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            cand AS (
+                SELECT DISTINCT fact_id FROM edges
+                WHERE entity IN ('{ENTITY_A}', '{ENTITY_B}')
+            ),
+            fv AS (
+                SELECT c.fact_id, e.embedding FROM cand c
+                JOIN embeddings e ON c.fact_id % 500 = e.vec_id
+            )
+            SELECT fact_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS distance
+            FROM fv
+            ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, fact_id ASC
+            LIMIT 5
+        """,
+        "v6_intersection_knn": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            cand AS (
+                SELECT fact_id FROM edges
+                WHERE entity IN ('{ENTITY_A}', '{ENTITY_B}')
+                GROUP BY fact_id
+                HAVING count(DISTINCT entity) = 2
+            ),
+            fv AS (
+                SELECT c.fact_id, e.embedding FROM cand c
+                JOIN embeddings e ON c.fact_id % 500 = e.vec_id
+            )
+            SELECT fact_id,
+                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS distance
+            FROM fv
+            ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, fact_id ASC
+            LIMIT 5
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "g3_cooccurrence",
     "v3_knn",
     "v4_filtered_knn",
+    "v5_union_knn",
+    "v6_intersection_knn",
     "ann_cosine_topk",
     "emb_dup_pairs",
     "dedup_exact",
