@@ -272,6 +272,17 @@ def q_p1_entity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p2_fact_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — point lookup by dense fact id (reference storage.py:207-211),
+    mapped onto the orders table keyed by o_orderkey."""
+    from hippollm_spark.operators.relational import get_fact
+
+    facts = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    return get_fact(facts, 7)
+
+
 def q_p4_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 — fact ids touching ANY entity (reference storage.py:278-289)."""
     from hippollm_spark.operators.relational import fact_ids_by_entities_union
@@ -801,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "g2_explore": q_g2_explore,
         "p1_entity_lookup": q_p1_entity_lookup,
+        "p2_fact_lookup": q_p2_fact_lookup,
         "p4_union": q_p4_union,
         "p5_intersection": q_p5_intersection,
         "p6_lone_entities": q_p6_lone_entities,
@@ -1023,6 +1035,10 @@ def oracle_sql() -> dict[str, str]:
         "p1_entity_lookup": f"""
             SELECT p_partkey, p_name, p_brand, p_retailprice
             FROM part WHERE p_name = '{ENTITY_A}' ORDER BY p_partkey
+        """,
+        "p2_fact_lookup": """
+            SELECT o_orderkey AS id, o_custkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey = 7
         """,
         "p4_union": f"""
             WITH edges AS ({_EDGES_SQL})

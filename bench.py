@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "asof_join",
     "g2_explore",
     "p1_entity_lookup",
+    "p2_fact_lookup",
     "m1_upsert_guard",
     "p6_lone_entities",
     "p4_union",
