@@ -65,3 +65,71 @@ def test_hash_embedding_deterministic_and_bounded(text, dim):
     assert v1 == v2
     assert len(v1) == dim
     assert all(-1.0 <= x <= 1.0 for x in v1)
+
+
+# --------------------------------------------------------------------------
+# Spark-backed properties for the training-mix operators: few examples
+# (each example is a real Spark job), each checked against an
+# independent pure-Python implementation.
+# --------------------------------------------------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 500)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(16, 1024),
+)
+def test_pack_sequences_matches_prefix_sums(spark, rows, ctx):
+    from hippollm_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, shard, n) for i, (shard, n) in enumerate(rows)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["chunk_id"])
+        for r in pack_sequences(docs, ctx=ctx, shard_col="lang").collect()
+    }
+    acc: dict[str, int] = {}
+    for i, (shard, n) in enumerate(rows):
+        start = acc.get(shard, 0)
+        assert got[i] == (start, start // ctx), (i, shard, n, ctx)
+        acc[shard] = start + n
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_canonicalize_matches_union_find(spark, pairs):
+    from hippollm_spark.operators.dedup import dedup_canonicalize
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"] for r in dedup_canonicalize(df).collect()
+    }
+    # independent oracle: union-find over the same pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
