@@ -642,11 +642,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hippollm_spark.operators.textstats import detect_language
+    """Language ID, tokenize-once DataFrame form (the text-column form
+    re-runs the tokenizer once per language probe)."""
+    from hippollm_spark.operators.textstats import language_id
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", detect_language("text").alias("lang_pred")
-    )
+    return language_id(_t(spark, sf_dir, "documents"))
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

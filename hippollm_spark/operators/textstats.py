@@ -38,24 +38,35 @@ def bpe_ish_token_count(text_col: Column | str) -> Column:
     return F.size(toks)
 
 
-def stopword_hits(text_col: Column | str, words: list[str]) -> Column:
+def stopword_hits(
+    text_col: Column | str, words: list[str], *, tokens: bool = False
+) -> Column:
     """Number of tokens that appear in ``words`` (count with
-    multiplicity, via filter on the token array)."""
-    toks = F.split(normalized_text(text_col), " ")
+    multiplicity, via filter on the token array). With ``tokens=True``
+    the input column is an already-tokenized ARRAY<STRING> — callers
+    scoring a document several ways (language ID probes 4 stopword
+    lists, quality scoring 3 ratios) should tokenize ONCE via
+    ``with_tokens`` instead of re-running split+regexp per probe."""
+    src = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = src if tokens else F.split(normalized_text(src), " ")
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def detect_language(text_col: Column | str) -> Column:
+def detect_language(text_col: Column | str, *, tokens: bool = False) -> Column:
     """Stopword-hit language ID: argmax over LANG_MARKERS hit counts,
     tie-break alphabetically; 'und' (undetermined) when zero hits.
 
     Argmax = comparator array_sort on (hits desc, lang asc), take the
-    head — still a single codegen'd expression per row."""
+    head — still a single codegen'd expression per row. Prefer the
+    DataFrame wrapper ``language_id`` (or ``tokens=True`` over a
+    materialized token array): the text form re-tokenizes once per
+    language probe."""
     pairs = F.array(
         *[
             F.struct(
-                stopword_hits(text_col, ws).alias("hits"), F.lit(lang).alias("lang")
+                stopword_hits(text_col, ws, tokens=tokens).alias("hits"),
+                F.lit(lang).alias("lang"),
             )
             for lang, ws in sorted(LANG_MARKERS.items())
         ]
@@ -71,6 +82,33 @@ def detect_language(text_col: Column | str) -> Column:
     return F.when(ordered[0]["hits"] <= 0, F.lit("und")).otherwise(ordered[0]["lang"])
 
 
+def with_tokens(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, __text__, __toks__) — normalized whitespace tokens
+    materialized in their own projection so downstream expressions
+    reference them as a bound column instead of re-running the
+    split+regexp tokenizer per probe (Catalyst keeps the projection
+    boundary because the expression is non-cheap and multiply-used —
+    same discipline as dedup.with_shingles)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text__"),
+        F.split(normalized_text(text_col), " ").alias("__toks__"),
+    )
+
+
+def language_id(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred) — tokenize-once DataFrame form of
+    ``detect_language``."""
+    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    return t.select(
+        "doc_id", detect_language(F.col("__toks__"), tokens=True).alias("lang_pred")
+    )
+
+
 def quality_features(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -81,16 +119,20 @@ def quality_features(
     - stopword_ratio: english stopword tokens / tokens
     - uniq_ratio: distinct tokens / tokens (repetition detector)
     - quality_score: clamped linear combination, in [0, 1]
+
+    Tokenizes once (``with_tokens``); the three token-derived ratios
+    all read the same bound array column.
     """
-    c = F.col(text_col)
-    toks = F.split(normalized_text(text_col), " ")
+    base = with_tokens(docs, id_col=id_col, text_col=text_col)
+    c = F.col("__text__")
+    toks = F.col("__toks__")
     n_tok = F.size(toks)
     n_chars = F.length(c)
     punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
-    stop = stopword_hits(text_col, LANG_MARKERS["en"])
+    stop = stopword_hits(toks, LANG_MARKERS["en"], tokens=True)
     uniq = F.size(F.array_distinct(toks))
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
+    out = base.select(
+        F.col("doc_id"),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.round((n_chars - (n_tok - 1)) / n_tok, 6).alias("avg_token_len"),

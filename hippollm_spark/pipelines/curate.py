@@ -28,7 +28,7 @@ from hippollm_spark.operators.dedup import (
     jaccard_dup_pairs,
 )
 from hippollm_spark.operators.sampling import pack_sequences
-from hippollm_spark.operators.textstats import detect_language, quality_features
+from hippollm_spark.operators.textstats import language_id, quality_features
 
 
 def curate_corpus(
@@ -69,7 +69,7 @@ def curate_corpus(
     uncapped SQL replays identically).
     """
     scored = quality_features(docs).select("doc_id", "quality_score_e8", "n_tokens")
-    lid = docs.select("doc_id", detect_language("text").alias("lang_pred"))
+    lid = language_id(docs)
     # keep/surv are each consumed by several downstream branches (dedup
     # blocking, canonicalization's iterative counts, decontamination) —
     # cache the shrinking survivor sets so the quality/langid/join
