@@ -649,6 +649,27 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents augmented with deterministic
+    synthetic PII (the corpus itself is clean): per doc, the md5 of the
+    scrubbed text plus per-class match counts. Both engines construct
+    the identical augmented text, so every replacement is replayed."""
+    from hippollm_spark.operators.textstats import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example.com via https://ex.org/d"), F.col("doc_id"),
+        F.lit(" or call +1202555"), F.lpad(F.col("doc_id") % 1000, 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrub_pii(aug)).alias("scrubbed_md5"),
+        *pii_counts(aug),
+    ).orderBy("doc_id")
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hippollm_spark.operators.textstats import bpe_ish_token_count, token_count
 
@@ -838,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
+        "scrub_pii": q_scrub_pii,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "split_naive": q_split_naive,
@@ -1527,6 +1549,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_es >= h_fr THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM s
+        """,
+        "scrub_pii": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@mail.example.com via https://ex.org/d' || doc_id
+                            || ' or call +1202555' || lpad((doc_id % 1000)::VARCHAR, 4, '0')
+                           AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'),
+                       '\\+[0-9]{8,15}', '<PHONE>', 'g')) AS scrubbed_md5,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_url,
+                   len(regexp_extract_all(t, '\\+[0-9]{8,15}')) AS n_phone
+            FROM aug ORDER BY doc_id
         """,
         "text_tokens": f"""
             SELECT doc_id,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "corpus_curation",
     "text_quality",
     "text_langid",
+    "scrub_pii",
     "text_tokens",
     "text_fingerprint",
     "split_naive",

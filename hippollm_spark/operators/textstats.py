@@ -293,3 +293,38 @@ def with_fingerprints(
     return docs.select(
         F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — standard curation stage before training
+# --------------------------------------------------------------------------
+
+# Dialect-portable patterns (Java regex on the Spark side, RE2 in the
+# DuckDB oracle): character classes + bounded quantifiers only, no
+# lookaround, no backreferences.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^ ]+", "<URL>"),
+    "phone": (r"\+[0-9]{8,15}", "<PHONE>"),
+}
+
+
+def scrub_pii(text_col: Column | str) -> Column:
+    """Replace emails, URLs, and international phone numbers with typed
+    placeholders — applied in a fixed order (email before url before
+    phone) so the output is deterministic. Pure regexp_replace chain:
+    scan-speed, codegen, no shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pattern, token in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(text_col: Column | str) -> list[Column]:
+    """One count column per PII class (named n_email / n_url / n_phone),
+    computed on the raw text before scrubbing."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).alias(f"n_{name}")
+        for name, (pattern, _token) in PII_PATTERNS.items()
+    ]

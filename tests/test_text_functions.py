@@ -110,3 +110,19 @@ def test_choice_selection():
 def test_is_yes(spark):
     df = spark.createDataFrame([(" Yes!",), ("no",), ("YEAH",)], "t string")
     assert [r[0] for r in df.select(TX.is_yes("t")).collect()] == [True, False, True]
+
+
+def test_scrub_pii_replaces_each_class(spark):
+    from hippollm_spark.operators.textstats import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io or https://x.io/p?q=1 or +4915123456789 done"),
+         (2, "nothing sensitive here")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id", scrub_pii("text").alias("s"), *pii_counts("text")).collect()}
+    assert rows[1]["s"] == "mail <EMAIL> or <URL> or <PHONE> done"
+    assert (rows[1]["n_email"], rows[1]["n_url"], rows[1]["n_phone"]) == (1, 1, 1)
+    assert rows[2]["s"] == "nothing sensitive here"
+    assert (rows[2]["n_email"], rows[2]["n_url"], rows[2]["n_phone"]) == (0, 0, 0)
