@@ -617,6 +617,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mix sampling: per-language quotas
+    proportional to sqrt(stratum size) — the standard multilingual
+    rebalancing — realized as a windowless rank-hash threshold."""
+    from hippollm_spark.operators.sampling import temperature_sample
+
+    out = temperature_sample(
+        _t(spark, sf_dir, "documents"), strata_col="lang", tau=0.5, total_n=200
+    )
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: per-language token streams in
     doc_id order sliced every 2048 tokens; one row per training chunk
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
+        "temperature_sample": q_temperature_sample,
         "pack_chunks": q_pack_chunks,
         "emb_centroids": q_emb_centroids,
         "ingest_m1": q_ingest_m1,
@@ -1440,6 +1453,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM r
             )
             SELECT doc_id, lang FROM rk WHERE k <= 25 ORDER BY lang, doc_id
+        """,
+        "temperature_sample": """
+            WITH sizes AS (
+                SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+            ),
+            z AS (SELECT sum(sqrt(n)) AS z FROM sizes),
+            q AS (
+                SELECT lang,
+                       (floor((1152921504606846976.0 * 200 * sqrt(n) / (z.z * n))
+                              / 1048576.0) * 1048576)::BIGINT AS thr
+                FROM sizes, z
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS rh
+                FROM documents
+            )
+            SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+            WHERE rh < thr ORDER BY lang, doc_id
         """,
         "pack_chunks": r"""
             WITH t AS (

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "dedup_groups",
     "contamination",
     "sample_stratified",
+    "temperature_sample",
     "pack_chunks",
     "emb_centroids",
     "ingest_m1",

@@ -116,3 +116,45 @@ def pack_summary(packed: DataFrame, *, shard_col: str = "lang") -> DataFrame:
         F.sum("n_tokens").alias("chunk_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    tau: float = 0.5,
+    total_n: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mix sampling (the multilingual "alpha
+    sampling" scheme used to rebalance language mixes): stratum s gets
+    an expected quota of ``total_n * n_s^tau / sum_t n_t^tau`` rows —
+    tau=1 reproduces the natural distribution, tau=0 gives a uniform
+    mix, 0<tau<1 upsamples the tail relative to the head.
+
+    Windowless and deterministic: a row survives iff its
+    ``rank_hash`` falls below the stratum's quota fraction of 2^60
+    (binomial-sized per stratum, like ``method='threshold'``).
+
+    Cross-engine float discipline: tau=0.5 uses sqrt (correctly rounded
+    in both engines, unlike pow), and the per-stratum threshold is
+    quantized to 2^20 granularity before the integer comparison so an
+    ulp of divergence in the double arithmetic cannot flip a row.
+    """
+    w = F.sqrt(F.col("__n__")) if tau == 0.5 else F.pow(F.col("__n__"), F.lit(tau))
+    sizes = df.groupBy(strata_col).agg(F.count("*").alias("__n__"))
+    z = sizes.agg(F.sum(w).alias("__z__"))
+    thr_raw = (
+        F.lit(float(1 << 60)) * total_n * w / (F.col("__z__") * F.col("__n__"))
+    )
+    thr = (F.floor(thr_raw / F.lit(float(1 << 20))) * (1 << 20)).cast("long")
+    quotas = sizes.crossJoin(F.broadcast(z)).select(
+        strata_col, thr.alias("__thr__")
+    )
+    r = rank_hash(id_col).alias("__r__")
+    return (
+        df.select("*", r)
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("__r__") < F.col("__thr__"))
+        .drop("__r__", "__thr__")
+    )

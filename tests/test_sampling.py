@@ -152,3 +152,25 @@ def test_curate_corpus_with_shingle_cap_same_result(spark):
         )
     )
     assert base == capped and len(base) == 1
+
+
+def test_temperature_sample_flattens_mix(spark):
+    # head stratum 'a' is 16x the tail 'b'; tau=0.5 compresses the
+    # expected ratio to sqrt(16) = 4x
+    rows = [(i, "a") for i in range(1600)] + [(2000 + i, "b") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(
+        docs, strata_col="lang", tau=0.5, total_n=400
+    ).collect()
+    per = {}
+    for r in out:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    # expected: a = 400*40/(40+10) = 320, b = 400*10/50 = 80 (binomial)
+    assert 250 < per["a"] < 390
+    assert 50 < per["b"] < 100
+    assert 2.5 < per["a"] / per["b"] < 6  # flattened from 16x toward 4x
+    # deterministic
+    again = sampling.temperature_sample(
+        docs, strata_col="lang", tau=0.5, total_n=400
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
