@@ -590,6 +590,21 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_canonicalize(pairs).orderBy("canonical_id", "doc_id")
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate segment removal (the C4/RefinedWeb
+    repeated-line rule on 10-token segments): segments appearing in more
+    than 2 documents are dropped, documents reassembled in order. Output
+    fingerprints the cleaned text so every drop decision is replayed."""
+    from hippollm_spark.operators.dedup import remove_boilerplate_segments
+
+    out = remove_boilerplate_segments(
+        _t(spark, sf_dir, "documents"), seg_tokens=10, max_df=2
+    )
+    return out.select(
+        "doc_id", F.md5("text").alias("clean_md5"), F.length("text").alias("n_chars")
+    ).orderBy("doc_id")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination join: exact 3-gram Jaccard >= 0.5 pairs
     between the training corpus (doc_id % 20 != 0) and a held-out
@@ -864,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
         "contamination": q_contamination,
+        "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
         "temperature_sample": q_temperature_sample,
         "pack_chunks": q_pack_chunks,
@@ -1243,6 +1259,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, least(a, min(b)) AS canonical_id
             FROM reach GROUP BY a
             ORDER BY canonical_id, doc_id
+        """,
+        "boilerplate_removal": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            segs AS (
+                SELECT doc_id, i AS seg_idx,
+                       array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS seg
+                FROM t, unnest(range(0, cast(ceil(len(toks)/10.0) AS BIGINT))) AS u(i)
+            ),
+            hashed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h FROM segs),
+            hot AS (
+                SELECT h FROM hashed GROUP BY h
+                HAVING count(DISTINCT doc_id) > 2
+            ),
+            kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM hot)),
+            o AS (
+                SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT doc_id, md5(text) AS clean_md5, length(text) AS n_chars
+            FROM o ORDER BY doc_id
         """,
         "contamination": f"""
             {_SHINGLES},

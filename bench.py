@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_groups",
     "contamination",
+    "boilerplate_removal",
     "sample_stratified",
     "temperature_sample",
     "pack_chunks",

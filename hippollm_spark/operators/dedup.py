@@ -710,3 +710,70 @@ def cross_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("corpus_id", "bench_id", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# 8. corpus-wide boilerplate segment removal
+# --------------------------------------------------------------------------
+
+def remove_boilerplate_segments(
+    docs: DataFrame,
+    *,
+    seg_tokens: int = 10,
+    max_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line/segment-level corpus dedup (the C4/RefinedWeb "remove
+    repeated lines" rule, on fixed token segments since not every corpus
+    has line structure): split each document into consecutive
+    ``seg_tokens``-token segments, drop every segment whose normalized
+    hash occurs in MORE than ``max_df`` distinct documents (boilerplate:
+    headers, navigation, license blocks), and reassemble the survivors
+    in order. Output: (doc_id, text) with boilerplate removed.
+
+    Shape: segments explode to ~n_tokens/seg_tokens rows per doc; the
+    document-frequency aggregate shuffles (hash, doc) pairs — 32 bytes
+    per segment, never the text; reassembly is one groupBy with an
+    order-preserving array_sort. At 100 TB this is two narrow shuffles
+    keyed on digests.
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    n_seg = F.ceil(F.size("__toks__") / F.lit(seg_tokens)).cast("int")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks__")
+    )
+    segs = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__toks__"), i * seg_tokens + 1, seg_tokens), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    hashed = segs.withColumn("__h__", F.md5("seg"))
+    df_counts = hashed.groupBy("__h__").agg(
+        F.countDistinct("doc_id").alias("__df__")
+    )
+    kept = hashed.join(
+        df_counts.filter(F.col("__df__") > max_df).select("__h__"),
+        "__h__",
+        "left_anti",
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )

@@ -157,3 +157,21 @@ def test_apply_dedup_keeps_canonicals_and_unpaired(docs):
     )
     # docs 0,1,2,4 are one near-dup group (canonical 0); 3 and 5 unpaired
     assert kept == [0, 3, 5]
+
+
+def test_remove_boilerplate_segments(spark):
+    # 'w1..w10' is a 10-token block shared by 4 docs (boilerplate);
+    # each doc also has unique content that must survive in order
+    boiler = " ".join(f"w{i}" for i in range(10))
+    rows = [(i, f"{boiler} unique{i} tail{i}") for i in range(4)]
+    rows.append((9, "standalone document with no shared blocks at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_boilerplate_segments(
+            docs, seg_tokens=10, max_df=2
+        ).collect()
+    }
+    for i in range(4):
+        assert out[i] == f"unique{i} tail{i}"  # boilerplate block gone
+    assert out[9] == "standalone document with no shared blocks at all"
