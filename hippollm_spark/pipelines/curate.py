@@ -26,6 +26,7 @@ from hippollm_spark.operators.dedup import (
     dedup_canonicalize,
     exact_dedup,
     jaccard_dup_pairs,
+    remove_boilerplate_segments,
 )
 from hippollm_spark.operators.sampling import pack_sequences
 from hippollm_spark.operators.textstats import language_id, quality_features
@@ -40,6 +41,8 @@ def curate_corpus(
     bench_mod: int = 20,
     ctx: int = 2048,
     max_shingle_df: int | None = None,
+    boilerplate_seg_tokens: int | None = None,
+    boilerplate_max_df: int = 2,
 ) -> DataFrame:
     """Run the curation pipeline; returns the per-language summary
     (lang, n_docs, n_tokens, n_chunks) of the surviving corpus — the
@@ -59,6 +62,11 @@ def curate_corpus(
        at ``contamination_threshold``
     7. concat-and-chunk packing per predicted language at ``ctx`` tokens
 
+    ``boilerplate_seg_tokens`` (optional, off by default so the
+    end-to-end oracle stays replayable without it) runs corpus-wide
+    boilerplate segment removal BEFORE the quality gate — text-mutating,
+    so token counts and every downstream hash reflect the cleaned text.
+
     ``max_shingle_df`` is the stop-shingle skew guard for BOTH
     similarity joins and is MANDATORY at scale: boilerplate n-grams
     shared by a large fraction of the corpus (headers, license tails,
@@ -68,6 +76,11 @@ def curate_corpus(
     (the sf oracle checks, where the cap must be off so DuckDB's
     uncapped SQL replays identically).
     """
+    if boilerplate_seg_tokens:
+        cleaned = remove_boilerplate_segments(
+            docs, seg_tokens=boilerplate_seg_tokens, max_df=boilerplate_max_df
+        )
+        docs = docs.drop("text").join(cleaned, "doc_id")
     scored = quality_features(docs).select("doc_id", "quality_score_e8", "n_tokens")
     lid = language_id(docs)
     # keep/surv are each consumed by several downstream branches (dedup

@@ -174,3 +174,35 @@ def test_temperature_sample_flattens_mix(spark):
         docs, strata_col="lang", tau=0.5, total_n=400
     ).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_curate_corpus_with_boilerplate_stage(spark):
+    """Optional stage 0: shared boilerplate blocks are stripped before
+    scoring, so every downstream count reflects the CLEANED text."""
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    boiler = " ".join(f"w{i}" for i in range(10))
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests with the dog in the warm sun of the meadow"
+    )
+    rows = [
+        (1, f"{good}", "en", "s", 1),
+        (3, f"{boiler} the end", "en", "s", 1),   # boilerplate + 2 tokens
+        (5, f"{boiler} the fin", "en", "s", 1),
+        (7, f"{boiler} the cut", "en", "s", 1),
+        (9, f"{boiler} the tip", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curate_corpus(
+        docs, min_quality_e8=50_000_000, boilerplate_seg_tokens=10
+    ).collect()
+    # raw corpus = 22 + 4x12 = 70 tokens; after stripping the shared
+    # 10-token block from docs 3..9, the summary must count ~32
+    # (without the stage the stubs would instead be near-dup collapsed —
+    # 10 of their 12 tokens are the shared block — so the cleaned run is
+    # the one where all 5 distinct documents survive)
+    assert len(out) == 1 and out[0]["n_docs"] == 5
+    assert out[0]["n_tokens"] < 40
