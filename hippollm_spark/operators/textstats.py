@@ -328,3 +328,47 @@ def pii_counts(text_col: Column | str) -> list[Column]:
         F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).alias(f"n_{name}")
         for name, (pattern, _token) in PII_PATTERNS.items()
     ]
+
+
+def quality_gate(
+    docs: DataFrame,
+    *,
+    min_quality_e8: int = 55_000_000,
+    text_col: str = "text",
+    require_lang: bool = True,
+) -> DataFrame:
+    """Stateless quality (+ language) gate: one projection chain and a
+    filter — no joins, no aggregations — so the SAME operator is legal
+    in batch and Structured Streaming plans (the DataFrame-returning
+    ``quality_features``/``language_id`` forms join on doc_id, which a
+    stream cannot do without watermark gymnastics). Keeps every input
+    column; the score formula is bit-identical to ``quality_features``.
+    """
+    staged = docs.withColumn(
+        "__toks__", F.split(normalized_text(text_col), " ")
+    )
+    c = F.col(text_col)
+    toks = F.col("__toks__")
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop = stopword_hits(toks, LANG_MARKERS["en"], tokens=True)
+    uniq = F.size(F.array_distinct(toks))
+    e6 = 1_000_000
+    punct_e6 = F.round(
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6) * e6, 0
+    ).cast("long")
+    stop_e6 = F.round(
+        F.round(stop / F.greatest(n_tok, F.lit(1)), 6) * e6, 0
+    ).cast("long")
+    uniq_e6 = F.round(
+        F.round(uniq / F.greatest(n_tok, F.lit(1)), 6) * e6, 0
+    ).cast("long")
+    a_e6 = F.least(n_tok.cast("long") * 10_000, F.lit(e6).cast("long"))
+    b_e6 = F.lit(e6) - F.least(punct_e6 * 4, F.lit(e6).cast("long"))
+    c_e6 = F.least(stop_e6 * 5, F.lit(e6).cast("long"))
+    score = (a_e6 * 25 + b_e6 * 25 + c_e6 * 20 + uniq_e6 * 30).cast("long")
+    out = staged.filter(score >= min_quality_e8)
+    if require_lang:
+        out = out.filter(detect_language(toks, tokens=True) != "und")
+    return out.drop("__toks__")

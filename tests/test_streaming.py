@@ -130,3 +130,51 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # the sealed window holds only the 3 on-time events; the late row
     # (value=100) never entered it
     assert rows[t(10, 0)] == (3, 3.0)
+
+
+def test_curate_stream_matches_batch_gates(spark, tmp_path):
+    """Ingestion-side streaming curation: the stateless gates keep the
+    same docs as their batch forms, and the stateful dedup drops the
+    later duplicate."""
+    import datetime as dt
+
+    from hippollm_spark.streaming.curate_stream import curate_stream
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests with the dog in the warm sun of the meadow"
+    )
+    rows = [
+        (1, good, t0),
+        (2, "x y", t0),                                   # fails quality
+        (3, good + " mail me a@b.io now please today", t0),
+        (4, good, dt.datetime(2024, 1, 1, 9, 0)),          # dup of 1, later ts
+    ]
+    drop = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, ts timestamp").coalesce(
+        1
+    ).write.parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(drop)
+    )
+    out = curate_stream(stream, min_quality_e8=50_000_000, shards=4)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM curated").collect()}
+    assert sorted(got) == [1, 3]          # 2 gated, 4 deduped
+    assert "<EMAIL>" in got[3]            # scrubbed before the gate
+
+    # batch parity for the stateless part (no stateful dedup in batch)
+    batch = curate_stream(
+        spark.read.parquet(drop), min_quality_e8=50_000_000
+    )
+    assert sorted(r["doc_id"] for r in batch.collect()) == [1, 3, 4]

@@ -126,3 +126,23 @@ def test_scrub_pii_replaces_each_class(spark):
     assert (rows[1]["n_email"], rows[1]["n_url"], rows[1]["n_phone"]) == (1, 1, 1)
     assert rows[2]["s"] == "nothing sensitive here"
     assert (rows[2]["n_email"], rows[2]["n_url"], rows[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_quality_gate_matches_quality_features(spark, documents):
+    """The stream-legal gate's inline score must agree with
+    quality_features row-for-row."""
+    from hippollm_spark.operators.textstats import quality_features, quality_gate
+
+    thr = 55_000_000
+    want = {
+        r["doc_id"]
+        for r in quality_features(documents).collect()
+        if r["quality_score_e8"] >= thr
+    }
+    got_all = {
+        r["doc_id"]
+        for r in quality_gate(
+            documents, min_quality_e8=thr, require_lang=False
+        ).collect()
+    }
+    assert got_all == want
