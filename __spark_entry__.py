@@ -713,6 +713,30 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_split_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 paragraph splitter over deterministically paragraphed text
+    (the corpus has no newlines, so both engines rebuild each doc as
+    12-token paragraphs joined with blank lines first): verifies the
+    split AND the running +2 char offsets (reference splitters.py:80-96)."""
+    from hippollm_spark.functions.text import split_paragraphs
+
+    toks = F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " ")
+    staged = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("__toks__"))
+    n_para = F.ceil(F.size("__toks__") / F.lit(12)).cast("int")
+    content = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_para - 1),
+            lambda i: F.array_join(F.slice(F.col("__toks__"), i * 12 + 1, 12), " "),
+        ),
+        "\n\n",
+    )
+    out = split_paragraphs(staged.select("doc_id", content.alias("content")))
+    return out.select(
+        "doc_id", "chunk_idx", F.md5("text").alias("chunk_md5"),
+        "pos_start", "pos_end",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_split_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 — fixed-size chunking with positions (reference
     splitters.py:46-61)."""
@@ -892,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "split_naive": q_split_naive,
+        "split_paragraphs": q_split_paragraphs,
         "events_windowed": q_events_windowed,
         "sessionization": q_sessionization,
         "events_pivot": q_events_pivot,
@@ -1660,6 +1685,27 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range(0, greatest(length(text), 1), 50)) AS pos_start
                 FROM documents
             )
+        """,
+        "split_paragraphs": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            paras AS (
+                SELECT doc_id, i::INT AS chunk_idx,
+                       array_to_string(toks[(i*12+1):(i*12+12)], ' ') AS text
+                FROM t, unnest(range(0, cast(ceil(len(toks)/12.0) AS BIGINT))) AS u(i)
+            ),
+            off AS (
+                SELECT doc_id, chunk_idx, text,
+                       coalesce(sum(length(text) + 2) OVER (
+                           PARTITION BY doc_id ORDER BY chunk_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::INT AS pos_start
+                FROM paras
+            )
+            SELECT doc_id, chunk_idx, md5(text) AS chunk_md5, pos_start,
+                   (pos_start + length(text))::INT AS pos_end
+            FROM off ORDER BY doc_id, chunk_idx
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS hour_ts, event_type,

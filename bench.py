@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "text_tokens",
     "text_fingerprint",
     "split_naive",
+    "split_paragraphs",
     "events_windowed",
     "sessionization",
     "events_pivot",
