@@ -246,17 +246,46 @@ def minhash_signatures(
 
     def _sig(batches):
         for pdf in batches:
-            sigs = []
-            for hs in pdf["hs"]:
-                x = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if x.size == 0:
-                    sigs.append(np.zeros(num_hashes, dtype=np.int64).tolist())
-                    continue
-                m = (x[:, None] * a[None, :] + b[None, :]).min(axis=0)
-                sigs.append(m.astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            out = _batch_minhash(list(pdf["hs"]), a, b, num_hashes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": [row for row in out.astype(np.int64)],
+                }
+            )
 
     return hashed.mapInPandas(_sig, "doc_id long, sig array<long>")
+
+
+def _batch_minhash(hs_list, a, b, num_hashes: int) -> np.ndarray:
+    """Permutation-mins for a whole Arrow batch: one reduceat pass per
+    ~64k-hash chunk instead of a Python loop + tiny outer product per
+    document (at 2M docs the per-doc loop was the whole stage cost).
+    Chunking bounds the (hashes × num_hashes) uint64 temp at ~64 MB.
+    uint64 wraparound arithmetic — bit-identical signatures. Empty docs
+    get all-zero signatures (previous behavior). Returns (D, num_hashes)
+    uint64."""
+    chunk = 1 << 16
+    d = len(hs_list)
+    lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64, count=d)
+    out = np.zeros((d, num_hashes), dtype=np.uint64)
+    i = 0
+    while i < d:
+        j, tot = i, 0
+        while j < d and (tot == 0 or tot + lens[j] <= chunk):
+            tot += lens[j]
+            j += 1
+        idx = np.arange(i, j)[lens[i:j] > 0]
+        if idx.size:
+            flat = np.concatenate(
+                [np.asarray(hs_list[k], dtype=np.int64) for k in idx]
+            ).astype(np.uint64)
+            prod = flat[:, None] * a[None, :] + b[None, :]
+            starts = np.zeros(idx.size, dtype=np.int64)
+            np.cumsum(lens[idx][:-1], out=starts[1:])
+            out[idx] = np.minimum.reduceat(prod, starts, axis=0)
+        i = j
+    return out
 
 
 def minhash_lsh_pairs(
@@ -292,23 +321,28 @@ def minhash_lsh_pairs(
     a, b = _minhash_params(num_hashes)
 
     def _bands(batches):
-        import hashlib
-
+        # Fully vectorized: batch signatures via _batch_minhash, then
+        # band hashes as a multiply-add fold over each band's rows
+        # (golden-ratio odd multiplier, uint64 wraparound). Equal band
+        # vectors always hash equal (no false negatives); a fold
+        # collision only adds a candidate pair, which the exact-Jaccard
+        # verify then rejects. The previous per-doc loop did 2M × 32
+        # Python blake2b calls — the whole stage cost at scale.
+        mult = np.uint64(0x9E3779B97F4A7C15)
         for pdf in batches:
-            out_rows = []
-            for did, hs in zip(pdf["doc_id"], pdf["hs"]):
-                x = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if x.size == 0:
-                    sig = np.zeros(num_hashes, dtype=np.uint64)
-                else:
-                    sig = (x[:, None] * a[None, :] + b[None, :]).min(axis=0)
-                for bi in range(bands):
-                    chunk = sig[bi * rows : (bi + 1) * rows].tobytes()
-                    bh = int.from_bytes(
-                        hashlib.blake2b(chunk, digest_size=8).digest(), "big", signed=False
-                    ) - 2**63
-                    out_rows.append((did, bi, bh))
-            yield pd.DataFrame(out_rows, columns=["doc_id", "band_idx", "band_hash"])
+            sigs = _batch_minhash(list(pdf["hs"]), a, b, num_hashes)
+            d = sigs.shape[0]
+            s3 = sigs.reshape(d, bands, rows)
+            h = np.full((d, bands), np.uint64(1469598103934665603), dtype=np.uint64)
+            for r in range(rows):
+                h = h * mult + s3[:, :, r]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                    "band_idx": np.tile(np.arange(bands, dtype=np.int32), d),
+                    "band_hash": h.astype(np.int64).reshape(-1),
+                }
+            )
 
     banded = hashed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
