@@ -45,10 +45,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long and convert to microsecond
-    timestamps with integer division (ns epoch > 2^53, so double math
-    would lose precision). DuckDB's ns→µs cast truncates identically.
+    """events.parquet stores TIMESTAMP(NANOS). Spark ≥4.1 reads it
+    natively as TIMESTAMP_NTZ truncated to µs (verified identical to
+    DuckDB's ns→µs cast); older readers need
+    spark.sql.legacy.parquet.nanosAsLong=true, yielding a BIGINT we
+    convert with integer division (ns epoch > 2^53, so double math
+    would lose precision). Handle both schemas.
 
     The session TZ is pinned to UTC and the result cast to
     TIMESTAMP_NTZ so wall-clock values match DuckDB's naive timestamps
@@ -56,9 +58,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +188,306 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
+    )
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 adapted to this schema: the
+    commit/receipt columns don't exist, so "late" = shipped more than
+    90 days after the order date). EXISTS → left-semi join; Catalyst
+    pushes the date filter to the orders scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (Q7): bilateral trade NATION_1 ↔ NATION_2 by
+    ship year. Nation dims broadcast; the fact tables join on keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            pair
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_dec(rev)), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8): NATION_8's share of supply revenue
+    to ASIA customers per order year. Share = ratio of two exact
+    DECIMAL sums, divided in DOUBLE (identical on both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cnat = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    snat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_8", _dec(vol))).alias("_n"),
+            F.sum(_dec(vol)).alias("_d"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+                / F.col("_d").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (Q10): top-20 customers by revenue lost
+    to returns in 1996Q1."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_dec(rev)), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13): histogram of orders
+    per customer (excluding low-priority orders), customers with zero
+    kept via the outer join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    counts = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (Q14): percentage of September-1996 revenue
+    from PROMO parts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _dec(rev))).alias("_p"),
+            F.sum(_dec(rev)).alias("_t"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.coalesce(F.col("_p"), F.lit(0)).cast("double")
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15): supplier(s) with the maximum 1996Q1
+    revenue. The max is taken on the exact DECIMAL sum (rank over the
+    100-row supplier aggregate — no revenue ties lost to rounding)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_dec(rev)).alias("_rev"))
+    w = Window.orderBy(F.desc("_rev"))
+    top = per_supp.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1)
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17) for Brand#1: lineitems below
+    20% of their part's average quantity. The fractional comparison
+    q < 0.2·S/n is done as the exact integer-decimal cross-product
+    5·q·n < S (no double division → no cross-engine ulp flips)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("_sq"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(_dec(F.col("l_quantity")) * 5 * F.col("_n") < F.col("_sq"))
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))) / 7, 2
+            ).cast("double").alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (Q18): orders totalling > 300 units."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("_sq"), 2).cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (Q19): disjunctive brand/size/quantity
+    predicate — one broadcast join, predicate evaluated in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(16, 30) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(31, 50) & q.between(20, 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.round(F.sum(_dec(rev)), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (Q22 adapted: no phone column, so the
+    country code is the nation key; "no orders" = none since
+    2001-01-01): wealthy-but-idle customers per nation. The
+    above-average test b·n > S is exact integer-decimal, like Q17."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    ).select("o_custkey")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("_s"), F.count("*").alias("_n")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(_dec(F.col("c_acctbal")) * F.col("_n") > F.col("_s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dec(F.col("c_acctbal"))), 2).cast("double").alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("cntrycode")
     )
 
 
@@ -876,8 +1179,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "tpch_rollup": q_tpch_rollup,
         "window_topk": q_window_topk,
         "quantiles": q_quantiles,
@@ -1027,6 +1341,164 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            WITH base AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) AS vol,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   round(coalesce(sum(CASE WHEN supp_nation = 'NATION_8' THEN vol END), 0)::DOUBLE
+                         / sum(vol)::DOUBLE, 6) AS mkt_share
+            FROM base GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                             AND o_orderpriority != '5-LOW'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q14": """
+            SELECT round(
+                100.0 * coalesce(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) END), 0)::DOUBLE
+                / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE,
+                6) AS promo_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS total
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, round(total, 2)::DOUBLE AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total = (SELECT max(total) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": """
+            WITH li AS (
+                SELECT l.* FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = 'Brand#1'
+            ),
+            pp AS (
+                SELECT l_partkey,
+                       sum(CAST(l_quantity AS DECIMAL(38,10))) AS sq,
+                       count(*) AS n
+                FROM li GROUP BY l_partkey
+            )
+            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(38,10))) / 7, 2)::DOUBLE AS avg_yearly,
+                   count(*) AS n_rows
+            FROM li JOIN pp USING (l_partkey)
+            WHERE CAST(l_quantity AS DECIMAL(38,10)) * 5 * n < sq
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       sum(CAST(l_quantity AS DECIMAL(38,10))) AS sq
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   round(sq, 2)::DOUBLE AS sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)::DOUBLE AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30 AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50 AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "tpch_q22": """
+            WITH pos AS (
+                SELECT sum(CAST(c_acctbal AS DECIMAL(38,10))) AS s, count(*) AS n
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2)::DOUBLE AS totacctbal
+            FROM customer, pos
+            WHERE CAST(c_acctbal AS DECIMAL(38,10)) * n > s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01'
+              )
+            GROUP BY c_nationkey
+            ORDER BY cntrycode
         """,
         "tpch_q5": """
             SELECT n_name,

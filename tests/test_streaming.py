@@ -16,7 +16,10 @@ def event_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("events_stream"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     ev.repartition(4).write.mode("overwrite").parquet(out)
     return out
 
