@@ -1149,6 +1149,14 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (most-frequent-n-gram coverage,
+    duplicate-5-gram fraction) — zero-shuffle quality filters."""
+    from hippollm_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword removal: normalized text with English stopwords dropped
     (a boilerplate-reduction map stage)."""
@@ -1237,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": q_user_activity,
         "top_ngrams": q_top_ngrams,
         "text_clean": q_text_clean,
+        "text_repetition": q_text_repetition,
         "winnow_pairs": q_winnow_pairs,
         "graph_components": q_graph_components,
     }
@@ -2219,6 +2228,36 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split({_NORM}, ' '),
                        t -> NOT list_contains(['the','and','of','to','in','is','that','with'], t))) AS n_kept
             FROM documents
+        """,
+        "text_repetition": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            g AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) >= 2 THEN list_transform(
+                            range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE [] END AS g2,
+                       CASE WHEN len(toks) >= 3 THEN list_transform(
+                            range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                            ELSE [] END AS g3,
+                       CASE WHEN len(toks) >= 5 THEN list_transform(
+                            range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' '))
+                            ELSE [] END AS g5
+                FROM t
+            )
+            SELECT doc_id, len(toks) AS n_tokens,
+                   round(coalesce(list_max(list_transform(list_distinct(g2),
+                         x -> len(list_filter(g2, y -> y = x)))), 0) * 2
+                         / greatest(len(toks), 1)::DOUBLE, 6) AS top2_frac,
+                   round(coalesce(list_max(list_transform(list_distinct(g3),
+                         x -> len(list_filter(g3, y -> y = x)))), 0) * 3
+                         / greatest(len(toks), 1)::DOUBLE, 6) AS top3_frac,
+                   round((len(g5) - len(list_distinct(g5)))
+                         / greatest(len(g5), 1)::DOUBLE, 6) AS dup5_frac
+            FROM g
         """,
         "winnow_pairs": f"""
             WITH hashes AS (

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "scrub_pii",
     "text_tokens",
     "text_fingerprint",
+    "text_repetition",
     "split_naive",
     "split_paragraphs",
     "events_windowed",

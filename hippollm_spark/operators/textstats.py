@@ -156,6 +156,67 @@ def quality_features(
     return out.withColumn("quality_score_e8", score_e8.cast("long"))
 
 
+def _ngram_join(toks: Column, n: int) -> Column:
+    """ARRAY<STRING> of space-joined token n-grams (empty when the
+    document has fewer than n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed relationally):
+
+    - ``top2_frac`` / ``top3_frac``: fraction of tokens covered by the
+      single most frequent 2-/3-gram (count × n / n_tokens)
+    - ``dup5_frac``: fraction of 5-gram occurrences that are repeats
+      (1 − distinct/total)
+
+    All ratios rounded to 6dp (integer counts divided in DOUBLE — the
+    same bits on any engine). Zero-shuffle narrow map: the n-gram
+    frequency maxima are computed per row with higher-order array
+    functions (work bounded by document length²), never a groupBy — at
+    corpus scale this runs at scan speed, unlike the explode+count
+    formulation whose shuffle volume is one row per n-gram occurrence.
+    """
+    base = with_tokens(docs, id_col=id_col, text_col=text_col)
+    toks = F.col("__toks__")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+
+    def top_frac(n: int) -> Column:
+        grams = _ngram_join(toks, n)
+        max_cnt = F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            )
+        )
+        return F.round(
+            F.coalesce(max_cnt, F.lit(0)) * n / n_tok.cast("double"), 6
+        )
+
+    g5 = _ngram_join(toks, 5)
+    n5 = F.size(g5)
+    dup5 = F.round(
+        (n5 - F.size(F.array_distinct(g5))) / F.greatest(n5, F.lit(1)).cast("double"),
+        6,
+    )
+    return base.select(
+        F.col("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        top_frac(2).alias("top2_frac"),
+        top_frac(3).alias("top3_frac"),
+        dup5.alias("dup5_frac"),
+    )
+
+
 def md5_long(col: Column | str) -> Column:
     """First 60 bits of md5 as a BIGINT — a hash both Spark and DuckDB
     compute identically (xxhash64 exists only in Spark)."""

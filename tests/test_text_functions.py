@@ -146,3 +146,38 @@ def test_quality_gate_matches_quality_features(spark, documents):
         ).collect()
     }
     assert got_all == want
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition signals on a hand-checked micro-corpus."""
+    from hippollm_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            # "a b a b a b": 2-grams [ab, ba, ab, ba, ab] -> max 3 of 5;
+            # 3-grams [aba, bab, aba, bab] -> max 2; 5-grams [ababa, babab]
+            # -> all distinct
+            (1, "a b a b a b"),
+            # no repeats at all
+            (2, "one two three four five six"),
+            # shorter than every n-gram window
+            (3, "single"),
+            # exact duplicated 5-gram: "p q r s t p q r s t"
+            # 5-grams: pqrst qrstp rstpq stpqr tpqrs pqrst -> 6 total, 5 distinct
+            (4, "p q r s t p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["top2_frac"] == round(3 * 2 / 6, 6) == 1.0
+    assert rows[1]["top3_frac"] == round(2 * 3 / 6, 6) == 1.0
+    assert rows[1]["dup5_frac"] == 0.0
+    assert rows[2]["top2_frac"] == round(1 * 2 / 6, 6)
+    assert rows[2]["top3_frac"] == round(1 * 3 / 6, 6)
+    assert rows[2]["dup5_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 1
+    assert rows[3]["top2_frac"] == 0.0
+    assert rows[3]["top3_frac"] == 0.0
+    assert rows[3]["dup5_frac"] == 0.0
+    assert rows[4]["dup5_frac"] == round(1 / 6, 6)
