@@ -188,32 +188,76 @@ def repetition_signals(
     """
     base = with_tokens(docs, id_col=id_col, text_col=text_col)
     toks = F.col("__toks__")
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-
-    def top_frac(n: int) -> Column:
-        grams = _ngram_join(toks, n)
-        max_cnt = F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda x: x == g)),
-            )
-        )
-        return F.round(
-            F.coalesce(max_cnt, F.lit(0)) * n / n_tok.cast("double"), 6
-        )
-
-    g5 = _ngram_join(toks, 5)
-    n5 = F.size(g5)
-    dup5 = F.round(
-        (n5 - F.size(F.array_distinct(g5))) / F.greatest(n5, F.lit(1)).cast("double"),
-        6,
-    )
-    return base.select(
+    # Materialize each n-gram array (sorted) once in its own projection;
+    # the frequency statistics below are single linear passes over the
+    # bound sorted column. The naive transform(distinct, g ->
+    # size(filter(grams, = g))) form is O(d²) string comparisons per
+    # row with the gram-building expression tree duplicated into every
+    # lambda — 25× slower at sf0.1.
+    withg = base.select(
         F.col("doc_id"),
         F.size(toks).alias("n_tokens"),
-        top_frac(2).alias("top2_frac"),
-        top_frac(3).alias("top3_frac"),
-        dup5.alias("dup5_frac"),
+        F.array_sort(_ngram_join(toks, 2)).alias("__g2__"),
+        F.array_sort(_ngram_join(toks, 3)).alias("__g3__"),
+        F.array_sort(_ngram_join(toks, 5)).alias("__g5__"),
+    )
+    n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
+
+    def max_run(sorted_col: Column) -> Column:
+        """Max frequency of any element = longest equal-run in the
+        sorted array — one aggregate() pass, no nested loops."""
+        return F.aggregate(
+            sorted_col,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda a: a["best"],
+        )
+
+    def n_distinct(sorted_col: Column) -> Column:
+        """Distinct count of a sorted array = number of run starts —
+        same single-pass shape."""
+        return F.aggregate(
+            sorted_col,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"), F.lit(0).alias("cnt")
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                (a["cnt"] + F.when(x.eqNullSafe(a["prev"]), 0).otherwise(1)).alias(
+                    "cnt"
+                ),
+            ),
+            lambda a: a["cnt"],
+        )
+
+    n5 = F.size(F.col("__g5__"))
+    return withg.select(
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        F.round(max_run(F.col("__g2__")) * 2 / n_tok.cast("double"), 6).alias(
+            "top2_frac"
+        ),
+        F.round(max_run(F.col("__g3__")) * 3 / n_tok.cast("double"), 6).alias(
+            "top3_frac"
+        ),
+        F.round(
+            (n5 - n_distinct(F.col("__g5__")))
+            / F.greatest(n5, F.lit(1)).cast("double"),
+            6,
+        ).alias("dup5_frac"),
     )
 
 
