@@ -26,6 +26,7 @@ from hippollm_spark.operators.dedup import (
     dedup_canonicalize,
     exact_dedup,
     jaccard_dup_pairs,
+    minhash_lsh_pairs,
     remove_boilerplate_segments,
 )
 from hippollm_spark.operators.sampling import pack_sequences
@@ -43,6 +44,7 @@ def curate_corpus(
     max_shingle_df: int | None = None,
     boilerplate_seg_tokens: int | None = None,
     boilerplate_max_df: int = 2,
+    near_dup_method: str = "jaccard",
 ) -> DataFrame:
     """Run the curation pipeline; returns the per-language summary
     (lang, n_docs, n_tokens, n_chunks) of the surviving corpus — the
@@ -66,6 +68,15 @@ def curate_corpus(
     end-to-end oracle stays replayable without it) runs corpus-wide
     boilerplate segment removal BEFORE the quality gate — text-mutating,
     so token counts and every downstream hash reflect the cleaned text.
+
+    ``near_dup_method``: 'jaccard' (default) computes EXACT n-gram
+    Jaccard pairs — the oracle-replayable test-scale path; 'minhash'
+    swaps stage 5's pair generation for MinHash+LSH banding (128/32,
+    candidates still verified with exact Jaccard, so false positives
+    cannot enter) — the 100 TB path: the only wide exchange is on two
+    longs instead of exploded shingle strings. Pair recall is the only
+    difference, and planted-dup recall is tested in
+    tools/scale_probe.py and tests/test_dedup.py.
 
     ``max_shingle_df`` is the stop-shingle skew guard for BOTH
     similarity joins and is MANDATORY at scale: boilerplate n-grams
@@ -100,9 +111,14 @@ def curate_corpus(
     corpus = keep.filter(F.col("doc_id") % bench_mod != 0)
 
     surv = exact_dedup(corpus).cache()
-    pairs = jaccard_dup_pairs(
-        surv, threshold=jaccard_threshold, n=3, max_shingle_df=max_shingle_df
-    )
+    if near_dup_method == "minhash":
+        pairs = minhash_lsh_pairs(surv, threshold=jaccard_threshold, n=3)
+    elif near_dup_method == "jaccard":
+        pairs = jaccard_dup_pairs(
+            surv, threshold=jaccard_threshold, n=3, max_shingle_df=max_shingle_df
+        )
+    else:
+        raise ValueError(f"unknown near_dup_method {near_dup_method!r}")
     surv = apply_dedup(surv, dedup_canonicalize(pairs)).cache()
 
     cont = cross_jaccard_pairs(

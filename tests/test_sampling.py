@@ -206,3 +206,33 @@ def test_curate_corpus_with_boilerplate_stage(spark):
     # the one where all 5 distinct documents survive)
     assert len(out) == 1 and out[0]["n_docs"] == 5
     assert out[0]["n_tokens"] < 40
+
+
+def test_curate_corpus_minhash_path_same_result(spark):
+    """The 100-TB near-dup path (MinHash+LSH pair generation) must
+    agree with the exact-Jaccard path on a corpus whose near-dups are
+    unambiguous (128-hash signatures on ~0.9-Jaccard pairs collide in
+    at least one of 32 bands with probability ~1)."""
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests with the dog in the warm sun of the meadow"
+    )
+    near = good.replace("meadow", "field")
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, good, "en", "s", len(good)),
+        (3, near, "en", "s", len(near)),
+        (21, "the spark engine shuffles data with the sort and the hash "
+             "and the merge in the exchange of the plan", "en", "s", 100),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = sorted(map(tuple, curate_corpus(docs, min_quality_e8=50_000_000).collect()))
+    b = sorted(map(tuple, curate_corpus(
+        docs, min_quality_e8=50_000_000, near_dup_method="minhash"
+    ).collect()))
+    assert a == b
+    assert len(a) == 1 and a[0][1] == 2  # docs 1 and 21 survive

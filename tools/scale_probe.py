@@ -252,6 +252,20 @@ def main() -> None:
         f"({kept:,} kept across {len(summary)} langs)"
     )
 
+    t0 = time.time()
+    summary_mh = curate_corpus(
+        cdocs,
+        min_quality_e8=40_000_000,
+        max_shingle_df=n_doc // 20,
+        near_dup_method="minhash",
+    ).collect()
+    kept_mh = sum(r["n_docs"] for r in summary_mh)
+    print(
+        f"curate (minhash path) {n_doc:,} docs end-to-end: "
+        f"{time.time()-t0:.1f}s ({kept_mh:,} kept across "
+        f"{len(summary_mh)} langs)"
+    )
+
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
