@@ -168,6 +168,44 @@ def _ngram_join(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _max_run(sorted_col: Column) -> Column:
+    """Max frequency of any element of a SORTED array = longest
+    equal-run — one aggregate() pass, no nested loops."""
+    return F.aggregate(
+        sorted_col,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
+def _n_distinct(sorted_col: Column) -> Column:
+    """Distinct count of a sorted array = number of run starts — same
+    single-pass shape as _max_run."""
+    return F.aggregate(
+        sorted_col,
+        F.struct(F.lit(None).cast("string").alias("prev"), F.lit(0).alias("cnt")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            (a["cnt"] + F.when(x.eqNullSafe(a["prev"]), 0).otherwise(1)).alias("cnt"),
+        ),
+        lambda a: a["cnt"],
+    )
+
+
 def repetition_signals(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -202,59 +240,18 @@ def repetition_signals(
         F.array_sort(_ngram_join(toks, 5)).alias("__g5__"),
     )
     n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
-
-    def max_run(sorted_col: Column) -> Column:
-        """Max frequency of any element = longest equal-run in the
-        sorted array — one aggregate() pass, no nested loops."""
-        return F.aggregate(
-            sorted_col,
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda a, x: F.struct(
-                x.alias("prev"),
-                F.when(x.eqNullSafe(a["prev"]), a["run"] + 1)
-                .otherwise(F.lit(1))
-                .alias("run"),
-                F.greatest(
-                    a["best"],
-                    F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-            lambda a: a["best"],
-        )
-
-    def n_distinct(sorted_col: Column) -> Column:
-        """Distinct count of a sorted array = number of run starts —
-        same single-pass shape."""
-        return F.aggregate(
-            sorted_col,
-            F.struct(
-                F.lit(None).cast("string").alias("prev"), F.lit(0).alias("cnt")
-            ),
-            lambda a, x: F.struct(
-                x.alias("prev"),
-                (a["cnt"] + F.when(x.eqNullSafe(a["prev"]), 0).otherwise(1)).alias(
-                    "cnt"
-                ),
-            ),
-            lambda a: a["cnt"],
-        )
-
     n5 = F.size(F.col("__g5__"))
     return withg.select(
         F.col("doc_id"),
         F.col("n_tokens"),
-        F.round(max_run(F.col("__g2__")) * 2 / n_tok.cast("double"), 6).alias(
+        F.round(_max_run(F.col("__g2__")) * 2 / n_tok.cast("double"), 6).alias(
             "top2_frac"
         ),
-        F.round(max_run(F.col("__g3__")) * 3 / n_tok.cast("double"), 6).alias(
+        F.round(_max_run(F.col("__g3__")) * 3 / n_tok.cast("double"), 6).alias(
             "top3_frac"
         ),
         F.round(
-            (n5 - n_distinct(F.col("__g5__")))
+            (n5 - _n_distinct(F.col("__g5__")))
             / F.greatest(n5, F.lit(1)).cast("double"),
             6,
         ).alias("dup5_frac"),
@@ -441,6 +438,8 @@ def quality_gate(
     min_quality_e8: int = 55_000_000,
     text_col: str = "text",
     require_lang: bool = True,
+    max_top2_frac: float | None = None,
+    max_dup5_frac: float | None = None,
 ) -> DataFrame:
     """Stateless quality (+ language) gate: one projection chain and a
     filter — no joins, no aggregations — so the SAME operator is legal
@@ -448,6 +447,11 @@ def quality_gate(
     ``quality_features``/``language_id`` forms join on doc_id, which a
     stream cannot do without watermark gymnastics). Keeps every input
     column; the score formula is bit-identical to ``quality_features``.
+
+    ``max_top2_frac`` / ``max_dup5_frac`` (optional) add the Gopher
+    repetition filters — per-row array expressions, so they stay
+    stream-legal; thresholds compare the same 6dp-rounded values as
+    ``repetition_signals``.
     """
     staged = docs.withColumn(
         "__toks__", F.split(normalized_text(text_col), " ")
@@ -476,4 +480,15 @@ def quality_gate(
     out = staged.filter(score >= min_quality_e8)
     if require_lang:
         out = out.filter(detect_language(toks, tokens=True) != "und")
+    if max_top2_frac is not None:
+        g2 = F.array_sort(_ngram_join(toks, 2))
+        top2 = F.round(_max_run(g2) * 2 / F.greatest(n_tok, F.lit(1)).cast("double"), 6)
+        out = out.filter(top2 <= max_top2_frac)
+    if max_dup5_frac is not None:
+        g5 = F.array_sort(_ngram_join(toks, 5))
+        n5 = F.size(g5)
+        dup5 = F.round(
+            (n5 - _n_distinct(g5)) / F.greatest(n5, F.lit(1)).cast("double"), 6
+        )
+        out = out.filter(dup5 <= max_dup5_frac)
     return out.drop("__toks__")

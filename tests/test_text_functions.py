@@ -181,3 +181,34 @@ def test_repetition_signals_hand_computed(spark):
     assert rows[3]["top3_frac"] == 0.0
     assert rows[3]["dup5_frac"] == 0.0
     assert rows[4]["dup5_frac"] == round(1 / 6, 6)
+
+
+def test_quality_gate_repetition_filters(spark):
+    """The stream-legal repetition gates agree with repetition_signals'
+    thresholds row-for-row."""
+    from hippollm_spark.operators.textstats import quality_gate, repetition_signals
+
+    rows = [
+        (1, "spark shuffles data across the executors with a hash " * 6),
+        (2, "the quick brown fox jumps over the lazy dog near the river "
+            "bank and rests in the shade of the old tree"),
+        (3, "go go go go go go go go go go go go"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    want = {
+        d for d, r in sig.items()
+        if r["top2_frac"] <= 0.5 and r["dup5_frac"] <= 0.2
+    }
+    got = {
+        r["doc_id"]
+        for r in quality_gate(
+            docs,
+            min_quality_e8=0,
+            require_lang=False,
+            max_top2_frac=0.5,
+            max_dup5_frac=0.2,
+        ).collect()
+    }
+    assert got == want
+    assert 2 in got and 3 not in got  # sanity: repeated docs filtered
