@@ -83,16 +83,25 @@ def curate_stream(
     min_quality_e8: int = 55_000_000,
     shards: int = 64,
     scrub: bool = True,
+    max_top2_frac: float | None = None,
+    max_dup5_frac: float | None = None,
 ) -> DataFrame:
     """Compose the ingestion-side curation over a (streaming or batch)
     document DataFrame with (doc_id, text, ts): PII scrub → stateless
-    quality+language gate → (streaming only) stateful first-seen dedup.
-    On a batch DataFrame the dedup stage is skipped — batch corpora get
-    the stronger corpus-level ``pipelines.curate.curate_corpus``."""
+    quality+language gate (optionally with the Gopher repetition
+    filters — still stateless, so still stream-legal) → (streaming
+    only) stateful first-seen dedup. On a batch DataFrame the dedup
+    stage is skipped — batch corpora get the stronger corpus-level
+    ``pipelines.curate.curate_corpus``."""
     out = docs
     if scrub:
         out = out.withColumn("text", scrub_pii(F.col("text")))
-    out = quality_gate(out, min_quality_e8=min_quality_e8)
+    out = quality_gate(
+        out,
+        min_quality_e8=min_quality_e8,
+        max_top2_frac=max_top2_frac,
+        max_dup5_frac=max_dup5_frac,
+    )
     if out.isStreaming:
         out = dedup_docs_stream(out.select("doc_id", "text", "ts"), shards=shards)
     return out

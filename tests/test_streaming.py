@@ -181,3 +181,45 @@ def test_curate_stream_matches_batch_gates(spark, tmp_path):
         spark.read.parquet(drop), min_quality_e8=50_000_000
     )
     assert sorted(r["doc_id"] for r in batch.collect()) == [1, 3, 4]
+
+
+def test_curate_stream_repetition_gate(spark, tmp_path):
+    """The Gopher repetition filters stay stream-legal inside
+    curate_stream and drop the repeated document."""
+    import datetime as dt
+
+    from hippollm_spark.streaming.curate_stream import curate_stream
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests with the dog in the warm sun of the meadow"
+    )
+    loop = "the spark is the spark is " * 8 + "the spark"
+    drop = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, good, t0), (2, loop, t0)],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(drop)
+    )
+    out = curate_stream(
+        stream,
+        min_quality_e8=0,
+        shards=4,
+        max_top2_frac=0.5,
+        max_dup5_frac=0.2,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rep_gated")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM rep_gated").collect()}
+    assert kept == {1}
