@@ -544,6 +544,212 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reduced schema has no partsupp table; derive the
+    part-supplier relationship from lineitem. ps_supplycost is the
+    minimum observed sale price for the pair — min over doubles is
+    exact and order-independent, so both engines agree bit-for-bit
+    (no arithmetic, unlike an avg unit price)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("ps_supplycost")
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (Q2 adapted: partsupp derived from
+    lineitem, supplycost = min observed price). For STANDARD parts of
+    size <= 10, the EUROPE supplier(s) matching the per-part minimum
+    cost. The correlated-min subquery becomes a window min — one
+    shuffle on p_partkey; supplier⋈nation⋈region is broadcast."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    snr = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    cand = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(snr), ps.l_suppkey == snr.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mn", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_mn"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                 F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (Q11 adapted: inventory value =
+    sum of extendedprice·quantity shipped by NATION_1 suppliers per
+    part). Parts holding > 0.1% of the national total; the fractional
+    test value·1000 > total is exact integer-decimal (no division).
+    The scalar total rides along as a broadcast cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nsupp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    nli = li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey, "left_semi")
+    per_part = nli.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_quantity"))).alias("_v")
+    )
+    total = per_part.agg(F.sum("_v").alias("_t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_v") * 1000 > F.col("_t"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("_v"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority split (Q12 adapted: no shipmode/receipt
+    columns — the category is l_linestatus and "late" = shipped > 60
+    days after the order date). One shuffle join orders⋈lineitem;
+    the priority CASE folds into the aggregate (map-side partial)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (Q16 adapted: partsupp derived from
+    lineitem; the "complaints" exclusion is suppliers with negative
+    account balance). Distinct supplier count per (brand, type, size)
+    for non-PROMO, non-Brand#1 parts of selected sizes."""
+    ps = _derived_partsupp(spark, sf_dir).select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (Q20 adapted: no availqty — a
+    NATION_3 supplier qualifies if it shipped more than half of some
+    blue part's total 1996 volume). The half test 2·qty > total is
+    exact integer-decimal. Per-part totals via a window over the
+    (part, supplier) aggregate — one shuffle, no self-join."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("_q")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pair.withColumn("_tot", F.sum("_q").over(w))
+        .filter(F.col("_q") * 2 > F.col("_tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
+        .join(F.broadcast(dominant), supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21 adapted: "late" =
+    shipped > 90 days after the order date). For finished orders with
+    >1 supplier where exactly one supplier shipped late, count the
+    waits per NATION_1 supplier. The double EXISTS/NOT EXISTS
+    collapses into one per-order aggregate (supplier count + late
+    count) — two shuffles total instead of two self-joins."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "_late",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    culprit = (
+        per_pair.withColumn("_nsupp", F.count("*").over(w))
+        .withColumn("_nlate", F.sum("_late").over(w))
+        .filter(
+            (F.col("_late") == 1) & (F.col("_nsupp") > 1) & (F.col("_nlate") == 1)
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nsupp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+    return (
+        culprit.join(F.broadcast(nsupp), culprit.l_suppkey == nsupp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
 def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals — ROLLUP over (returnflag, linestatus);
     grouping nulls coalesced to 'ALL' for cross-engine stability."""
@@ -1255,6 +1461,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "tpch_rollup": q_tpch_rollup,
         "window_topk": q_window_topk,
         "quantiles": q_quantiles,
@@ -1586,6 +1798,133 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY c_nationkey
             ORDER BY cntrycode
+        """,
+        "tpch_q2": """
+            WITH partsupp AS (
+                SELECT l_partkey, l_suppkey, min(l_extendedprice) AS ps_supplycost
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            snr AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            cand AS (
+                SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost,
+                       min(ps_supplycost) OVER (PARTITION BY p_partkey) AS mn
+                FROM partsupp
+                JOIN part ON l_partkey = p_partkey
+                JOIN snr ON l_suppkey = s_suppkey
+                WHERE p_type = 'STANDARD' AND p_size <= 10
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   ps_supplycost AS supplycost
+            FROM cand WHERE ps_supplycost = mn
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "tpch_q11": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10))) AS v
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_1'
+                )
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS ps_partkey, round(v, 2)::DOUBLE AS value
+            FROM per_part
+            WHERE v * 1000 > (SELECT sum(v) FROM per_part)
+            ORDER BY value DESC, ps_partkey ASC
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "tpch_q16": """
+            WITH partsupp AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM partsupp
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand != 'Brand#1'
+              AND p_type != 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20": """
+            WITH pair AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS DECIMAL(38,10))) AS q
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'
+                  )
+                GROUP BY l_partkey, l_suppkey
+            ),
+            dominant AS (
+                SELECT DISTINCT l_suppkey FROM (
+                    SELECT l_suppkey, q,
+                           sum(q) OVER (PARTITION BY l_partkey) AS tot
+                    FROM pair
+                ) WHERE q * 2 > tot
+            )
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+            ORDER BY s_name
+        """,
+        "tpch_q21": """
+            WITH per_pair AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS late
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            culprit AS (
+                SELECT l_suppkey FROM (
+                    SELECT l_suppkey, late,
+                           count(*) OVER (PARTITION BY l_orderkey) AS nsupp,
+                           sum(late) OVER (PARTITION BY l_orderkey) AS nlate
+                    FROM per_pair
+                ) WHERE late = 1 AND nsupp > 1 AND nlate = 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM culprit
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 100
         """,
         "tpch_q5": """
             SELECT n_name,

@@ -24,6 +24,7 @@ from hippollm_spark.session import get_spark
 
 BENCH_QUERIES = [
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
@@ -32,12 +33,17 @@ BENCH_QUERIES = [
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q22",
     "tpch_rollup",
     "window_topk",
