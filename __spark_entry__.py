@@ -1395,6 +1395,18 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-20 for the query {hash, join, vector} —
+    the lexical complement of the kNN retrieval path (operators/
+    ranking.py). Only query-matching postings are shuffled; term-df
+    and corpus stats are broadcast; top-k is TakeOrderedAndProject."""
+    from hippollm_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=20
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-span detection via winnowing fingerprints (MOSS scheme):
     doc pairs sharing >= 20 selected rolling-hash fingerprints, after
@@ -1513,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
+        "bm25_topk": q_bm25_topk,
         "winnow_pairs": q_winnow_pairs,
         "graph_components": q_graph_components,
     }
@@ -2636,6 +2649,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest(shingles) AS ngram FROM sh
             ) GROUP BY ngram
             ORDER BY df DESC, ngram ASC
+            LIMIT 20
+        """,
+        "bm25_topk": f"""
+            WITH dl AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks,
+                       len(string_split({_NORM}, ' ')) AS dl
+                FROM documents
+            ),
+            stats AS (SELECT count(*) AS n, sum(dl) AS sd FROM dl),
+            tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+                WHERE term IN ('hash', 'join', 'vector')
+                GROUP BY doc_id, dl, term
+            ),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+            SELECT doc_id,
+                   round(sum(CAST(round(
+                       round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+                       * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sd / n))))
+                   , 6) AS DECIMAL(38,10)))::DOUBLE, 6) AS score
+            FROM tf JOIN dft USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
             LIMIT 20
         """,
         "text_clean": f"""

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "user_activity",
     "top_ngrams",
     "text_clean",
+    "bm25_topk",
     "winnow_pairs",
     "graph_components",
 ]

@@ -1,0 +1,151 @@
+"""Lexical relevance ranking (BM25) over a document corpus.
+
+The reference engine's only retrieval primitive is embedding kNN
+(reference storage.py:255-276); a production corpus-scale engine also
+needs the lexical side: score documents against a bag of query terms
+and return the top-k. This is the classic inverted-index shape
+expressed as DataFrame ops:
+
+    tokens --explode--> (doc, term, tf)  [only query terms survive]
+    df per term = window count over tf   [no second corpus scan]
+    corpus stats (N, avgdl)              [single-row agg; broadcast]
+    score per (doc, term) --> sum per doc --> top-k
+
+Scale shape: the ``isin(query_terms)`` filter runs inside the explode
+projection, so only rows matching the query are ever shuffled — at
+100 TB the shuffle volume is proportional to query-term postings, not
+corpus size (exactly what an inverted index buys, without building
+one). The term-df and corpus-stat aggregates are bytes-sized and
+broadcast; the final top-k is a TakeOrderedAndProject (partition-local
+heads, no global sort).
+
+Cross-engine float discipline (see __spark_entry__ docstring): the
+only transcendental, ``ln`` in the idf, is rounded to 6dp before use
+(its 1-ulp libm divergence is ~1e-16 — far from the rounding grid);
+every remaining per-term operation is a single exactly-rounded IEEE
+op written with identical parenthesization on both engines; per-term
+contributions are rounded to 6dp and summed as DECIMAL so the
+per-document total is order-independent and bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+__all__ = ["bm25_scores", "bm25_topk"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score) — Okapi BM25 score of every document matching
+    at least one query term. Documents containing no query term are
+    absent (their score is 0 by definition).
+
+    idf is the Robertson/Sparck-Jones form used by Lucene:
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)`` — always positive, so
+    stopword-heavy queries cannot produce negative contributions.
+    """
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("__toks__"),
+    )
+    # Document length must be computed before the query filter (it is
+    # a property of the document, not of the matching postings).
+    with_dl = toks.select(
+        "doc_id", F.size("__toks__").alias("dl"), "__toks__"
+    )
+    tf = (
+        with_dl.select(
+            "doc_id", "dl", F.explode("__toks__").alias("term")
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # Corpus stats: one row, broadcast. N and total token count are
+    # exact integers; avgdl = total/N is one exactly-rounded IEEE
+    # division, identical across engines. This is the only pass that
+    # must see every document (lengths are corpus properties); it
+    # reads one column and shuffles one row.
+    stats = with_dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # Document frequency per term as a window count over the postings
+    # aggregate (tf has exactly one row per (doc, term)) — NOT an
+    # independent groupBy branch off the scan: Spark does not share
+    # subplans, so a second aggregate would re-read and re-tokenize
+    # the whole corpus. The window's exchange is over query-matching
+    # postings only.
+    w = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count("*").over(w))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score, deterministic ``(score desc,
+    doc_id asc)`` order → TakeOrderedAndProject (no global sort)."""
+    return bm25_scores(
+        docs, query_terms, k1=k1, b=b, id_col=id_col, text_col=text_col
+    ).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

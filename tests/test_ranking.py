@@ -1,0 +1,87 @@
+"""BM25 lexical ranking vs an independent pure-Python implementation."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hippollm_spark.operators.ranking import bm25_scores, bm25_topk
+
+
+def _py_bm25(rows, terms, k1=1.2, b=0.75):
+    """Independent oracle: textbook BM25 over (doc_id, text) pairs,
+    same normalization (lowercase, whitespace split) and the same 6dp
+    per-term rounding discipline as the Spark operator."""
+    toks = {d: re.sub(r"\s+", " ", t.strip()).lower().split(" ") for d, t in rows}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {
+        q: sum(1 for v in toks.values() if q in v)
+        for q in terms
+    }
+    out = {}
+    for d, v in toks.items():
+        s = 0.0
+        for q in set(terms):
+            tf = v.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = round(math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0), 6)
+            part = (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(v) / avgdl)
+            )
+            s += round(idf * part, 6)
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+DOCS = [
+    (0, "spark join hash join  vector"),
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "join join join join join"),
+    (3, "vector hash"),
+    (4, "nothing relevant here at all whatsoever truly"),
+    (5, "hash HASH Hash vector spark spark"),
+]
+TERMS = ["join", "vector", "hash"]
+
+
+def test_bm25_matches_pure_python(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, TERMS).collect()
+    }
+    want = _py_bm25(DOCS, TERMS)
+    assert got == want
+    # docs 1 and 4 match no query term -> absent
+    assert 1 not in got and 4 not in got
+
+
+def test_bm25_topk_order_and_ties(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    top = bm25_topk(docs, TERMS, k=3).collect()
+    want = _py_bm25(DOCS, TERMS)
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["score"]) for r in top] == expect
+
+
+def test_bm25_repeated_query_terms_count_once(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    once = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["join"]).collect()}
+    twice = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, ["join", "join"]).collect()
+    }
+    assert once == twice
+
+
+def test_bm25_on_corpus(documents):
+    """Smoke on the synthetic corpus: scores positive, k respected,
+    descending order."""
+    top = bm25_topk(documents, ["vector", "hash", "join"], k=10).collect()
+    assert len(top) == 10
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
