@@ -927,6 +927,25 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 iterations, damping 0.85) over the undirected
+    entity co-occurrence graph, in exact scaled-integer arithmetic so
+    the iterative fixpoint is hash-comparable across engines — the
+    DuckDB twin unrolls the identical integer recurrence. The Spark
+    side is the scalable iterative-join form (operators/graph.pagerank)."""
+    from hippollm_spark.operators.graph import cooccurrence, pagerank
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select("entity_a", "entity_b")
+    sym = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).union(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    return pagerank(sym, iterations=6).orderBy(
+        F.desc("rank_scaled"), F.asc("vertex")
+    )
+
+
 def q_g3_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — entity co-occurrence projection (reference hippoview
     app.py:144-167)."""
@@ -1526,12 +1545,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
         "bm25_topk": q_bm25_topk,
+        "graph_pagerank": q_graph_pagerank,
         "winnow_pairs": q_winnow_pairs,
         "graph_components": q_graph_components,
     }
 
 
 _NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+
+def _pagerank_oracle_sql(
+    iterations: int = 6, damping: int = 85, scale: int = 10**12
+) -> str:
+    """DuckDB replica of q_graph_pagerank: the same integer recurrence
+    unrolled into one CTE per iteration (recursive CTEs forbid
+    aggregation over the recursive reference, so unrolling is the
+    portable form). Every op is exact BIGINT arithmetic — floor
+    division matches Spark's `div` on the all-positive domain."""
+    r0 = f"({scale} // (SELECT n FROM c))"
+    base = f"(({100 - damping} * {r0}) // 100)"
+    ctes = [
+        f"""pr0 AS (
+            SELECT vertex, ({r0})::BIGINT AS rank_scaled FROM verts
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""pr{i} AS (
+            SELECT v.vertex,
+                   ({base} + ({damping} * coalesce(s.s, 0)) // 100)::BIGINT
+                       AS rank_scaled
+            FROM verts v LEFT JOIN (
+                SELECT dst, sum(rank_scaled // outdeg) AS s
+                FROM pr{i - 1} JOIN e ON vertex = src JOIN deg USING (src)
+                GROUP BY dst
+            ) s ON v.vertex = s.dst
+        )""")
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH ed AS ({_EDGES_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.entity AS ea, b.entity AS eb
+            FROM ed a JOIN ed b
+              ON a.fact_id = b.fact_id AND a.entity < b.entity
+        ),
+        e AS (
+            SELECT ea AS src, eb AS dst FROM pairs
+            UNION
+            SELECT eb AS src, ea AS dst FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS vertex FROM e),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        c AS (SELECT count(*) AS n FROM verts),
+        {chain}
+        SELECT vertex, rank_scaled FROM pr{iterations}
+        ORDER BY rank_scaled DESC, vertex ASC
+    """
 
 
 def _minhash_oracle_sql() -> str:
@@ -2471,6 +2539,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc
             FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id
         """,
+        "graph_pagerank": _pagerank_oracle_sql(),
         "graph_components": f"""
             WITH RECURSIVE base AS ({_EDGES_SQL}),
             ee AS (

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "winnow_pairs",
     "graph_components",
+    "graph_pagerank",
 ]
 
 

@@ -231,3 +231,80 @@ def cooccurrence(edges: DataFrame, fact_ids: DataFrame | None = None) -> DataFra
             F.array_sort(F.collect_list("fact_id")).alias("fact_ids"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    *,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact scaled-integer arithmetic.
+
+    Floating-point PageRank cannot be hash-compared across engines
+    (iteration compounds ulp drift), so all mass is carried as BIGINT
+    in units of 1/``scale``: the per-edge contribution is
+    ``rank div outdeg`` and the update is
+    ``base + (damping_pct * Σcontrib) div 100`` — every operation an
+    exact integer op, so the result is bit-identical on any engine
+    (the DuckDB oracle unrolls the same recurrence). Rounding mass
+    lost to floor-division is the price of determinism: bounded by
+    |V|·iterations / scale, irrelevant at scale=1e12.
+
+    Shape per iteration: one join ranks⨝edges (both sides keyed on
+    the vertex domain — consecutive iterations reuse the hash
+    partitioning) and one aggregation shuffle on dst. Lineage is cut
+    with localCheckpoint every ``checkpoint_every`` iterations, the
+    standard iterative-DataFrame discipline (an unbounded plan tree
+    re-optimizes and re-executes from the scan each pass).
+
+    Overflow: Σ contributions into one vertex ≤ total mass ≈ scale,
+    so damping_pct·Σ ≤ 8.5e13 ≪ 2^63 regardless of graph size.
+
+    Input edges are directed (src, dst); pass both directions for an
+    undirected graph. Vertices = src ∪ dst, so sinks that appear only
+    as dst are ranked (their mass leaks, as in standard PageRank with
+    no dangling redistribution). Output: (vertex, rank_scaled BIGINT).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank_scaled", F.lit(0).cast("long"))
+    r0 = scale // n
+    base = ((100 - damping_pct) * r0) // 100
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    pre = e.join(deg, "src").cache()  # (src, dst, outdeg): loop-invariant
+    ranks = verts.withColumn("rank_scaled", F.lit(r0).cast("long"))
+    for it in range(iterations):
+        contrib = (
+            pre.join(ranks, pre.src == ranks.vertex)
+            .select("dst", F.expr("rank_scaled div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = verts.join(
+            contrib, verts.vertex == contrib.dst, "left"
+        ).select(
+            "vertex",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("rank_scaled"),
+        )
+        if it % checkpoint_every == checkpoint_every - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

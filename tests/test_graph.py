@@ -69,3 +69,46 @@ def test_explore_max_relations_cap(edges):
     capped = graph.explore(edges, ["A"], max_depth=1, max_relations=1)
     rows = capped.collect()
     assert {(r["src"], r["dst"]) for r in rows} == {("A", "B")}
+
+
+def _py_pagerank(edge_list, iterations=6, damping=85, scale=10**12):
+    """Independent pure-Python replica of the scaled-integer recurrence."""
+    e = sorted(set(edge_list))
+    verts = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(verts)
+    r0 = scale // n
+    base = ((100 - damping) * r0) // 100
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: r0 for v in verts}
+    for _ in range(iterations):
+        s_in = {v: 0 for v in verts}
+        for s, d in e:
+            s_in[d] += r[s] // outdeg[s]
+        r = {v: base + (damping * s_in[v]) // 100 for v in verts}
+    return r
+
+
+def test_pagerank_matches_pure_python(spark):
+    # Directed graph with a sink (D has no out-edges) and a hub (A).
+    edge_list = [
+        ("A", "B"), ("A", "C"), ("B", "A"), ("C", "A"),
+        ("B", "C"), ("C", "D"), ("E", "A"), ("E", "D"),
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["vertex"]: r["rank_scaled"]
+        for r in graph.pagerank(df, iterations=6).collect()
+    }
+    assert got == _py_pagerank(edge_list)
+    # the hub outranks the leaf that only feeds it
+    assert got["A"] > got["E"]
+
+
+def test_pagerank_cycle_uniform(spark):
+    # A symmetric cycle is rank-uniform at every iteration.
+    cyc = [("A", "B"), ("B", "C"), ("C", "A")]
+    df = spark.createDataFrame(cyc, ["src", "dst"])
+    ranks = {r["rank_scaled"] for r in graph.pagerank(df, iterations=4).collect()}
+    assert len(ranks) == 1
