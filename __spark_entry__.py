@@ -946,6 +946,43 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the entity co-occurrence graph via
+    degree-ordered orientation (skew-proof: out-degree bounded by
+    O(√m) even under hub vertices — see graph.triangle_stats)."""
+    from hippollm_spark.operators.graph import cooccurrence, triangle_stats
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    )
+    return triangle_stats(pairs)
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus, ship-year): all 8 grouping
+    sets in one pass (Expand + single aggregate exchange — not 8
+    scans); grouping nulls coalesced for cross-engine stability."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus", "ship_year")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias(
+                "sum_price"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.coalesce("ship_year", F.lit(-1)).alias("ship_year"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
 def q_g3_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — entity co-occurrence projection (reference hippoview
     app.py:144-167)."""
@@ -1546,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "bm25_topk": q_bm25_topk,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "sales_cube": q_sales_cube,
         "winnow_pairs": q_winnow_pairs,
         "graph_components": q_graph_components,
     }
@@ -2540,6 +2579,40 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        "graph_triangles": f"""
+            WITH ed AS ({_EDGES_SQL}),
+            pairs AS (
+                SELECT DISTINCT a.entity AS a, b.entity AS b
+                FROM ed a JOIN ed b
+                  ON a.fact_id = b.fact_id AND a.entity < b.entity
+            ),
+            deg AS (
+                SELECT v, count(*) AS d FROM (
+                    SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+                ) GROUP BY v
+            ),
+            w AS (SELECT (sum(d * (d - 1) // 2))::BIGINT AS n_wedges FROM deg),
+            t AS (
+                SELECT count(*) AS n_triangles
+                FROM pairs p1
+                JOIN pairs p2 ON p2.a = p1.b
+                JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+            )
+            SELECT n_triangles, n_wedges,
+                   round(3.0 * n_triangles / greatest(n_wedges, 1), 6) AS clustering
+            FROM t CROSS JOIN w
+        """,
+        "sales_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   coalesce(ship_year, -1) AS ship_year,
+                   count(*) AS n_rows,
+                   round(sum(CAST(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_price
+            FROM (SELECT l_returnflag, l_linestatus,
+                         year(l_shipdate) AS ship_year, l_extendedprice
+                  FROM lineitem)
+            GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
+        """,
         "graph_components": f"""
             WITH RECURSIVE base AS ({_EDGES_SQL}),
             ee AS (

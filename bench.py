@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "graph_components",
     "graph_pagerank",
+    "graph_triangles",
+    "sales_cube",
 ]
 
 

@@ -308,3 +308,76 @@ def pagerank(
         if it % checkpoint_every == checkpoint_every - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle count, wedge count, and clustering coefficient
+    of an undirected graph — one row.
+
+    The triangle join uses DEGREE-ORDERED ORIENTATION, the standard
+    skew-proof form: each undirected edge is directed from its
+    lower-degree endpoint to the higher (ties broken by vertex id),
+    which bounds every vertex's out-degree by O(√m) regardless of how
+    skewed the raw degree distribution is — a hub with a million
+    neighbours enumerates no wedges; its low-degree neighbours each
+    enumerate a handful. Each triangle is counted exactly once (its
+    unique minimum-degree corner enumerates it), so no /3 correction
+    and no duplicate blowup. Wedges = Σ C(deg,2) in exact integers;
+    clustering = 3·triangles / wedges is the only double op, rounded
+    to 6dp.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .union(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    ).cache()
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    wedge_pairs = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") < F.col("y.dst"))
+        .select(
+            F.col("x.dst").alias("a"), F.col("y.dst").alias("b")
+        )
+    )
+    tri = wedge_pairs.join(canon, ["a", "b"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0)
+            * F.col("n_triangles")
+            / F.greatest(F.col("n_wedges"), F.lit(1)),
+            6,
+        ).alias("clustering"),
+    )

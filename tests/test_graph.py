@@ -112,3 +112,25 @@ def test_pagerank_cycle_uniform(spark):
     df = spark.createDataFrame(cyc, ["src", "dst"])
     ranks = {r["rank_scaled"] for r in graph.pagerank(df, iterations=4).collect()}
     assert len(ranks) == 1
+
+
+def test_triangle_stats_hand_computed(spark):
+    # K4 on {A,B,C,D} (4 triangles, 12 wedges) plus a pendant E-A
+    # (adds 3 wedges at A, no triangles). Feed edges in mixed
+    # orientation with a duplicate to exercise canonicalization.
+    edge_list = [
+        ("A", "B"), ("B", "C"), ("C", "A"), ("A", "D"), ("B", "D"),
+        ("D", "C"), ("E", "A"), ("A", "E"), ("B", "A"),
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    row = graph.triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 15
+    assert row["clustering"] == round(3.0 * 4 / 15, 6)
+
+
+def test_triangle_stats_triangle_free(spark):
+    star = [("HUB", x) for x in ("A", "B", "C", "D")]
+    df = spark.createDataFrame(star, ["src", "dst"])
+    row = graph.triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 6
