@@ -1401,6 +1401,26 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, batch twin: events joined
+    to the broadcast customer dimension, hourly revenue per market
+    segment (streaming form: streaming.events.segment_windowed_revenue
+    — same logical plan with a watermark; parity-tested)."""
+    ev = _events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "c_mktsegment"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_ts", "c_mktsegment")
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min inactivity gap per user (lag + cumulative
     flag-sum — the batch twin of streaming session_window)."""
@@ -1590,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_naive": q_split_naive,
         "split_paragraphs": q_split_paragraphs,
         "events_windowed": q_events_windowed,
+        "events_enriched": q_events_enriched,
         "sessionization": q_sessionization,
         "events_pivot": q_events_pivot,
         "user_activity": q_user_activity,
@@ -2774,6 +2795,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_idx, md5(text) AS chunk_md5, pos_start,
                    (pos_start + length(text))::INT AS pos_end
             FROM off ORDER BY doc_id, chunk_idx
+        """,
+        "events_enriched": """
+            SELECT date_trunc('hour', ts) AS hour_ts, c_mktsegment,
+                   count(*) AS n_events,
+                   round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS hour_ts, event_type,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "split_naive",
     "split_paragraphs",
     "events_windowed",
+    "events_enriched",
     "sessionization",
     "events_pivot",
     "user_activity",

@@ -223,3 +223,26 @@ def test_curate_stream_repetition_gate(spark, tmp_path):
     q.stop()
     kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM rep_gated").collect()}
     assert kept == {1}
+
+
+def test_segment_revenue_stream_matches_batch(spark, event_dir):
+    """Stream-static enrichment join: the broadcast customer dimension
+    joined into the stream before the watermarked window aggregation
+    gives the same result as the batch twin."""
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    stream = SE.read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    agg = SE.segment_windowed_revenue(stream, cust, window="1 hour")
+    SE.run_to_memory(agg, "seg_out", output_mode="complete")
+    got = spark.sql(
+        "SELECT window_start, c_mktsegment, n_events FROM seg_out"
+    ).collect()
+
+    batch = SE.segment_windowed_revenue(
+        spark.read.parquet(event_dir), cust, window="1 hour"
+    )
+    want = batch.select("window_start", "c_mktsegment", "n_events").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
+    # every event joins (user ids are a subset of customer keys)
+    n_ev = spark.read.parquet(event_dir).count()
+    assert sum(r["n_events"] for r in want) == n_ev
