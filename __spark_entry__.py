@@ -951,6 +951,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at {blue rod, hot rod}: proximity
+    of every entity to the seed pair — the batch generalization of
+    G2's entity-centric exploration. Same exact-integer recurrence as
+    graph_pagerank, teleport restricted to the seeds."""
+    from hippollm_spark.operators.graph import cooccurrence, pagerank
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select("entity_a", "entity_b")
+    sym = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).union(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    return pagerank(sym, iterations=6, seeds=[ENTITY_A, ENTITY_B]).orderBy(
+        F.desc("rank_scaled"), F.asc("vertex")
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the entity co-occurrence graph via
     degree-ordered orientation (skew-proof: out-degree bounded by
@@ -1619,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "bm25_topk": q_bm25_topk,
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
         "graph_triangles": q_graph_triangles,
         "sales_cube": q_sales_cube,
         "winnow_pairs": q_winnow_pairs,
@@ -1630,18 +1649,30 @@ _NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
 
 
 def _pagerank_oracle_sql(
-    iterations: int = 6, damping: int = 85, scale: int = 10**12
+    iterations: int = 6,
+    damping: int = 85,
+    scale: int = 10**12,
+    seeds: list[str] | None = None,
 ) -> str:
-    """DuckDB replica of q_graph_pagerank: the same integer recurrence
-    unrolled into one CTE per iteration (recursive CTEs forbid
-    aggregation over the recursive reference, so unrolling is the
-    portable form). Every op is exact BIGINT arithmetic — floor
-    division matches Spark's `div` on the all-positive domain."""
-    r0 = f"({scale} // (SELECT n FROM c))"
-    base = f"(({100 - damping} * {r0}) // 100)"
+    """DuckDB replica of q_graph_pagerank / q_graph_ppr: the same
+    integer recurrence unrolled into one CTE per iteration (recursive
+    CTEs forbid aggregation over the recursive reference, so unrolling
+    is the portable form). Every op is exact BIGINT arithmetic — floor
+    division matches Spark's `div` on the all-positive domain. With
+    ``seeds``, initial and teleport mass go only to the seed set
+    (personalized PageRank)."""
+    if seeds is None:
+        r0 = f"({scale} // (SELECT n FROM c))"
+        init = f"({r0})::BIGINT"
+        base = f"(({100 - damping} * {r0}) // 100)"
+    else:
+        slist = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+        r0 = f"({scale} // {len(set(seeds))})"
+        init = f"(CASE WHEN vertex IN ({slist}) THEN {r0} ELSE 0 END)::BIGINT"
+        base = f"(CASE WHEN v.vertex IN ({slist}) THEN ({100 - damping} * {r0}) // 100 ELSE 0 END)"
     ctes = [
         f"""pr0 AS (
-            SELECT vertex, ({r0})::BIGINT AS rank_scaled FROM verts
+            SELECT vertex, {init} AS rank_scaled FROM verts
         )"""
     ]
     for i in range(1, iterations + 1):
@@ -2615,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id
         """,
         "graph_pagerank": _pagerank_oracle_sql(),
+        "graph_ppr": _pagerank_oracle_sql(seeds=[ENTITY_A, ENTITY_B]),
         "graph_triangles": f"""
             WITH ed AS ({_EDGES_SQL}),
             pairs AS (

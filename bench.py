@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "graph_components",
     "graph_pagerank",
+    "graph_ppr",
     "graph_triangles",
     "sales_cube",
 ]

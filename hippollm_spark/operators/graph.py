@@ -242,8 +242,16 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 3,
+    seeds: Sequence[str] | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact scaled-integer arithmetic.
+
+    With ``seeds``, this is PERSONALIZED PageRank: all initial mass
+    and all teleport mass goes to the seed set (split evenly), so
+    ranks measure proximity to the seeds — the batch generalization
+    of the reference's entity-centric exploration (G2's "relevance
+    around these entities"). Seeds must be vertices of the graph;
+    mass aimed at a non-vertex seed simply vanishes.
 
     Floating-point PageRank cannot be hash-compared across engines
     (iteration compounds ulp drift), so all mass is carried as BIGINT
@@ -284,11 +292,24 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank_scaled", F.lit(0).cast("long"))
-    r0 = scale // n
-    base = ((100 - damping_pct) * r0) // 100
+    if seeds is None:
+        r0 = scale // n
+        verts = verts.withColumn("_r0", F.lit(r0).cast("long"))
+    else:
+        seed_list = sorted(set(seeds))
+        r0 = scale // len(seed_list)
+        verts = verts.withColumn(
+            "_r0",
+            F.when(F.col("vertex").isin(seed_list), F.lit(r0))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    verts = verts.withColumn(
+        "_base", F.expr(f"({100 - damping_pct} * _r0) div 100")
+    ).cache()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     pre = e.join(deg, "src").cache()  # (src, dst, outdeg): loop-invariant
-    ranks = verts.withColumn("rank_scaled", F.lit(r0).cast("long"))
+    ranks = verts.select("vertex", F.col("_r0").alias("rank_scaled"))
     for it in range(iterations):
         contrib = (
             pre.join(ranks, pre.src == ranks.vertex)
@@ -301,7 +322,7 @@ def pagerank(
         ).select(
             "vertex",
             (
-                F.lit(base)
+                F.col("_base")
                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
             ).cast("long").alias("rank_scaled"),
         )

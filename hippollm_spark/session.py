@@ -24,6 +24,12 @@ _DEFAULTS = {
     # Keep partition count ~ cores locally; on a cluster this is set to
     # ~2-3x total cores (AQE coalesces down when partial aggs shrink).
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Always honor bucketing on bucketed tables: the auto rule
+    # (DisableUnnecessaryBucketedScan) ignores bucket PRUNING, so a
+    # `term IN (...)` probe of the bucketed postings index would scan
+    # all buckets with it left on. Our bucketed tables exist precisely
+    # for pruning + co-located joins, so auto-disable never helps here.
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }

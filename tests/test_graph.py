@@ -134,3 +134,37 @@ def test_triangle_stats_triangle_free(spark):
     df = spark.createDataFrame(star, ["src", "dst"])
     row = graph.triangle_stats(df).collect()[0]
     assert row["n_triangles"] == 0 and row["n_wedges"] == 6
+
+
+def test_personalized_pagerank_matches_pure_python(spark):
+    edge_list = [
+        ("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"),
+        ("C", "D"), ("D", "C"), ("D", "E"), ("E", "D"),
+    ]
+    seeds = ["A"]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["vertex"]: r["rank_scaled"]
+        for r in graph.pagerank(df, iterations=6, seeds=seeds).collect()
+    }
+    # replica with seeded init/teleport
+    scale, damping = 10**12, 85
+    verts = sorted({v for e in edge_list for v in e})
+    r0 = scale // len(seeds)
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: (r0 if v in seeds else 0) for v in verts}
+    for _ in range(6):
+        s_in = {v: 0 for v in verts}
+        for s, d in set(edge_list):
+            s_in[d] += r[s] // outdeg[s]
+        r = {
+            v: ((100 - damping) * r0 // 100 if v in seeds else 0)
+            + (damping * s_in[v]) // 100
+            for v in verts
+        }
+    assert got == r
+    # the seed holds the most mass (even-distance parity effects make
+    # finer orderings oscillate at finite iteration counts)
+    assert got["A"] == max(got.values())

@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 import re
 
+from pyspark.sql import functions as F
+
 from hippollm_spark.operators.ranking import bm25_scores, bm25_topk
 
 
@@ -85,3 +87,33 @@ def test_bm25_on_corpus(documents):
     scores = [r["score"] for r in top]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_bm25_indexed_parity_and_bucket_pruning(spark, documents, tmp_path):
+    """The saved bucketed-postings path returns exactly the per-query
+    path's results, and the postings scan is bucket-pruned."""
+    from hippollm_spark.operators.ranking import (
+        bm25_topk,
+        bm25_topk_indexed,
+        save_postings,
+    )
+
+    terms = ["vector", "hash", "join"]
+    save_postings(spark, documents, "bm25_idx", n_buckets=16)
+    try:
+        got = bm25_topk_indexed(spark, "bm25_idx", terms, k=15).collect()
+        want = bm25_topk(documents, terms, k=15).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+        plan = (
+            spark.table("bm25_idx_postings")
+            .filter(F.col("term").isin(terms))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan
+    finally:
+        for t in ("postings", "term_stats", "corpus_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS bm25_idx_{t}")
