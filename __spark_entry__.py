@@ -1271,6 +1271,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment (pure map —
+    membership depends only on md5(id, salt), stable under reruns,
+    repartitioning, and appends), summarized per (split, lang)."""
+    from hippollm_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 25 docs per language, chosen by
     smallest md5 rank-hash — re-running the pipeline reproduces the
@@ -1615,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
+        "hash_split": q_hash_split,
         "temperature_sample": q_temperature_sample,
         "pack_chunks": q_pack_chunks,
         "emb_centroids": q_emb_centroids,
@@ -2588,6 +2604,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             )
             GROUP BY label, pos ORDER BY label, pos
+        """,
+        "hash_split": """
+            SELECT split, lang, count(*) AS n_docs FROM (
+                SELECT lang,
+                       CASE WHEN b < 8000 THEN 'train'
+                            WHEN b < 9000 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT lang,
+                           ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT
+                               % 10000 AS b
+                    FROM documents
+                )
+            )
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "sample_stratified": """
             WITH r AS (

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "contamination",
     "boilerplate_removal",
     "sample_stratified",
+    "hash_split",
     "temperature_sample",
     "pack_chunks",
     "emb_centroids",

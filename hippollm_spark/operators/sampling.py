@@ -158,3 +158,51 @@ def temperature_sample(
         .filter(F.col("__r__") < F.col("__thr__"))
         .drop("__r__", "__thr__")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    fractions: "tuple[float, ...]" = (0.8, 0.1, 0.1),
+    labels: "tuple[str, ...]" = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs, as a pure map (no shuffle, no state, no
+    ordering dependence). Each row's bucket is
+    ``rank_hash(id || ':' || salt) mod 10000`` compared against the
+    cumulative fraction thresholds, so membership depends only on the
+    row's id and the salt: stable under reruns, repartitioning,
+    appends, and engine choice (the DuckDB twin computes the identical
+    md5 buckets). Changing the salt re-rolls the whole split;
+    downstream leakage checks can join train⨝test on content hashes.
+
+    Thresholds are exact integers (floor of cumulative fraction ×
+    10000), so a fraction like 0.8 puts exactly the buckets [0, 8000)
+    in 'train' — no float comparison anywhere."""
+    if len(fractions) != len(labels):
+        raise ValueError("fractions and labels must align")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    bucket = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 10000).alias(
+        "__b__"
+    )
+    cum = 0.0
+    expr = None
+    for frac, label in zip(fractions[:-1], labels[:-1]):
+        cum += frac
+        thresh = int(cum * 10000 + 0.5)
+        cond = F.col("__b__") < F.lit(thresh)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    expr = (
+        F.lit(labels[-1])
+        if expr is None
+        else expr.otherwise(F.lit(labels[-1]))
+    )
+    return df.withColumn("__b__", bucket).withColumn(
+        "split", expr
+    ).drop("__b__")

@@ -236,3 +236,33 @@ def test_curate_corpus_minhash_path_same_result(spark):
     ).collect()))
     assert a == b
     assert len(a) == 1 and a[0][1] == 2  # docs 1 and 21 survive
+
+
+def test_hash_split_deterministic_and_partitioned(spark, documents):
+    from hippollm_spark.operators.sampling import hash_split
+
+    a = hash_split(documents).select("doc_id", "split").collect()
+    b = hash_split(documents.repartition(7)).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {}
+    for _, s in a:
+        counts[s] = counts.get(s, 0) + 1
+    n = len(a)
+    assert set(counts) == {"train", "val", "test"}
+    # uniform hash: within loose tolerance of the 80/10/10 request
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.04
+    # a different salt re-rolls membership
+    c = hash_split(documents, salt="v2").select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_hash_split_validates_inputs(spark, documents):
+    import pytest as _pytest
+
+    from hippollm_spark.operators.sampling import hash_split
+
+    with _pytest.raises(ValueError):
+        hash_split(documents, fractions=(0.5, 0.2), labels=("a", "b", "c"))
+    with _pytest.raises(ValueError):
+        hash_split(documents, fractions=(0.5, 0.2, 0.2), labels=("a", "b", "c"))
