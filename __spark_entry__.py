@@ -1454,6 +1454,32 @@ def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join
+    (streaming.events.click_purchase_join): purchases matched to same-
+    user clicks within the preceding hour, per-user pair counts and
+    exact integer-µs delay bounds. The oracle compares in integer µs
+    (DuckDB reads the raw ns timestamps; Spark truncates to µs on
+    read, so timestamp-typed comparison would straddle precisions)."""
+    from hippollm_spark.streaming.events import click_purchase_join
+
+    ev = _events(spark, sf_dir)
+    j = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("delay_us").alias("min_delay_us"),
+            F.max("delay_us").alias("max_delay_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min inactivity gap per user (lag + cumulative
     flag-sum — the batch twin of streaming session_window)."""
@@ -1646,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_enriched": q_events_enriched,
         "sessionization": q_sessionization,
+        "click_attribution": q_click_attribution,
         "events_pivot": q_events_pivot,
         "user_activity": q_user_activity,
         "top_ngrams": q_top_ngrams,
@@ -2990,6 +3017,25 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 20
+        """,
+        "click_attribution": """
+            WITH c AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, count(*) AS n_pairs,
+                   min(p.ts_us - c.ts_us) AS min_delay_us,
+                   max(p.ts_us - c.ts_us) AS max_delay_us
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts_us >= c.ts_us
+             AND p.ts_us <= c.ts_us + 3600000000
+            GROUP BY c.user_id
+            ORDER BY c.user_id
         """,
         "sessionization": """
             WITH flagged AS (

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "events_windowed",
     "events_enriched",
     "sessionization",
+    "click_attribution",
     "events_pivot",
     "user_activity",
     "top_ngrams",

@@ -149,3 +149,60 @@ def segment_windowed_revenue(
             "sum_value",
         )
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream attribution join: each purchase matched to every
+    click by the same user in the preceding ``within`` interval.
+
+    In streaming mode both sides carry watermarks and the join
+    condition bounds event-time distance, which is what lets Spark
+    expire buffered state: a click older than watermark+within can
+    never match a future purchase and is dropped. Without the time
+    bound the state store grows forever — the canonical stream-stream
+    join pitfall. Works identically on static DataFrames (the batch
+    twin is a plain interval join), which is how it is parity-tested.
+
+    Output: (user_id, click_id, purchase_id, click_ts, purchase_ts,
+    delay_us BIGINT — exact integer microseconds).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("delay_us"),
+    )

@@ -246,3 +246,37 @@ def test_segment_revenue_stream_matches_batch(spark, event_dir):
     # every event joins (user ids are a subset of customer keys)
     n_ev = spark.read.parquet(event_dir).count()
     assert sum(r["n_events"] for r in want) == n_ev
+
+
+def test_click_purchase_join_stream_matches_batch(spark, event_dir):
+    """Stream-stream join with event-time bounds: both sides streamed
+    from files, matched pairs equal the batch interval join."""
+    ev_static = spark.read.parquet(event_dir)
+    clicks_b = ev_static.filter(F.col("event_type") == "click")
+    purch_b = ev_static.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        map(
+            tuple,
+            SE.click_purchase_join(clicks_b, purch_b)
+            .select("click_id", "purchase_id", "delay_us")
+            .collect(),
+        )
+    )
+    assert len(want) > 0
+
+    ev_s = SE.read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    clicks_s = ev_s.filter(F.col("event_type") == "click")
+    purch_s = ev_s.filter(F.col("event_type") == "purchase")
+    j = SE.click_purchase_join(clicks_s, purch_s)
+    SE.run_to_memory(j, "attr_out", output_mode="append")
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT click_id, purchase_id, delay_us FROM attr_out"
+            ).collect(),
+        )
+    )
+    assert got == want
+    # delays within the declared interval, non-negative
+    assert all(0 <= d <= 3_600_000_000 for _, _, d in want)
