@@ -804,6 +804,21 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based grouped stats (HLL++ distinct orders + quantile-
+    sketch median price per returnflag). Mergeable sketches: shuffle
+    carries KB-sized buffers, not values — the sub-linear path at
+    100 TB. No oracle by design (sketch internals are engine-
+    specific); error bounds vs the exact operators are pytest-asserted
+    (tests/test_stats.py)."""
+    from hippollm_spark.operators.stats import approx_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return approx_stats(
+        li, "l_extendedprice", "l_orderkey", "l_returnflag", percentiles=[0.5]
+    ).orderBy("l_returnflag")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively): each purchase event
     matched to the user's most recent click at-or-before it."""
@@ -1633,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "quantiles": q_quantiles,
         "asof_join": q_asof_join,
+        "approx_stats": q_approx_stats,
         "g2_explore": q_g2_explore,
         "p1_entity_lookup": q_p1_entity_lookup,
         "p2_fact_lookup": q_p2_fact_lookup,

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "running_revenue",
     "quantiles",
     "asof_join",
+    "approx_stats",
     "g2_explore",
     "p1_entity_lookup",
     "p2_fact_lookup",

@@ -66,3 +66,41 @@ def exact_percentiles(
             expr = F.round(expr, round_to)
         aggs.append(expr.alias(_name(p)))
     return ranked.groupBy(*by).agg(*aggs)
+
+
+def approx_stats(
+    df: DataFrame,
+    value_col: str,
+    distinct_col: str,
+    by: str | Sequence[str],
+    *,
+    percentiles: Sequence[float] = (0.5,),
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based grouped statistics: HyperLogLog++ distinct counts
+    and quantile-sketch percentiles — the sub-linear-memory path for
+    cardinalities where the exact forms (countDistinct's dedup
+    shuffle, exact_percentiles' sort) are not worth their cost.
+
+    Both sketches are mergeable, so partial aggregation stays map-side
+    and the shuffle carries fixed-size sketch buffers instead of
+    values: at 100 TB the shuffle volume is #groups × sketch size
+    (KB), independent of row count — the entire point. Error is
+    bounded, not zero: HLL++ relative error ≈ ``rsd``;
+    percentile_approx rank error ≤ 1/``accuracy``. Tested against the
+    exact operators at those bounds; deliberately NOT oracle-hashed
+    (sketch internals differ across engines by design).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    aggs = [
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_distinct"),
+        F.count("*").alias("n_rows"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.percentile_approx(value_col, p, accuracy).alias(
+                f"approx_p{int(round(p * 100)):02d}"
+            )
+        )
+    return df.groupBy(*by).agg(*aggs)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from hippollm_spark.operators.stats import exact_percentiles
 
 
@@ -32,3 +34,34 @@ def test_exact_percentiles_edge_cases(spark):
     df2 = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
     row2 = exact_percentiles(df2, "v", "g", [0.25, 1.0]).first()
     assert row2["p25"] == 1.25 and row2["p100"] == 2.0
+
+
+def test_approx_stats_error_bounds(spark, sf_dir):
+    """HLL++ distinct within its rsd bound; approx percentile within
+    the rank-error bound of the exact interpolated value's neighbors."""
+    from hippollm_spark.operators.stats import approx_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: r
+        for r in approx_stats(
+            li, "l_extendedprice", "l_orderkey", "l_returnflag",
+            percentiles=[0.5], rsd=0.05,
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        # HLL++ rsd=0.05 -> allow 4 sigma
+        assert abs(a["approx_distinct"] - e["nd"]) <= max(4 * 0.05 * e["nd"], 2)
+        # percentile_approx returns a real value near the true median
+        assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.05
