@@ -43,6 +43,7 @@ __all__ = [
     "build_postings",
     "save_postings",
     "bm25_topk_indexed",
+    "bm25_topk_batch",
 ]
 
 
@@ -279,4 +280,84 @@ def bm25_topk_indexed(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def bm25_topk_batch(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Many keyword queries against the postings index in ONE pass —
+    the lexical twin of similarity.topk_per_query. ``queries`` is
+    (query_id, terms ARRAY<STRING>).
+
+    The distinct term set is collected to the driver (query metadata,
+    bytes-sized) so the postings filter stays a LITERAL ``isin`` —
+    that is what keeps bucket pruning: a join-based filter would scan
+    every bucket. The (query_id, term) mapping then joins back as a
+    broadcast, so each matching posting fans out only to the queries
+    that asked for its term. One aggregation per (query_id, doc_id),
+    one window top-k per query. Scores are identical to
+    bm25_topk_indexed (same rounding discipline; parity-tested).
+    Output: (query_id, doc_id, score, rank)."""
+    qt = queries.select(
+        "query_id", F.explode("terms").alias("term")
+    ).distinct()
+    terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
+    postings = spark.table(f"{table_prefix}_postings").filter(
+        F.col("term").isin(terms)
+    )
+    term_stats = spark.table(f"{table_prefix}_term_stats").filter(
+        F.col("term").isin(terms)
+    )
+    corpus_stats = spark.table(f"{table_prefix}_corpus_stats")
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(term_stats), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(38,10)")).cast("double"), 6
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
     )

@@ -117,3 +117,40 @@ def test_bm25_indexed_parity_and_bucket_pruning(spark, documents, tmp_path):
     finally:
         for t in ("postings", "term_stats", "corpus_stats"):
             spark.sql(f"DROP TABLE IF EXISTS bm25_idx_{t}")
+
+
+def test_bm25_batch_matches_per_query(spark, documents):
+    """One-pass multi-query search over the index == per-query path."""
+    from hippollm_spark.operators.ranking import (
+        bm25_topk_batch,
+        bm25_topk_indexed,
+        save_postings,
+    )
+
+    qsets = {
+        "q1": ["vector", "hash"],
+        "q2": ["join", "table"],
+        "q3": ["spark"],
+    }
+    save_postings(spark, documents, "bm25_b", n_buckets=16)
+    try:
+        queries = spark.createDataFrame(
+            [(k, v) for k, v in qsets.items()], ["query_id", "terms"]
+        )
+        batch = bm25_topk_batch(spark, "bm25_b", queries, k=10).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        for qid, terms in qsets.items():
+            want = [
+                (i + 1, r["doc_id"], r["score"])
+                for i, r in enumerate(
+                    bm25_topk_indexed(spark, "bm25_b", terms, k=10).collect()
+                )
+            ]
+            assert sorted(by_q[qid]) == want, qid
+    finally:
+        for t in ("postings", "term_stats", "corpus_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS bm25_b_{t}")
