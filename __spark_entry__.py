@@ -804,6 +804,21 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) keys over (partkey, suppkey) — the exact
+    integer bit-interleave behind multi-dimensional layout clustering
+    (operators/layout.py; bounding-box property asserted in
+    tests/test_layout.py). First 100 distinct pairs along the curve."""
+    from hippollm_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        li.withColumn("z", zorder_key("l_partkey", "l_suppkey"))
+        .orderBy("z")
+        .limit(100)
+    )
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based grouped stats (HLL++ distinct orders + quantile-
     sketch median price per returnflag). Mergeable sketches: shuffle
@@ -1649,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "asof_join": q_asof_join,
         "approx_stats": q_approx_stats,
+        "zorder_key": q_zorder_key,
         "g2_explore": q_g2_explore,
         "p1_entity_lookup": q_p1_entity_lookup,
         "p2_fact_lookup": q_p2_fact_lookup,
@@ -1764,6 +1780,21 @@ def _pagerank_oracle_sql(
         {chain}
         SELECT vertex, rank_scaled FROM pr{iterations}
         ORDER BY rank_scaled DESC, vertex ASC
+    """
+
+
+def _zorder_oracle_sql(bits: int = 21) -> str:
+    """DuckDB replica of q_zorder_key: identical bit interleave."""
+    terms = " + ".join(
+        f"(((l_partkey >> {i}) & 1) << {2 * i})"
+        f" + (((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+        SELECT l_partkey, l_suppkey, ({terms})::BIGINT AS z
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        ORDER BY z
+        LIMIT 100
     """
 
 
@@ -2720,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc
             FROM p GROUP BY 1, 2 ORDER BY lang, chunk_id
         """,
+        "zorder_key": _zorder_oracle_sql(),
         "graph_pagerank": _pagerank_oracle_sql(),
         "graph_ppr": _pagerank_oracle_sql(seeds=[ENTITY_A, ENTITY_B]),
         "graph_triangles": f"""

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "quantiles",
     "asof_join",
     "approx_stats",
+    "zorder_key",
     "g2_explore",
     "p1_entity_lookup",
     "p2_fact_lookup",

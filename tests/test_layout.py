@@ -1,0 +1,92 @@
+"""Z-order layout: Morton key correctness and the bounding-box
+property that makes multi-dimensional pruning work."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators.layout import write_zordered, zorder_key
+
+
+def _py_morton(a: int, b: int, bits: int = 21) -> int:
+    k = 0
+    for i in range(bits):
+        k |= ((a >> i) & 1) << (2 * i)
+        k |= ((b >> i) & 1) << (2 * i + 1)
+    return k
+
+
+def test_zorder_key_matches_pure_python(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 1), (2**20, 2**20 - 1)]
+    df = spark.createDataFrame(rows, ["a", "b"]).withColumn(
+        "z", zorder_key("a", "b")
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    assert got == {(a, b): _py_morton(a, b) for a, b in rows}
+
+
+def _file_spans(path: str, col_a: str, col_b: str):
+    """Per-file (span_a, span_b) from parquet footer statistics."""
+    import glob
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins_a, maxs_a, mins_b, maxs_b = [], [], [], []
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            sa = md.row_group(rg).column(idx[col_a]).statistics
+            sb = md.row_group(rg).column(idx[col_b]).statistics
+            mins_a.append(sa.min)
+            maxs_a.append(sa.max)
+            mins_b.append(sb.min)
+            maxs_b.append(sb.max)
+        spans.append(
+            (max(maxs_a) - min(mins_a), max(maxs_b) - min(mins_b))
+        )
+    return spans
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Sorted-by-A layout leaves B unbounded per file; Z-ordered
+    layout bounds BOTH dimensions — the statistic parquet pruning
+    actually uses."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    lo_a, hi_a = 0, li.agg(F.max("l_partkey")).first()[0]
+    lo_b, hi_b = 0, li.agg(F.max("l_suppkey")).first()[0]
+
+    p_sorted = str(tmp_path / "sorted_a")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(p_sorted)
+    )
+    p_z = str(tmp_path / "zorder")
+    write_zordered(li, p_z, "l_partkey", "l_suppkey", n_files=8)
+
+    spans_sorted = _file_spans(p_sorted, "l_partkey", "l_suppkey")
+    spans_z = _file_spans(p_z, "l_partkey", "l_suppkey")
+    assert len(spans_sorted) > 1 and len(spans_z) > 1
+
+    # same total rows round-tripped
+    assert (
+        spark.read.parquet(p_z).count()
+        == spark.read.parquet(p_sorted).count()
+        == li.count()
+    )
+
+    def avg(xs):
+        return sum(xs) / len(xs)
+
+    frac_b_sorted = avg([sb / max(hi_b - lo_b, 1) for _, sb in spans_sorted])
+    frac_b_z = avg([sb / max(hi_b - lo_b, 1) for _, sb in spans_z])
+    frac_a_z = avg([sa / max(hi_a - lo_a, 1) for sa, _ in spans_z])
+    # single-column sort: every file spans ~the full suppkey range
+    assert frac_b_sorted > 0.9
+    # z-order: both dimensions bounded well below the full range
+    assert frac_b_z < 0.6
+    assert frac_a_z < 0.6
