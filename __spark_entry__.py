@@ -999,6 +999,32 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: outbound mass split proportionally to the
+    number of shared facts per entity pair (cooccurrence weight) —
+    still exact scaled-integer arithmetic, so the 6-iteration fixpoint
+    hash-matches the unrolled DuckDB recurrence."""
+    from hippollm_spark.operators.graph import cooccurrence, pagerank
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select(
+        "entity_a", "entity_b", "weight"
+    )
+    sym = pairs.select(
+        F.col("entity_a").alias("src"),
+        F.col("entity_b").alias("dst"),
+        "weight",
+    ).union(
+        pairs.select(
+            F.col("entity_b").alias("src"),
+            F.col("entity_a").alias("dst"),
+            "weight",
+        )
+    )
+    return pagerank(sym, iterations=6, weight_col="weight").orderBy(
+        F.desc("rank_scaled"), F.asc("vertex")
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the entity co-occurrence graph via
     degree-ordered orientation (skew-proof: out-degree bounded by
@@ -1464,6 +1490,28 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: schema'd JSON parse of the
+    events props payload (`from_json` — typed extraction inside
+    codegen, the idiomatic Spark path for JSON-string columns; at
+    scale the parse is a narrow map, no shuffle until the aggregate).
+    Exact integer aggregates per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("_k").alias("n_with_k"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment, batch twin: events joined
     to the broadcast customer dimension, hourly revenue per market
@@ -1703,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_paragraphs": q_split_paragraphs,
         "events_windowed": q_events_windowed,
         "events_enriched": q_events_enriched,
+        "events_json_props": q_events_json_props,
         "sessionization": q_sessionization,
         "click_attribution": q_click_attribution,
         "events_pivot": q_events_pivot,
@@ -1713,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_triangles": q_graph_triangles,
         "sales_cube": q_sales_cube,
         "winnow_pairs": q_winnow_pairs,
@@ -1728,14 +1778,17 @@ def _pagerank_oracle_sql(
     damping: int = 85,
     scale: int = 10**12,
     seeds: list[str] | None = None,
+    weighted: bool = False,
 ) -> str:
-    """DuckDB replica of q_graph_pagerank / q_graph_ppr: the same
-    integer recurrence unrolled into one CTE per iteration (recursive
-    CTEs forbid aggregation over the recursive reference, so unrolling
-    is the portable form). Every op is exact BIGINT arithmetic — floor
-    division matches Spark's `div` on the all-positive domain. With
-    ``seeds``, initial and teleport mass go only to the seed set
-    (personalized PageRank)."""
+    """DuckDB replica of q_graph_pagerank / q_graph_ppr /
+    q_graph_pagerank_weighted: the same integer recurrence unrolled
+    into one CTE per iteration (recursive CTEs forbid aggregation over
+    the recursive reference, so unrolling is the portable form). Every
+    op is exact BIGINT arithmetic — floor division matches Spark's
+    `div` on the all-positive domain. With ``seeds``, initial and
+    teleport mass go only to the seed set (personalized PageRank);
+    with ``weighted``, mass splits proportionally to the shared-fact
+    edge weight."""
     if seeds is None:
         r0 = f"({scale} // (SELECT n FROM c))"
         init = f"({r0})::BIGINT"
@@ -1750,32 +1803,48 @@ def _pagerank_oracle_sql(
             SELECT vertex, {init} AS rank_scaled FROM verts
         )"""
     ]
+    contrib = (
+        "sum((rank_scaled * w) // outdeg)" if weighted else "sum(rank_scaled // outdeg)"
+    )
     for i in range(1, iterations + 1):
         ctes.append(f"""pr{i} AS (
             SELECT v.vertex,
                    ({base} + ({damping} * coalesce(s.s, 0)) // 100)::BIGINT
                        AS rank_scaled
             FROM verts v LEFT JOIN (
-                SELECT dst, sum(rank_scaled // outdeg) AS s
+                SELECT dst, {contrib} AS s
                 FROM pr{i - 1} JOIN e ON vertex = src JOIN deg USING (src)
                 GROUP BY dst
             ) s ON v.vertex = s.dst
         )""")
     chain = ",\n        ".join(ctes)
-    return f"""
-        WITH ed AS ({_EDGES_SQL}),
-        pairs AS (
-            SELECT DISTINCT a.entity AS ea, b.entity AS eb
+    if weighted:
+        pairs_sql = """
+            SELECT a.entity AS ea, b.entity AS eb, count(*)::BIGINT AS w
             FROM ed a JOIN ed b
               ON a.fact_id = b.fact_id AND a.entity < b.entity
-        ),
-        e AS (
+            GROUP BY 1, 2"""
+        e_sql = """
+            SELECT ea AS src, eb AS dst, w FROM pairs
+            UNION ALL
+            SELECT eb AS src, ea AS dst, w FROM pairs"""
+        deg_sql = "SELECT src, sum(w)::BIGINT AS outdeg FROM e GROUP BY src"
+    else:
+        pairs_sql = """
+            SELECT DISTINCT a.entity AS ea, b.entity AS eb
+            FROM ed a JOIN ed b
+              ON a.fact_id = b.fact_id AND a.entity < b.entity"""
+        e_sql = """
             SELECT ea AS src, eb AS dst FROM pairs
             UNION
-            SELECT eb AS src, ea AS dst FROM pairs
-        ),
+            SELECT eb AS src, ea AS dst FROM pairs"""
+        deg_sql = "SELECT src, count(*) AS outdeg FROM e GROUP BY src"
+    return f"""
+        WITH ed AS ({_EDGES_SQL}),
+        pairs AS ({pairs_sql}),
+        e AS ({e_sql}),
         verts AS (SELECT DISTINCT src AS vertex FROM e),
-        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        deg AS ({deg_sql}),
         c AS (SELECT count(*) AS n FROM verts),
         {chain}
         SELECT vertex, rank_scaled FROM pr{iterations}
@@ -2754,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _zorder_oracle_sql(),
         "graph_pagerank": _pagerank_oracle_sql(),
         "graph_ppr": _pagerank_oracle_sql(seeds=[ENTITY_A, ENTITY_B]),
+        "graph_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "graph_triangles": f"""
             WITH ed AS ({_EDGES_SQL}),
             pairs AS (
@@ -2934,6 +3004,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_idx, md5(text) AS chunk_md5, pos_start,
                    (pos_start + length(text))::INT AS pos_end
             FROM off ORDER BY doc_id, chunk_idx
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+                   sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+                   min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+                   max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_enriched": """
             SELECT date_trunc('hour', ts) AS hour_ts, c_mktsegment,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "split_paragraphs",
     "events_windowed",
     "events_enriched",
+    "events_json_props",
     "sessionization",
     "click_attribution",
     "events_pivot",
@@ -102,6 +103,7 @@ BENCH_QUERIES = [
     "graph_components",
     "graph_pagerank",
     "graph_ppr",
+    "graph_pagerank_weighted",
     "graph_triangles",
     "sales_cube",
 ]

@@ -243,8 +243,15 @@ def pagerank(
     dst_col: str = "dst",
     checkpoint_every: int = 3,
     seeds: Sequence[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact scaled-integer arithmetic.
+
+    With ``weight_col`` (integer weights), a vertex's outbound mass is
+    split proportionally: contribution = ``(rank · w) div Σw(src)`` —
+    still exact integer arithmetic (requires max_weight · scale <
+    2^63; at scale=1e12 that allows weights up to ~9·10^6). Duplicate
+    (src, dst) rows are coalesced by summing weights.
 
     With ``seeds``, this is PERSONALIZED PageRank: all initial mass
     and all teleport mass goes to the seed set (split evenly), so
@@ -278,11 +285,26 @@ def pagerank(
     as dst are ranked (their mass leaks, as in standard PageRank with
     no dangling redistribution). Output: (vertex, rank_scaled BIGINT).
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
+            .cache()
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .cache()
+        )
     verts = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
@@ -307,13 +329,13 @@ def pagerank(
     verts = verts.withColumn(
         "_base", F.expr(f"({100 - damping_pct} * _r0) div 100")
     ).cache()
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    pre = e.join(deg, "src").cache()  # (src, dst, outdeg): loop-invariant
+    deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    pre = e.join(deg, "src").cache()  # (src, dst, w, outdeg): loop-invariant
     ranks = verts.select("vertex", F.col("_r0").alias("rank_scaled"))
     for it in range(iterations):
         contrib = (
             pre.join(ranks, pre.src == ranks.vertex)
-            .select("dst", F.expr("rank_scaled div outdeg").alias("c"))
+            .select("dst", F.expr("(rank_scaled * w) div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )

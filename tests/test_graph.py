@@ -168,3 +168,32 @@ def test_personalized_pagerank_matches_pure_python(spark):
     # the seed holds the most mass (even-distance parity effects make
     # finer orderings oscillate at finite iteration counts)
     assert got["A"] == max(got.values())
+
+
+def test_weighted_pagerank_matches_pure_python(spark):
+    edge_list = [
+        ("A", "B", 3), ("B", "A", 3), ("A", "C", 1), ("C", "A", 1),
+        ("B", "C", 2), ("C", "B", 2),
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst", "weight"])
+    got = {
+        r["vertex"]: r["rank_scaled"]
+        for r in graph.pagerank(df, iterations=5, weight_col="weight").collect()
+    }
+    scale, damping = 10**12, 85
+    verts = sorted({v for s, d, _ in edge_list for v in (s, d)})
+    n = len(verts)
+    r0 = scale // n
+    base = ((100 - damping) * r0) // 100
+    wsum = {}
+    for s, _, w in edge_list:
+        wsum[s] = wsum.get(s, 0) + w
+    r = {v: r0 for v in verts}
+    for _ in range(5):
+        s_in = {v: 0 for v in verts}
+        for s, d, w in edge_list:
+            s_in[d] += (r[s] * w) // wsum[s]
+        r = {v: base + (damping * s_in[v]) // 100 for v in verts}
+    assert got == r
+    # A-B carry 3x the weight of A-C: B must outrank C
+    assert got["B"] > got["C"]
