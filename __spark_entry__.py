@@ -1342,6 +1342,37 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: identical-content documents (same
+    normalized fingerprint) landing on both sides of the hash split —
+    the check every eval pipeline runs after splitting. Composition of
+    hash_split ∘ fingerprint; the fingerprint groupBy carries only
+    per-split flags, so shuffle volume is one row per distinct
+    content, not per document."""
+    from hippollm_spark.operators.sampling import hash_split
+    from hippollm_spark.operators.textstats import fingerprint
+
+    docs = hash_split(_t(spark, sf_dir, "documents")).withColumn(
+        "fp", fingerprint("text")
+    )
+    per_fp = docs.groupBy("fp").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+        F.count("*").alias("n_docs"),
+    )
+    return per_fp.agg(
+        F.count("*").alias("n_distinct_contents"),
+        F.sum(
+            F.when((F.col("in_train") == 1) & (F.col("in_test") == 1), 1).otherwise(0)
+        ).alias("n_leaked_contents"),
+        F.sum(
+            F.when(
+                (F.col("in_train") == 1) & (F.col("in_test") == 1), F.col("n_docs")
+            ).otherwise(0)
+        ).alias("n_leaked_docs"),
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: 25 docs per language, chosen by
     smallest md5 rank-hash — re-running the pipeline reproduces the
@@ -1737,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
         "hash_split": q_hash_split,
+        "split_leakage": q_split_leakage,
         "temperature_sample": q_temperature_sample,
         "pack_chunks": q_pack_chunks,
         "emb_centroids": q_emb_centroids,
@@ -2747,6 +2779,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             )
             GROUP BY label, pos ORDER BY label, pos
+        """,
+        "split_leakage": f"""
+            WITH s AS (
+                SELECT md5({_NORM}) AS fp,
+                       CASE WHEN b < 8000 THEN 'train'
+                            WHEN b < 9000 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT text,
+                           ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT
+                               % 10000 AS b
+                    FROM documents
+                )
+            ),
+            per_fp AS (
+                SELECT fp,
+                       max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+                       max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test,
+                       count(*) AS n_docs
+                FROM s GROUP BY fp
+            )
+            SELECT count(*) AS n_distinct_contents,
+                   sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_leaked_contents,
+                   sum(CASE WHEN in_train = 1 AND in_test = 1 THEN n_docs ELSE 0 END)::BIGINT
+                       AS n_leaked_docs
+            FROM per_fp
         """,
         "hash_split": """
             SELECT split, lang, count(*) AS n_docs FROM (

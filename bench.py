@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "boilerplate_removal",
     "sample_stratified",
     "hash_split",
+    "split_leakage",
     "temperature_sample",
     "pack_chunks",
     "emb_centroids",
