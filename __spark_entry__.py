@@ -1166,6 +1166,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(emb, queries, k=5, id_col="vec_id")
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train per-subspace codebooks, encode
+    64-dim floats to 8 code bytes (32x compression at rest), answer a
+    query with asymmetric-distance lookups over the codes only —
+    TakeOrdered, no shuffle, original vectors never scanned. Approximate
+    by design → rows-only check; recall vs exact kNN is asserted in
+    tests/test_similarity.py."""
+    from hippollm_spark.operators.similarity import pq_build, pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_build(emb, m=8, ksub=32, iters=5)
+    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    enc = pq_encode(emb, cb)
+    out = pq_topk(enc, cb, q, k=10)
+    return out.select("vec_id", F.round("distance", 6).alias("distance"))
+
+
 def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact baseline)."""
     from hippollm_spark.operators.dedup import embedding_dup_pairs
@@ -1758,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_union_knn": q_v5_union_knn,
         "v6_intersection_knn": q_v6_intersection_knn,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "emb_dup_pairs": q_emb_dup_pairs,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,

@@ -270,3 +270,127 @@ def ivf_topk(
         .orderBy(F.asc("distance"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# --------------------------------------------------------------------------
+#
+# The memory dial the LSH/IVF paths don't have: a dim-d float vector
+# (4d bytes as float32 at rest) becomes m uint8 codes (m bytes) — 32x
+# compression at d=64/m=8, 192x at the reference's d=384/m=8
+# (SURVEY.md §1.1: all-MiniLM-L6-v2, dim 384). At 100 TB of raw
+# embeddings the PQ-coded table is a few hundred GB, small enough to
+# keep hot, and a query scans only codes + a broadcast (m x ksub)
+# lookup table — the scan never touches the original vectors
+# (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 — asymmetric distance computation / ADC).
+
+
+def _lloyd(sample: np.ndarray, ksub: int, iters: int, rng: np.random.RandomState) -> np.ndarray:
+    cents = sample[rng.choice(len(sample), size=min(ksub, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cents)):
+            mask = assign == j
+            if mask.any():
+                cents[j] = sample[mask].mean(0)
+    return cents
+
+
+def pq_build(
+    vecs: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+    *,
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+) -> np.ndarray:
+    """Train per-subspace codebooks on a sample (driver-side Lloyd, like
+    ``ivf_build`` — the codebook is m*ksub*dsub doubles, i.e. KBs, so it
+    broadcasts for free). Returns ndarray (m, ksub, dsub)."""
+    sample = np.array(
+        [r[0] for r in vecs.select(vec_col).limit(sample_limit).collect()],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    return np.stack(
+        [_lloyd(sample[:, j * dsub : (j + 1) * dsub], ksub, iters, rng) for j in range(m)]
+    )
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add a BINARY column of m uint8 codes (nearest centroid per
+    subspace). One Arrow-batched pass; at rest the coded table is
+    m bytes/vector + ids — this is the table a 100-TB deployment scans."""
+    m, _, dsub = codebooks.shape
+    cb = codebooks  # captured in the closure, shipped once per executor
+
+    @F.pandas_udf("binary")
+    def _enc(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(np.zeros(0, dtype=object))
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d.argmin(1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return vecs.withColumn(code_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes.
+
+    Driver precomputes the (m x ksub) table of squared distances from
+    each query subvector to each centroid; executors score a row with m
+    byte-indexed lookups — no float vectors are read at all. Plan:
+    scan(codes) -> pandas_udf(LUT gather) -> TakeOrderedAndProject
+    (partition-local top-k, driver merge, no shuffle).
+    Output: (id, distance) ascending approximate L2^2, tie-break id.
+    """
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    lut = np.stack(
+        [((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(1) for j in range(m)]
+    )  # (m, ksub) float64
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series(np.zeros(0))
+        arr = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(-1, m)
+        return pd.Series(lut[np.arange(m), arr].sum(1))
+
+    return (
+        encoded.select(id_col, code_col)
+        .withColumn("distance", _adc(F.col(code_col)))
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "distance")
+    )

@@ -120,3 +120,48 @@ def test_label_centroids_match_numpy(embeddings):
         mean = np.mean(np.stack(grp["embedding"].map(np.asarray, na_action=None)).astype("float64"), axis=0)
         for pos, v in enumerate(mean):
             assert abs(got[(label, pos)] - v) < 1e-5
+
+
+def test_pq_encode_shape_and_compression(spark, embeddings):
+    cb = similarity.pq_build(embeddings, m=8, ksub=16, iters=3)
+    assert cb.shape == (8, 16, 8)
+    enc = similarity.pq_encode(embeddings, cb)
+    row = enc.select("pq_code").first()
+    # 64 float dims -> 8 code bytes
+    assert len(row["pq_code"]) == 8
+
+
+def test_pq_topk_recall(spark, embeddings):
+    from hippollm_spark.operators.knn import knn
+
+    q = [float(x) for x in embeddings.filter("vec_id = 3").first()["embedding"]]
+    exact = [r["vec_id"] for r in knn(embeddings, q, 10, id_col="vec_id").collect()]
+    cb = similarity.pq_build(embeddings, m=8, ksub=32, iters=5)
+    enc = similarity.pq_encode(embeddings, cb).cache()
+    approx = [r["vec_id"] for r in similarity.pq_topk(enc, cb, q, k=10).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"PQ recall@10 {overlap}"
+    # distances ascend and the true nearest (the vector itself) survives
+    dists = [r["distance"] for r in similarity.pq_topk(enc, cb, q, k=10).collect()]
+    assert dists == sorted(dists)
+    assert 3 in approx
+
+
+def test_pq_adc_matches_reconstruction(spark, embeddings):
+    """ADC distance == L2^2(query, reconstructed-from-codebook) — the
+    defining identity of product quantization."""
+    cb = similarity.pq_build(embeddings, m=8, ksub=16, iters=3)
+    enc = similarity.pq_encode(embeddings, cb)
+    rows = enc.filter("vec_id < 20").collect()
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    got = {
+        r["vec_id"]: r["distance"]
+        for r in similarity.pq_topk(
+            similarity.pq_encode(embeddings.filter("vec_id < 20"), cb), cb, q, k=20
+        ).collect()
+    }
+    for r in rows:
+        codes = np.frombuffer(r["pq_code"], dtype=np.uint8)
+        recon = np.concatenate([cb[j][codes[j]] for j in range(8)])
+        expect = ((q - recon) ** 2).sum()
+        assert abs(got[r["vec_id"]] - expect) < 1e-9
