@@ -1683,6 +1683,34 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for {hash, join, vector} fused
+    with embedding-cosine top-50 for the embedding of vec_id 3 (the
+    corpus convention: vec_id == doc_id) via reciprocal-rank fusion.
+    Exact scaled-integer scores (sum of 10^15 div (60+rank)) make the
+    fusion bit-identical to the DuckDB oracle."""
+    from hippollm_spark.operators.ranking import bm25_topk, rrf_fuse
+    from hippollm_spark.operators.similarity import topk_per_query
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["hash", "join", "vector"], k=50)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_ranked = lex.withColumn("rank", F.row_number().over(w).cast("int"))
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_ranked = topk_per_query(emb, queries, k=50, id_col="vec_id").select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [lex_ranked.select("doc_id", "rank"), vec_ranked],
+        k=10,
+        k0=60,
+        scale=10**15,
+    )
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-span detection via winnowing fingerprints (MOSS scheme):
     doc pairs sharing >= 20 selected rolling-hash fingerprints, after
@@ -1810,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": q_text_clean,
         "text_repetition": q_text_repetition,
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
@@ -3157,6 +3186,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC
             LIMIT 20
+        """,
+        "hybrid_rrf": f"""
+            WITH dl AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks,
+                       len(string_split({_NORM}, ' ')) AS dl
+                FROM documents
+            ),
+            stats AS (SELECT count(*) AS n, sum(dl) AS sd FROM dl),
+            tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+                WHERE term IN ('hash', 'join', 'vector')
+                GROUP BY doc_id, dl, term
+            ),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+            bm AS (
+                SELECT doc_id,
+                       round(sum(CAST(round(
+                           round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+                           * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sd / n))))
+                       , 6) AS DECIMAL(38,10)))::DOUBLE, 6) AS score
+                FROM tf JOIN dft USING (term) CROSS JOIN stats
+                GROUP BY doc_id
+                ORDER BY score DESC, doc_id ASC
+                LIMIT 50
+            ),
+            lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                FROM bm
+            ),
+            qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3),
+            vs AS (
+                SELECT vec_id AS doc_id,
+                       list_cosine_similarity(embedding::DOUBLE[], (SELECT v FROM qv)) AS raw
+                FROM embeddings
+                ORDER BY raw DESC, doc_id ASC
+                LIMIT 50
+            ),
+            vec AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY raw DESC, doc_id ASC) AS r
+                FROM vs
+            ),
+            fused AS (
+                SELECT doc_id, sum(1000000000000000 // (r + 60))::BIGINT AS rrf_scaled
+                FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+                GROUP BY doc_id
+                ORDER BY rrf_scaled DESC, doc_id ASC
+                LIMIT 10
+            )
+            SELECT doc_id, rrf_scaled,
+                   CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id ASC) AS INT) AS rank
+            FROM fused
         """,
         "text_clean": f"""
             SELECT doc_id,

@@ -44,6 +44,7 @@ __all__ = [
     "save_postings",
     "bm25_topk_indexed",
     "bm25_topk_batch",
+    "rrf_fuse",
 ]
 
 
@@ -361,3 +362,53 @@ def bm25_topk_batch(
         per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (lexical ∪ vector)
+# --------------------------------------------------------------------------
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack et al. 2009):
+    ``rrf(d) = Σ_lists 1/(k0 + rank_list(d))``, higher is better.
+
+    The modern RAG retrieval stack is exactly this: BM25 top-N fused
+    with embedding-kNN top-N (the reference engine only has the vector
+    half — storage.py:266-276). Each input is (id, rank); the fusion is
+    a union of k-row lists + one tiny groupBy — cost is O(N·k),
+    independent of corpus size, so at 100 TB the expensive part stays
+    the upstream retrievers.
+
+    With ``scale`` set, scores are exact scaled-integer
+    ``Σ scale // (k0 + rank)`` BIGINTs (order-independent, bit-identical
+    across engines — the same discipline as graph.pagerank); otherwise
+    double ``1/(k0+rank)``. Output: (id, rrf_score|rrf_scaled,
+    rank INT) — top-k by (score desc, id asc) via TakeOrdered.
+    """
+    unioned = None
+    for df in ranked:
+        part = df.select(F.col(id_col), F.col(rank_col).alias("__r__"))
+        unioned = part if unioned is None else unioned.unionByName(part)
+    if scale is not None:
+        contrib = F.expr(f"{int(scale)} div (__r__ + {int(k0)})")
+        out_col = "rrf_scaled"
+    else:
+        contrib = F.lit(1.0) / (F.col("__r__") + F.lit(float(k0)))
+        out_col = "rrf_score"
+    fused = (
+        unioned.groupBy(id_col)
+        .agg(F.sum(contrib).alias(out_col))
+        .orderBy(F.desc(out_col), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc(out_col), F.asc(id_col))
+    # the window sees <= k rows (post-limit) — single tiny partition is fine
+    return fused.withColumn("rank", F.row_number().over(w).cast("int"))

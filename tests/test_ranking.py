@@ -7,6 +7,7 @@ import re
 
 from pyspark.sql import functions as F
 
+from hippollm_spark.operators import ranking
 from hippollm_spark.operators.ranking import bm25_scores, bm25_topk
 
 
@@ -154,3 +155,37 @@ def test_bm25_batch_matches_per_query(spark, documents):
     finally:
         for t in ("postings", "term_stats", "corpus_stats"):
             spark.sql(f"DROP TABLE IF EXISTS bm25_b_{t}")
+
+
+def test_rrf_fuse_matches_pure_python(spark):
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(3, 1), (1, 2), (5, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in ranking.rrf_fuse([lex, vec], k=10, k0=60).collect()
+    }
+    expect = {}
+    for d, rs in {1: [1, 2], 2: [2], 3: [3, 1], 4: [4], 5: [3]}.items():
+        expect[d] = sum(1.0 / (60 + r) for r in rs)
+    order = sorted(expect, key=lambda d: (-expect[d], d))
+    for i, d in enumerate(order):
+        assert abs(got[d][0] - expect[d]) < 1e-12
+        assert got[d][1] == i + 1
+    # scaled-integer mode is exact
+    scaled = {
+        r["doc_id"]: r["rrf_scaled"]
+        for r in ranking.rrf_fuse([lex, vec], k=10, scale=10**15).collect()
+    }
+    assert scaled[3] == 10**15 // 63 + 10**15 // 61
+
+
+def test_rrf_fuse_topk_cut(spark):
+    lists = [
+        spark.createDataFrame([(i, i) for i in range(1, 30)], "doc_id long, rank int")
+    ]
+    out = ranking.rrf_fuse(lists, k=5).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
