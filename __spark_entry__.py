@@ -1711,6 +1711,24 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified rerank of the cosine top-30 for the embedding of
+    vec_id 3 (λ=0.5). Greedy-iterative → no SQL oracle; pure-Python
+    parity + diversification behavior are asserted in
+    tests/test_ranking.py."""
+    from hippollm_spark.operators.ranking import mmr_rerank
+    from hippollm_spark.operators.similarity import topk_per_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = topk_per_query(emb, queries, k=30, id_col="vec_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return mmr_rerank(cands, k=10, lambda_=0.5)
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-span detection via winnowing fingerprints (MOSS scheme):
     doc pairs sharing >= 20 selected rolling-hash fingerprints, after
@@ -1839,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "mmr_rerank": q_mmr_rerank,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,

@@ -45,6 +45,7 @@ __all__ = [
     "bm25_topk_indexed",
     "bm25_topk_batch",
     "rrf_fuse",
+    "mmr_rerank",
 ]
 
 
@@ -412,3 +413,83 @@ def rrf_fuse(
     w = Window.orderBy(F.desc(out_col), F.asc(id_col))
     # the window sees <= k rows (post-limit) — single tiny partition is fine
     return fused.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein 1998):
+    greedily pick ``argmax λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)``
+    until k results, per query.
+
+    ``candidates`` is a retriever's top-N — (query_id, id, score, vec) —
+    so the greedy O(N²·d) loop runs over N≈100s of rows per query, NOT
+    the corpus: the operator is ``applyInPandas`` grouped by query_id —
+    queries rerank in parallel across executors, each group vectorized
+    in numpy. At 100 TB the corpus-sized work stays in the upstream
+    retriever; this stage's cost is queries × N², corpus-independent.
+
+    Deterministic: ties broken by ascending id. Output (query_id, id,
+    mmr_rank INT, mmr_score DOUBLE 6dp).
+    """
+    import numpy as np
+    import pandas as pd
+
+    lam = float(lambda_)
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["__qid__"].iloc[0]
+        mat = np.array(pdf["__vec__"].tolist(), dtype=np.float64)
+        ids = pdf["__id__"].to_numpy()
+        rel = pdf["__score__"].to_numpy(dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        unit = mat / nrm[:, None]
+        # order by (rel desc, id asc) so argmax ties resolve to min id
+        order = np.lexsort((ids, -rel))
+        unit, ids, rel = unit[order], ids[order], rel[order]
+        n = len(ids)
+        take = min(k, n)
+        max_sim = np.full(n, -np.inf)
+        remaining = np.ones(n, dtype=bool)
+        out_ids, out_scores = [], []
+        for step in range(take):
+            if step == 0:
+                mmr = lam * rel
+            else:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr_masked = np.where(remaining, mmr, -np.inf)
+            pick = int(mmr_masked.argmax())  # first (lowest-id-on-tie) argmax
+            out_ids.append(ids[pick])
+            out_scores.append(round(float(mmr_masked[pick]), 6))
+            remaining[pick] = False
+            sims = unit @ unit[pick]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "vec_id": out_ids,
+                "mmr_rank": np.arange(1, take + 1, dtype=np.int32),
+                "mmr_score": out_scores,
+            }
+        )
+
+    qid_type = candidates.schema[query_id_col].dataType.simpleString()
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    prepared = candidates.select(
+        F.col(query_id_col).alias("__qid__"),
+        F.col(id_col).alias("__id__"),
+        F.col(score_col).alias("__score__"),
+        F.col(vec_col).cast("array<double>").alias("__vec__"),
+    )
+    return prepared.groupBy("__qid__").applyInPandas(
+        _mmr,
+        f"query_id {qid_type}, vec_id {id_type}, mmr_rank int, mmr_score double",
+    )

@@ -189,3 +189,81 @@ def test_rrf_fuse_topk_cut(spark):
     ]
     out = ranking.rrf_fuse(lists, k=5).collect()
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def _py_mmr(rows, k, lam):
+    """Independent greedy MMR: rows = (id, score, vec)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: (-r[1], r[0]))
+    ids = [r[0] for r in rows]
+    rel = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = np.array([r[2] for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    picked, out = set(), []
+    max_sim = np.full(len(ids), -np.inf)
+    for step in range(min(k, len(ids))):
+        best, best_v = None, -np.inf
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            v = lam * rel[i] - (0.0 if step == 0 else (1 - lam) * max_sim[i])
+            if step == 0:
+                v = lam * rel[i]
+            if v > best_v:
+                best, best_v = i, v
+        picked.add(best)
+        out.append((ids[best], round(float(best_v), 6)))
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return out
+
+
+def test_mmr_rerank_matches_pure_python(spark, embeddings):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.similarity import topk_per_query
+
+    queries = embeddings.filter(F.col("vec_id").isin(3, 7)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = topk_per_query(embeddings, queries, k=30, id_col="vec_id").join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    got = ranking.mmr_rerank(cands, k=8, lambda_=0.5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {3, 7}
+    raw = cands.collect()
+    for qid in (3, 7):
+        rows = [
+            (r["vec_id"], r["score"], list(r["embedding"]))
+            for r in raw
+            if r["query_id"] == qid
+        ]
+        expect = _py_mmr(rows, 8, 0.5)
+        mine = sorted(by_q[qid], key=lambda r: r["mmr_rank"])
+        assert [(r["vec_id"]) for r in mine] == [e[0] for e in expect]
+        for r, e in zip(mine, expect):
+            assert abs(r["mmr_score"] - e[1]) < 1e-6
+    # rank 1 is the highest-relevance candidate (the query itself)
+    assert [r for r in by_q[3] if r["mmr_rank"] == 1][0]["vec_id"] == 3
+
+
+def test_mmr_diversifies(spark):
+    """A near-duplicate of the top hit is demoted below a less-relevant
+    but novel candidate."""
+    rows = [
+        (0, 1, 0.99, [1.0, 0.0]),
+        (0, 2, 0.98, [1.0, 0.001]),   # near-dup of 1
+        (0, 3, 0.50, [0.0, 1.0]),     # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, vec_id int, score double, embedding array<double>"
+    )
+    out = sorted(
+        ranking.mmr_rerank(df, k=3, lambda_=0.5).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
