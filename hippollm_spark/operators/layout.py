@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "write_zordered"]
+__all__ = ["zorder_key", "write_zordered", "table_file_stats", "compact_table"]
 
 
 def zorder_key(col_a, col_b, *, bits: int = 21) -> Column:
@@ -88,3 +88,77 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def table_file_stats(spark, path: str) -> dict:
+    """(n_files, total_bytes) of a parquet table's data files, via the
+    Hadoop FileSystem API (works on any supported scheme — local,
+    HDFS, object stores — not just local paths)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+            total += st.getLen()
+    return {"n_files": n, "total_bytes": total}
+
+
+def compact_table(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder: tuple[str, str] | None = None,
+    sort_col: str | None = None,
+) -> dict:
+    """Rewrite a fragmented parquet table into ~target-sized files.
+
+    The small-files problem is THE silent killer of long-lived 100-TB
+    tables: every streaming micro-batch / incremental append adds
+    files, and scan parallelism + footer-read overhead degrade until a
+    table of N GB costs like one of N TB. Compaction = read → one
+    shuffle into ceil(bytes/target) range-partitions → atomic-ish
+    swap (write temp, delete, rename — the discipline a table format
+    automates; without one, run compaction in the table's single
+    writer process, which is also what keeps appends safe here).
+
+    ``sort_col`` re-sorts files by that column (restores range
+    clustering destroyed by appends); ``zorder`` re-clusters by the
+    Morton key of two columns (see write_zordered). Plain mode
+    round-robins (pure size leveling).
+
+    Returns {files_before, files_after, bytes}.
+    """
+    before = table_file_stats(spark, path)
+    n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    if zorder is not None:
+        write_zordered(df, tmp, zorder[0], zorder[1], n_files=n_out)
+    elif sort_col is not None:
+        (
+            df.repartitionByRange(n_out, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+    after = table_file_stats(spark, path)
+    return {
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "bytes": after["total_bytes"],
+    }

@@ -90,3 +90,41 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir, tmp_path):
     # z-order: both dimensions bounded well below the full range
     assert frac_b_z < 0.6
     assert frac_a_z < 0.6
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from hippollm_spark.operators.layout import compact_table, table_file_stats
+
+    path = str(tmp_path / "frag")
+    df = spark.range(20_000).selectExpr("id", "id % 97 AS k")
+    df.repartition(40).write.parquet(path)
+    assert table_file_stats(spark, path)["n_files"] == 40
+    stats = compact_table(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 20_000
+    assert back.selectExpr("sum(id)").first()[0] == sum(range(20_000))
+
+
+def test_compact_table_sorted_restores_clustering(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from hippollm_spark.operators.layout import compact_table
+
+    path = str(tmp_path / "frag2")
+    spark.range(50_000).selectExpr("id").repartition(16).write.parquet(path)
+    stats = compact_table(spark, path, target_file_bytes=120_000, sort_col="id")
+    assert 1 < stats["files_after"] < 16
+    # each output file covers a disjoint id range (range clustering)
+    import glob
+
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
