@@ -206,3 +206,70 @@ def click_purchase_join(
             - F.unix_micros(F.col("click_ts").cast("timestamp"))
         ).alias("delay_us"),
     )
+
+
+def incremental_rollup(
+    stream: DataFrame,
+    rollup_path: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained rollup table (the 'hypertable continuous
+    aggregate' pattern): a windowed count/sum aggregate whose state is
+    UPSERTED into a parquet table partitioned by window date, via
+    ``foreachBatch`` in update mode.
+
+    Each micro-batch emits only the (window, event_type) keys whose
+    totals changed; the merge rewrites only the date partitions those
+    keys touch (dynamic partition overwrite) — at 100 TB of history a
+    late event costs one partition rewrite, never a full-table scan.
+    The watermark bounds both streaming state and how far back a
+    partition can still change; older partitions are immutable and
+    compactable (see operators.layout.compact_table).
+
+    Returns the StreamingQuery; call ``processAllAvailable()`` to drive
+    a finite source in tests.
+    """
+
+    agg = windowed_counts(stream, window=window, watermark=watermark)
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        upd = batch.withColumn("date", F.to_date("window_start")).cache()
+        try:
+            keys = [r["date"] for r in upd.select("date").distinct().collect()]
+            try:
+                current = spark.read.parquet(rollup_path).filter(
+                    F.col("date").isin(keys)
+                )
+                merged = current.join(
+                    upd.select("window_start", "event_type").distinct(),
+                    ["window_start", "event_type"],
+                    "left_anti",
+                ).unionByName(upd)
+            except Exception:
+                merged = upd  # first batch: table does not exist yet
+            # Materialize before writing: the plan reads the same path
+            # the write replaces (read-your-own-table overwrite hazard).
+            merged = merged.localCheckpoint(eager=True)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    merged.repartition("date")
+                    .write.mode("overwrite")
+                    .partitionBy("date")
+                    .parquet(rollup_path)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        finally:
+            upd.unpersist()
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(_merge)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

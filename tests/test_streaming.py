@@ -280,3 +280,30 @@ def test_click_purchase_join_stream_matches_batch(spark, event_dir):
     assert got == want
     # delays within the declared interval, non-negative
     assert all(0 <= d <= 3_600_000_000 for _, _, d in want)
+
+
+def test_incremental_rollup_matches_batch(spark, event_dir, tmp_path):
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    stream = SE.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    # file drops are not time-ordered, so a short watermark would
+    # late-drop whole windows; parity needs an effectively-infinite one
+    q = SE.incremental_rollup(
+        stream, rollup, window="1 hour", watermark="3650 days", checkpoint=ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.read.parquet(rollup)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect()
+    )
+    batch = SE.windowed_counts(spark.read.parquet(event_dir), window="1 hour")
+    want = batch.select(
+        "window_start", "event_type", "n_events", "sum_value"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # partitioned by window date → late data rewrites one partition
+    import glob
+
+    assert glob.glob(rollup + "/date=*"), "rollup must be date-partitioned"
