@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "top_ngrams",
     "text_clean",
     "bm25_topk",
+    "hybrid_rrf",
+    "mmr_rerank",
+    "ann_pq_topk",
     "winnow_pairs",
     "graph_components",
     "graph_pagerank",
