@@ -1538,6 +1538,39 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (share ≥ 1%) over the document corpus via
+    two-pass Misra-Gries: bounded-memory per-partition summaries →
+    provably-complete candidate set → exact verification count. The
+    final output is deterministic (= GROUP BY HAVING with an exact
+    integer threshold), so it oracle-checks despite the sketch."""
+    from hippollm_spark.operators.dedup import normalized_text
+    from hippollm_spark.operators.stats import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", share_ratio=(1, 100))
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: one row per user per day from each
+    user's first to last active day, gaps filled by LOCF (operators/
+    temporal.gap_fill). Input is deduped to one row per (user, ts) so
+    the last-observation pick is deterministic on both engines."""
+    from hippollm_spark.operators.temporal import gap_fill
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") <= 5)
+    base = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    out = gap_fill(base, by="user_id", step="1 day", value_cols=["value"])
+    return out.select(
+        "user_id",
+        F.col("tick"),
+        F.round("value", 2).alias("value"),
+        "n_obs",
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column processing: schema'd JSON parse of the
     events props payload (`from_json` — typed extraction inside
@@ -1846,6 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_naive": q_split_naive,
         "split_paragraphs": q_split_paragraphs,
         "events_windowed": q_events_windowed,
+        "gap_fill": q_gap_fill,
+        "heavy_hitters": q_heavy_hitters,
         "events_enriched": q_events_enriched,
         "events_json_props": q_events_json_props,
         "sessionization": q_sessionization,
@@ -3156,6 +3191,49 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS item
+                FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT item, count(*) AS cnt,
+                   round(count(*) / (SELECT n FROM tot)::DOUBLE, 6) AS share
+            FROM toks
+            GROUP BY item
+            HAVING count(*) >= ((SELECT n FROM tot) + 99) // 100
+        """,
+        "gap_fill": """
+            WITH base AS (
+                SELECT user_id, ts, max(value) AS value
+                FROM events WHERE user_id <= 5 GROUP BY 1, 2
+            ),
+            per_tick AS (
+                SELECT user_id, date_trunc('day', ts) AS tick,
+                       count(*) AS n_obs, arg_max(value, ts) AS value
+                FROM base GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT user_id, min(tick) AS lo, max(tick) AS hi
+                FROM per_tick GROUP BY 1
+            ),
+            ticks AS (
+                SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS tick
+                FROM bounds
+            ),
+            joined AS (
+                SELECT t.user_id, t.tick,
+                       coalesce(p.n_obs, 0)::BIGINT AS n_obs, p.value
+                FROM ticks t LEFT JOIN per_tick p
+                  ON t.user_id = p.user_id AND t.tick = p.tick
+            )
+            SELECT user_id, tick,
+                   round(last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY tick
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value,
+                   n_obs
+            FROM joined
         """,
         "events_pivot": """
             SELECT user_id,

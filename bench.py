@@ -50,7 +50,9 @@ BENCH_QUERIES = [
     "running_revenue",
     "quantiles",
     "asof_join",
+    "gap_fill",
     "approx_stats",
+    "heavy_hitters",
     "zorder_key",
     "g2_explore",
     "p1_entity_lookup",

@@ -104,3 +104,87 @@ def approx_stats(
             )
         )
     return df.groupBy(*by).agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.001,
+    *,
+    cap: int | None = None,
+    share_ratio: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Guaranteed-complete frequent items with EXACT counts in two
+    passes and bounded executor memory (the scale-safe alternative to
+    ``groupBy(col).count()`` when the item domain is huge — token
+    vocabularies, URLs, user agents).
+
+    Pass 1 runs Misra-Gries summaries per partition via ``mapInPandas``
+    (at most ``cap`` counters live at once; batches are absorbed with
+    vectorized value_counts, then compressed by the classic
+    subtract-the-(cap+1)th-count step). MG summaries are mergeable with
+    additive error ≤ n_partition/(cap+1), so with cap ≥ 2/min_share
+    every item of global share ≥ min_share survives summation with a
+    positive residual — the candidate set is provably complete; false
+    positives are fine because pass 2 semi-joins candidates back and
+    counts them EXACTLY, then applies the threshold. Output is
+    therefore deterministic and oracle-checkable: identical to
+    ``GROUP BY col HAVING count >= ceil(min_share·N)``, but the full
+    shuffle only ever carries candidate rows.
+
+    Output: (item, cnt, share 6dp) for items with cnt ≥
+    ceil(min_share·N), where N = count of non-null rows.
+    """
+    import pandas as pd
+
+    if cap is None:
+        if share_ratio is not None:
+            cap = max(16, (2 * share_ratio[1]) // max(1, share_ratio[0]))
+        else:
+            cap = max(16, int(2.0 / min_share))
+    item_type = df.schema[col].dataType.simpleString()
+
+    def _mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf["__item__"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > cap:
+                vals = sorted(counts.values(), reverse=True)
+                thresh = vals[cap]
+                counts = {i: c - thresh for i, c in counts.items() if c > thresh}
+        yield pd.DataFrame(
+            {"item": list(counts.keys()), "residual": list(counts.values())}
+        )
+
+    src = df.select(F.col(col).alias("__item__")).filter(
+        F.col("__item__").isNotNull()
+    )
+    candidates = (
+        src.mapInPandas(_mg, f"item {item_type}, residual long")
+        .groupBy("item")
+        .agg(F.sum("residual").alias("residual"))
+        .filter(F.col("residual") > 0)
+        .select("item")
+    )
+    total = src.count()
+    if share_ratio is not None:
+        # exact rational threshold ceil(num·N/den) — integer-only, so a
+        # cross-engine oracle can reproduce it bit-for-bit ((N·num +
+        # den-1) div den); float thresholds can straddle an integer
+        # boundary differently per engine when share·N lands on one
+        num, den = share_ratio
+        threshold = -(-(num * total) // den)
+    else:
+        threshold = -(-int(min_share * 10**6 * total) // 10**6)
+    exact = (
+        src.join(F.broadcast(candidates), src["__item__"] == candidates["item"], "inner")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+    return exact.select(
+        "item",
+        "cnt",
+        F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+    )

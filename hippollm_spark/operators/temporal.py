@@ -139,3 +139,84 @@ def range_join(
         )
         .drop("__b__")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    by: str | list[str] = "user_id",
+    step: str = "1 hour",
+    value_cols: list[str] | None = None,
+    fill: str = "locf",
+) -> DataFrame:
+    """Regularize an irregular time series: emit one row per ``step``
+    tick per key from each key's min to max bucket, filling value
+    columns by LOCF (last observation carried forward) or nulls.
+
+    Shape: per-key bounds (tiny agg) → `sequence()` of ticks +
+    explode (no shuffle beyond the agg) → left join observations
+    aggregated per tick → one window per key for the carry-forward
+    (`last(ignorenulls)`). Everything stays JVM-side; at 100 TB the
+    cost is one shuffle of the observations plus one of the generated
+    ticks — tick count is bounded by (span/step)·keys, independent of
+    observation density.
+
+    Output: key cols, ``tick`` (timestamp), value cols (filled),
+    ``n_obs`` (observations in that tick's bucket; 0 for generated
+    gaps). Multiple observations in one bucket aggregate to their
+    last-by-ts value (deterministic tie-break on raw ts).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    vals = value_cols or [
+        c for c in df.columns if c not in keys and c != ts_col
+    ]
+    step_expr = f"INTERVAL {step}"
+    # generic bucketing: floor to step via window() start
+    win = F.window(F.col(ts_col), step)
+    obs = df.select(
+        *keys,
+        win["start"].alias("tick"),
+        F.col(ts_col).alias("__ts__"),
+        *[F.col(v) for v in vals],
+    )
+    w_last = Window.partitionBy(*keys, "tick").orderBy(F.desc("__ts__"))
+    per_tick = (
+        obs.withColumn("__rn__", F.row_number().over(w_last))
+        .groupBy(*keys, "tick")
+        .agg(
+            F.count("*").alias("n_obs"),
+            *[
+                F.max(F.when(F.col("__rn__") == 1, F.col(v))).alias(v)
+                for v in vals
+            ],
+        )
+    )
+    bounds = per_tick.groupBy(*keys).agg(
+        F.min("tick").alias("__lo__"), F.max("tick").alias("__hi__")
+    )
+    ticks = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo__"), F.col("__hi__"), F.expr(step_expr))
+        ).alias("tick"),
+    )
+    joined = ticks.join(per_tick, [*keys, "tick"], "left").withColumn(
+        "n_obs", F.coalesce(F.col("n_obs"), F.lit(0))
+    )
+    if fill == "locf":
+        w_fill = (
+            Window.partitionBy(*keys)
+            .orderBy("tick")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        joined = joined.select(
+            *keys,
+            "tick",
+            "n_obs",
+            *[
+                F.last(F.col(v), ignorenulls=True).over(w_fill).alias(v)
+                for v in vals
+            ],
+        )
+    return joined.select(*keys, "tick", *vals, "n_obs")

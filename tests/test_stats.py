@@ -65,3 +65,51 @@ def test_approx_stats_error_bounds(spark, sf_dir):
         assert abs(a["approx_distinct"] - e["nd"]) <= max(4 * 0.05 * e["nd"], 2)
         # percentile_approx returns a real value near the true median
         assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.05
+
+
+def test_heavy_hitters_matches_exact_groupby(spark, documents):
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.stats import heavy_hitters
+    from hippollm_spark.operators.dedup import normalized_text
+
+    toks = documents.select(
+        F.explode(F.split(normalized_text("text"), " ")).alias("tok")
+    )
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(toks, "tok", share_ratio=(1, 100)).collect()
+    }
+    total = toks.count()
+    thresh = -(-total // 100)
+    want = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= thresh)
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_heavy_hitters_completeness_under_adversarial_partitions(spark):
+    """A hitter spread thinly across many partitions (never locally
+    frequent) must still be found — the MG merge guarantee."""
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.stats import heavy_hitters
+
+    # 64 partitions; 'needle' appears twice per partition (128 total =
+    # 1.28% of 10k rows); noise items are all unique.
+    df = (
+        spark.range(10_000, numPartitions=64)
+        .select(
+            F.when(F.col("id") % 78 < 1, F.lit("needle"))
+            .otherwise(F.concat(F.lit("u"), F.col("id")))
+            .alias("item")
+        )
+    )
+    n_needle = df.filter("item = 'needle'").count()
+    out = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", share_ratio=(1, 100)).collect()}
+    assert out == {"needle": n_needle}

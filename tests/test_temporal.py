@@ -104,3 +104,43 @@ def test_range_join(spark):
     out = temporal.range_join(points, intervals, "x", "lo", "hi", bucket_width=8)
     got = sorted((r["pid"], r["iid"]) for r in out.collect())
     assert got == [(1, 10), (1, 30), (2, 20), (2, 30), (3, 30)]
+
+
+def test_gap_fill_locf(spark):
+    import datetime as dt
+
+    from hippollm_spark.operators.temporal import gap_fill
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 30), 10.0),
+        (1, T(2024, 1, 1, 0, 45), 11.0),   # same bucket, later ts wins
+        (1, T(2024, 1, 3, 12, 0), 30.0),   # 1-day gap on Jan 2
+        (2, T(2024, 1, 5, 1, 0), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = gap_fill(df, by="user_id", step="1 day", value_cols=["value"])
+    got = {
+        (r["user_id"], r["tick"].date().isoformat()): (r["value"], r["n_obs"])
+        for r in out.collect()
+    }
+    assert got[(1, "2024-01-01")] == (11.0, 2)
+    assert got[(1, "2024-01-02")] == (11.0, 0)   # gap filled by LOCF
+    assert got[(1, "2024-01-03")] == (30.0, 1)
+    assert got[(2, "2024-01-05")] == (99.0, 1)
+    assert len(got) == 4
+
+
+def test_gap_fill_null_mode_leaves_gaps_null(spark):
+    import datetime as dt
+
+    from hippollm_spark.operators.temporal import gap_fill
+
+    T = dt.datetime
+    df = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 1.0), (1, T(2024, 1, 3), 3.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    out = gap_fill(df, by="user_id", step="1 day", fill="none")
+    mid = [r for r in out.collect() if r["tick"].day == 2][0]
+    assert mid["value"] is None and mid["n_obs"] == 0
