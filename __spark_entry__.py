@@ -1538,6 +1538,47 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values per event type
+    (global bounds). Partial counts combine map-side; the shuffle is
+    #types × #bins rows regardless of scale."""
+    from hippollm_spark.operators.stats import histogram
+
+    return histogram(_events(spark, sf_dir), "value", n_bins=20, by="event_type")
+
+
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score scaling of event values via exact DECIMAL
+    moments (order-independent — bit-stable across partitionings,
+    unlike the built-in stddev_samp's float accumulation)."""
+    from hippollm_spark.operators.stats import standardize
+
+    out = standardize(
+        _events(spark, sf_dir).select("event_id", "event_type", "value"),
+        ["value"],
+        by="event_type",
+    )
+    return out.select("event_id", "event_type", "value_z")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per step, users whose
+    earliest step event strictly follows their earliest qualifying
+    previous-step event (operators/behavior.funnel_counts)."""
+    from hippollm_spark.operators.behavior import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/behavior
+    .cohort_retention): users bucketed by first-active week; cells
+    count distinct active users at each week offset."""
+    from hippollm_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), period="week")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent tokens (share ≥ 1%) over the document corpus via
     two-pass Misra-Gries: bounded-memory per-partition summaries →
@@ -1881,6 +1922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "gap_fill": q_gap_fill,
         "heavy_hitters": q_heavy_hitters,
+        "events_funnel": q_events_funnel,
+        "cohort_retention": q_cohort_retention,
+        "value_histogram": q_value_histogram,
+        "standardize": q_standardize,
         "events_enriched": q_events_enriched,
         "events_json_props": q_events_json_props,
         "sessionization": q_sessionization,
@@ -3191,6 +3236,91 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "value_histogram": """
+            WITH b AS (
+                SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi FROM events
+            ),
+            binned AS (
+                SELECT event_type,
+                       least(greatest(CAST(floor((value::DOUBLE - lo) / ((hi - lo) / 20.0)) AS INT), 0), 19) AS bin,
+                       lo, (hi - lo) / 20.0 AS w
+                FROM events CROSS JOIN b
+                WHERE value IS NOT NULL
+            )
+            SELECT event_type, bin,
+                   round(lo + bin * w, 6) AS bin_lo,
+                   round(lo + (bin + 1) * w, 6) AS bin_hi,
+                   count(*) AS cnt
+            FROM binned
+            GROUP BY event_type, bin, lo, w
+        """,
+        "standardize": """
+            WITH m AS (
+                SELECT event_type, count(*) AS n,
+                       sum(CAST(value AS DECIMAL(18,6))) AS s,
+                       sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type,
+                   CASE WHEN (s2::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+                             / (n::DOUBLE - 1.0) > 0
+                        THEN round((value::DOUBLE - s::DOUBLE / n::DOUBLE)
+                             / sqrt((s2::DOUBLE - s::DOUBLE * (s::DOUBLE / n::DOUBLE))
+                                    / (n::DOUBLE - 1.0)), 6)
+                   END AS value_z
+            FROM events e JOIN m ON e.event_type = m.event_type
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id AS u, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.u
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id AS u, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.u
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+                UNION ALL
+                SELECT 2, 'click', (SELECT count(*) FROM s2)
+                UNION ALL
+                SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            )
+            SELECT step_idx, step, n_users,
+                   round(n_users / (SELECT count(*) FROM s1)::DOUBLE, 6) AS conversion
+            FROM c
+        """,
+        "cohort_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+                FROM events
+            ),
+            first AS (SELECT u, min(p) AS cohort FROM act GROUP BY 1),
+            joined AS (
+                SELECT cohort,
+                       CAST(date_diff('day', cohort, p) / 7 AS INT) AS period_offset,
+                       u
+                FROM act JOIN first USING (u)
+            ),
+            cell AS (
+                SELECT cohort, period_offset, count(DISTINCT u) AS n_users
+                FROM joined GROUP BY 1, 2
+            ),
+            sizes AS (
+                SELECT cohort, n_users AS sz FROM cell WHERE period_offset = 0
+            )
+            SELECT cohort::TIMESTAMP AS cohort, period_offset, n_users,
+                   round(n_users / sz::DOUBLE, 6) AS retention
+            FROM cell JOIN sizes USING (cohort)
         """,
         "heavy_hitters": f"""
             WITH toks AS (

@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "gap_fill",
     "approx_stats",
     "heavy_hitters",
+    "value_histogram",
+    "standardize",
+    "events_funnel",
+    "cohort_retention",
     "zorder_key",
     "g2_explore",
     "p1_entity_lookup",

@@ -188,3 +188,99 @@ def heavy_hitters(
         "cnt",
         F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    *,
+    by: str | Sequence[str] | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram: (group cols, bin INT, bin_lo, bin_hi,
+    cnt). Bounds default to the global min/max (one tiny agg,
+    broadcast). One shuffle of (group, bin) partial counts — classic
+    map-side-combinable shape, bin count independent of data size.
+    Values at the upper bound land in the last bin."""
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        b = df.agg(
+            F.min(v).alias("__lo__"), F.max(v).alias("__hi__")
+        )
+        df = df.crossJoin(F.broadcast(b))
+        lo_c, hi_c = F.col("__lo__"), F.col("__hi__")
+    else:
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(n_bins))
+    raw_bin = F.floor((v - lo_c) / width).cast("int")
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(v.isNotNull())
+        .select(*keys, bin_.alias("bin"), lo_c.alias("__l__"), width.alias("__w__"))
+        .groupBy(*keys, "bin", "__l__", "__w__")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            *keys,
+            "bin",
+            F.round(F.col("__l__") + F.col("bin") * F.col("__w__"), 6).alias("bin_lo"),
+            F.round(F.col("__l__") + (F.col("bin") + 1) * F.col("__w__"), 6).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+def standardize(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    *,
+    by: str | Sequence[str] | None = None,
+    ddof: int = 1,
+) -> DataFrame:
+    """Per-group z-score feature scaling: appends ``<col>_z`` =
+    (x − mean)/stddev for each value column (null when the group
+    variance is 0 or the group has < ddof+1 rows).
+
+    Moments are computed as exact DECIMAL sums (Σx, Σx²) joined back
+    broadcast — order-independent, so results are bit-stable across
+    partitionings and engines (the built-in stddev_samp's float
+    accumulation is neither); one scan + one tiny join, no window over
+    the data."""
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    aggs = [F.count("*").alias("__n__")]
+    for c in value_cols:
+        # DECIMAL(18,6): the product DECIMAL(37,12) fits precision 38
+        # WITHOUT Spark's precision-loss scale truncation (38,10)×(38,10)
+        # would trigger — which silently rounds to scale 6 and diverges
+        # from engines that keep full scale
+        d = F.col(c).cast("decimal(18,6)")
+        aggs += [
+            F.sum(d).alias(f"__s_{c}__"),
+            F.sum(d * d).alias(f"__s2_{c}__"),
+        ]
+    moments = df.groupBy(*keys).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(moments), keys)
+        if keys
+        else df.crossJoin(F.broadcast(moments))
+    )
+    out = joined
+    for c in value_cols:
+        n = F.col("__n__").cast("double")
+        s = F.col(f"__s_{c}__").cast("double")
+        s2 = F.col(f"__s2_{c}__").cast("double")
+        mean = s / n
+        # try_divide: singleton groups have n-ddof = 0 (ANSI mode raises
+        # on plain /); the var > 0 gate also nulls zero-variance groups
+        var = F.try_divide(s2 - s * mean, n - F.lit(float(ddof)))
+        z = (F.col(c).cast("double") - mean) / F.sqrt(var)
+        out = out.withColumn(
+            f"{c}_z",
+            F.when(var > 0, F.round(z, 6)),
+        )
+    drop = ["__n__"] + [f"__s_{c}__" for c in value_cols] + [
+        f"__s2_{c}__" for c in value_cols
+    ]
+    return out.drop(*drop)

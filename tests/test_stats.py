@@ -113,3 +113,40 @@ def test_heavy_hitters_completeness_under_adversarial_partitions(spark):
     n_needle = df.filter("item = 'needle'").count()
     out = {r["item"]: r["cnt"] for r in heavy_hitters(df, "item", share_ratio=(1, 100)).collect()}
     assert out == {"needle": n_needle}
+
+
+def test_histogram_against_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.stats import histogram
+
+    vals = [float(x) for x in range(101)]  # 0..100
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["bin"]: r for r in histogram(df, "v", n_bins=10).collect()}
+    counts, edges = np.histogram(vals, bins=10, range=(0.0, 100.0))
+    for b in range(10):
+        assert out[b]["cnt"] == int(counts[b])
+        assert abs(out[b]["bin_lo"] - edges[b]) < 1e-9
+        assert abs(out[b]["bin_hi"] - edges[b + 1]) < 1e-9
+    # upper bound lands in the last bin (numpy semantics too)
+    assert out[9]["cnt"] == 11
+
+
+def test_standardize_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.stats import standardize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0), ("b", 10.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = standardize(df, ["v"], by="g").collect()
+    a = np.array([1.0, 2.0, 4.0])
+    mean, sd = a.mean(), a.std(ddof=1)
+    got_a = sorted(r["v_z"] for r in out if r["g"] == "a")
+    want_a = sorted(round((x - mean) / sd, 6) for x in a)
+    for g, w in zip(got_a, want_a):
+        assert abs(g - w) < 1e-6
+    # zero-variance group and singleton group -> null z
+    assert all(r["v_z"] is None for r in out if r["g"] in ("b", "c"))
