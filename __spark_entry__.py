@@ -1538,6 +1538,19 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join: part-name pairs within
+    Levenshtein distance 2, via lossless PassJoin pigeonhole blocking
+    + exact verify (operators/dedup.edit_distance_pairs) — output is
+    provably identical to the oracle's quadratic cross join."""
+    from hippollm_spark.operators.dedup import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    return edit_distance_pairs(part, "text", k=2)
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width 20-bin histogram of event values per event type
     (global bounds). Partial counts combine map-side; the shuffle is
@@ -1926,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "value_histogram": q_value_histogram,
         "standardize": q_standardize,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "events_enriched": q_events_enriched,
         "events_json_props": q_events_json_props,
         "sessionization": q_sessionization,
@@ -3236,6 +3250,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+            FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         "value_histogram": """
             WITH b AS (

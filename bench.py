@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
+    "fuzzy_name_pairs",
     "dedup_groups",
     "contamination",
     "boilerplate_removal",

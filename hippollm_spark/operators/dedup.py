@@ -886,3 +886,100 @@ def remove_boilerplate_segments(
             ).alias("text")
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    k: int = 2,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``k`` — WITHOUT the
+    quadratic cross join, via PassJoin-style pigeonhole blocking
+    (Li et al., VLDB 2012): split every string into k+1 contiguous
+    segments; any string within distance k must contain one segment
+    EXACTLY (k edits cannot touch all k+1 segments), at a position
+    shifted by at most k. The index side emits k+1 segment keys per
+    string; the probe side emits the (2k+1) aligned substrings per
+    segment for each compatible source length — O((2k+1)·(k+1)·
+    (2k+1)) keys per string, constant in corpus size. Candidates are
+    then verified with the exact JVM ``levenshtein``; blocking is
+    lossless, so output ≡ cross-join + filter. Strings of length
+    ≤ 2k fall into one catch-all block (segments degenerate there).
+
+    Output: (id_a, id_b, dist INT) with id_a < id_b, dist ≤ k.
+    """
+    import pandas as pd
+
+    kk = int(k)
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(
+        F.col(id_col).alias("__id__"), F.col(text_col).alias("__s__")
+    ).filter(F.col("__s__").isNotNull())
+
+    def _segments(length: int) -> list[tuple[int, int]]:
+        """(start, seg_len) of the k+1 even segments of a string of
+        this length (starts 0-based; first length%(k+1) segments get
+        the extra char)."""
+        n = kk + 1
+        base, extra = divmod(length, n)
+        out, pos = [], 0
+        for i in range(n):
+            ln = base + (1 if i < extra else 0)
+            out.append((pos, ln))
+            pos += ln
+        return out
+
+    def _index(batches):
+        for pdf in batches:
+            ids, keys = [], []
+            for _id, s in zip(pdf["__id__"], pdf["__s__"]):
+                L = len(s)
+                if L <= 2 * kk:
+                    ids.append(_id)
+                    keys.append("~short")
+                    continue
+                for i, (p, ln) in enumerate(_segments(L)):
+                    if ln == 0:
+                        continue
+                    ids.append(_id)
+                    keys.append(f"{L}|{i}|{s[p : p + ln]}")
+            yield pd.DataFrame({"bid": ids, "bkey": keys})
+
+    def _probe(batches):
+        for pdf in batches:
+            ids, keys = [], []
+            for _id, t in zip(pdf["__id__"], pdf["__s__"]):
+                m = len(t)
+                seen = set()
+                if m <= 3 * kk:
+                    seen.add("~short")
+                for L in range(max(2 * kk + 1, m - kk), m + kk + 1):
+                    for i, (p, ln) in enumerate(_segments(L)):
+                        if ln == 0:
+                            continue
+                        for st in range(max(0, p - kk), min(m - ln, p + kk) + 1):
+                            seen.add(f"{L}|{i}|{t[st : st + ln]}")
+                for key in seen:
+                    ids.append(_id)
+                    keys.append(key)
+            yield pd.DataFrame({"pid": ids, "pkey": keys})
+
+    index = src.mapInPandas(_index, f"bid {id_type}, bkey string")
+    probe = src.mapInPandas(_probe, f"pid {id_type}, pkey string")
+    cands = (
+        probe.join(index, probe["pkey"] == index["bkey"])
+        .filter(F.col("pid") < F.col("bid"))
+        .select(F.col("pid").alias("id_a"), F.col("bid").alias("id_b"))
+        .distinct()
+    )
+    left = src.select(F.col("__id__").alias("id_a"), F.col("__s__").alias("__sa__"))
+    right = src.select(F.col("__id__").alias("id_b"), F.col("__s__").alias("__sb__"))
+    return (
+        cands.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("dist", F.levenshtein("__sa__", "__sb__"))
+        .filter(F.col("dist") <= kk)
+        .select("id_a", "id_b", "dist")
+    )

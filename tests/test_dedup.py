@@ -175,3 +175,44 @@ def test_remove_boilerplate_segments(spark):
     for i in range(4):
         assert out[i] == f"unique{i} tail{i}"  # boilerplate block gone
     assert out[9] == "standalone document with no shared blocks at all"
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.dedup import edit_distance_pairs
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(part, "text", k=2).collect()
+    }
+    a = part.select(F.col("doc_id").alias("ia"), F.col("text").alias("ta"))
+    b = part.select(F.col("doc_id").alias("ib"), F.col("text").alias("tb"))
+    want = {
+        (r["ia"], r["ib"], r["d"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("d", F.levenshtein("ta", "tb"))
+        .filter("d <= 2")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_edit_distance_pairs_short_strings(spark):
+    from hippollm_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(1, "ab"), (2, "abc"), (3, "xy"), (4, ""), (5, "abcd"), (6, "zzzzzzzz")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "text", k=2).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2   # ab -> xy
+    assert got[(2, 5)] == 1
+    assert got[(1, 4)] == 2   # ab -> ''
+    assert (1, 6) not in got and (4, 6) not in got
