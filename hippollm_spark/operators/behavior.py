@@ -32,14 +32,26 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    method: str = "walk",
 ) -> DataFrame:
     """Ordered funnel: for each step k, the number of users whose
     earliest step-k event strictly follows their earliest qualifying
     step-(k-1) event. Output: (step_idx INT, step STRING,
     n_users BIGINT, conversion DOUBLE 6dp — fraction of step-1 users).
+
+    ``method='walk'`` (default): ONE scan + ONE shuffle — per-user
+    step events are sorted and walked with a codegen'd ``aggregate``
+    lambda that advances a (stage, t) state at the first event of the
+    next step with ts strictly greater. ``method='joins'`` is the
+    textbook per-step min-join chain (N scans, N shuffles) kept as the
+    cross-check; both produce identical results (tested).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if method == "walk":
+        return _funnel_walk(
+            events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+        )
     reached: DataFrame | None = None
     counts: list[DataFrame] = []
     for idx, step in enumerate(steps):
@@ -74,6 +86,70 @@ def funnel_counts(
             "n_users",
             F.round(F.col("n_users") / F.col("__n1__"), 6).alias("conversion"),
         )
+    )
+
+
+def _funnel_walk(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Single-scan funnel: filter to step events, collect each user's
+    (ts, step_idx) list, sort, and fold with ``aggregate`` — the state
+    (stage, t) advances when an event's step equals the next expected
+    stage AND its ts is strictly later. All JVM-side; the one shuffle
+    carries only step-matching events."""
+    n = len(steps)
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                step_idx[F.col(type_col)].alias("si"),
+            ).alias("ev"),
+        )
+        .groupBy("user")
+        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+        .select(
+            F.aggregate(
+                "evs",
+                F.struct(
+                    F.lit(-1).alias("stage"),
+                    F.lit(None).cast(events.schema[ts_col].dataType).alias("t"),
+                ),
+                lambda st, e: F.when(
+                    (e["si"] == st["stage"] + 1)
+                    & ((st["stage"] == -1) | (e["ts"] > st["t"])),
+                    F.struct(e["si"].alias("stage"), e["ts"].alias("t")),
+                ).otherwise(st),
+            )["stage"].alias("stage")
+        )
+    )
+    stages = per_user.groupBy("stage").agg(F.count("*").alias("n"))
+    ladder = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    counts = (
+        F.broadcast(ladder)
+        .join(stages, stages["stage"] >= ladder["step_idx"] - 1, "left")
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users"))
+    )
+    first = counts.filter(F.col("step_idx") == 1).select(
+        F.col("n_users").alias("__n1__")
+    )
+    return counts.crossJoin(F.broadcast(first)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") / F.col("__n1__"), 6).alias("conversion"),
     )
 
 

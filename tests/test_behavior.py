@@ -65,3 +65,28 @@ def test_cohort_retention_triangle(spark):
     assert out[("2024-01-08", 0)] == (1, 1.0)
     assert out[("2024-01-08", 2)] == (1, 1.0)
     assert len(out) == 4
+
+
+def test_funnel_methods_agree(spark):
+    import random
+
+    random.seed(7)
+    rows = []
+    for u in range(200):
+        for _ in range(random.randint(1, 8)):
+            rows.append(
+                (
+                    u,
+                    T(2024, 1, random.randint(1, 28), random.randint(0, 23)),
+                    random.choice(["view", "click", "purchase", "signup"]),
+                )
+            )
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    walk = sorted(
+        map(tuple, funnel_counts(df, steps, method="walk").collect())
+    )
+    joins = sorted(
+        map(tuple, funnel_counts(df, steps, method="joins").collect())
+    )
+    assert walk == joins
