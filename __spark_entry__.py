@@ -1538,6 +1538,19 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample, 20 per language
+    (Efraimidis-Spirakis exponential keys off the md5 rank-hash;
+    deterministic, weight-proportional, repartition-stable)."""
+    from hippollm_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs, "n_chars", n=20, by="lang", id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity self-join: part-name pairs within
     Levenshtein distance 2, via lossless PassJoin pigeonhole blocking
@@ -1726,6 +1739,42 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         *[F.col(c).alias(f"n_{c}") for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+def q_events_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the wide activity matrix back to long form —
+    Spark's native ``unpivot`` operator (zero-count cells dropped so
+    the long form is sparse)."""
+    wide = q_events_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{c}" for c in ["click", "error", "purchase", "signup", "view"]],
+            "event_type",
+            "n",
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "user_id",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            "n",
+        )
+    )
+
+
+def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day purchase-revenue change per day: lag window +
+    exact DECIMAL daily sums; delta null on the first day."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
     )
 
 
@@ -1940,11 +1989,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "standardize": q_standardize,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "weighted_sample": q_weighted_sample,
         "events_enriched": q_events_enriched,
         "events_json_props": q_events_json_props,
         "sessionization": q_sessionization,
         "click_attribution": q_click_attribution,
         "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_delta": q_revenue_delta,
         "user_activity": q_user_activity,
         "top_ngrams": q_top_ngrams,
         "text_clean": q_text_clean,
@@ -2983,6 +3035,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY 1, 2
         """,
+        "weighted_sample": """
+            WITH r AS (
+                SELECT doc_id, lang, n_chars,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS rh
+                FROM documents
+            ),
+            k AS (
+                SELECT doc_id, lang, n_chars,
+                       round(-ln((rh + 1.0) / 1152921504606846976.0), 6)
+                           / n_chars::DOUBLE AS key
+                FROM r
+            ),
+            rk AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+                FROM k
+            )
+            SELECT doc_id, lang, n_chars FROM rk WHERE rn <= 20
+        """,
         "sample_stratified": """
             WITH r AS (
                 SELECT doc_id, lang,
@@ -3393,6 +3464,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'signup') AS n_signup,
                    count(*) FILTER (event_type = 'view') AS n_view
             FROM events GROUP BY user_id
+        """,
+        "events_melt": """
+            WITH wide AS (
+                SELECT user_id,
+                       count(*) FILTER (event_type = 'click') AS n_click,
+                       count(*) FILTER (event_type = 'error') AS n_error,
+                       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                       count(*) FILTER (event_type = 'signup') AS n_signup,
+                       count(*) FILTER (event_type = 'view') AS n_view
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, event_type, n FROM (
+                SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+                UNION ALL SELECT user_id, 'error', n_error FROM wide
+                UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+                UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+                UNION ALL SELECT user_id, 'view', n_view FROM wide
+            ) WHERE n > 0
+        """,
+        "revenue_delta": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS day,
+                       round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT day, revenue,
+                   round(revenue - lag(revenue) OVER (ORDER BY day), 2) AS delta
+            FROM daily
         """,
         "user_activity": """
             SELECT event_type,

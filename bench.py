@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "contamination",
     "boilerplate_removal",
     "sample_stratified",
+    "weighted_sample",
     "hash_split",
     "split_leakage",
     "temperature_sample",
@@ -103,6 +104,8 @@ BENCH_QUERIES = [
     "sessionization",
     "click_attribution",
     "events_pivot",
+    "events_melt",
+    "revenue_delta",
     "user_activity",
     "top_ngrams",
     "text_clean",

@@ -206,3 +206,36 @@ def hash_split(
     return df.withColumn("__b__", bucket).withColumn(
         "split", expr
     ).drop("__b__")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int = 100,
+    *,
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis 2006): each row gets an exponential arrival
+    key ``-ln(u)/w`` from its md5 rank-hash uniform; the n smallest
+    keys per stratum are the sample — inclusion probability ∝ weight,
+    reproducible under reruns/repartition/appends like every sampler
+    here (the key is f(id), not f(position)).
+
+    Cross-engine float discipline: u = (rank_hash+1)/2^60 and the
+    division by w are single exactly-rounded IEEE ops; the one
+    transcendental (ln) is rounded to 6dp before use (BM25-idf rule);
+    ties on the rounded key break by id. One window per stratum —
+    same shape as stratified_sample's exact mode.
+    """
+    u = (rank_hash(id_col).cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.round(-F.log(u), 6) / F.col(weight_col).cast("double")
+    keys = [by] if by else []
+    w = Window.partitionBy(*keys).orderBy(F.col("__k__").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__k__", key)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__k__", "__rn__")
+    )

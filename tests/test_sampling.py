@@ -266,3 +266,35 @@ def test_hash_split_validates_inputs(spark, documents):
         hash_split(documents, fractions=(0.5, 0.2), labels=("a", "b", "c"))
     with _pytest.raises(ValueError):
         hash_split(documents, fractions=(0.5, 0.2, 0.2), labels=("a", "b", "c"))
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.sampling import weighted_sample
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample(df, "w", n=1000, id_col="doc_id")
+    assert out.count() == 1000
+    heavy = out.filter("w = 10.0").count()
+    # ES inclusion odds ~ proportional to weight: expect ~85-90% heavy
+    assert heavy > 750, heavy
+
+
+def test_weighted_sample_deterministic_and_stable_under_repartition(spark):
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.sampling import weighted_sample
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    a = {r["doc_id"] for r in weighted_sample(df, "w", n=200).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(17), "w", n=200).collect()
+    }
+    assert a == b and len(a) == 200
