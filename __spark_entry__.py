@@ -1902,6 +1902,207 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — keyword extraction for
+    corpus exploration/labeling. One corpus shuffle for tf, a
+    vocabulary-sized broadcast for df, a doc-partitioned top-k window."""
+    from hippollm_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 adjacent-bigram collocations by PMI (min_count=5) —
+    Church & Hanks collocation mining; ln over exact integer products
+    so the 6dp score is engine-independent."""
+    from hippollm_spark.operators.textstats import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=15, min_count=5)
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-bag-of-words logistic scoring at scan
+    speed: token→bucket→weight→mean→sigmoid as ONE codegen'd
+    expression chain, zero exchanges — the shape of quality-classifier
+    inference over 100 TB (a trained model would broadcast its weight
+    table; the deterministic md5-derived weights stand in)."""
+    from hippollm_spark.operators.textstats import linear_classifier_score
+
+    return linear_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level dedup signal (Lee et al. 2022): per-document
+    coverage by 8-token spans that also occur in another document —
+    the relational stand-in for the suffix-array substring dedup pass,
+    shuffling only (digest, doc, pos) triples."""
+    from hippollm_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distance (≤4 hops) from the two probe entities
+    over the undirected co-occurrence graph — the batch form of G2's
+    depth-limited explore; one frontier join + anti-join per hop."""
+    from hippollm_spark.operators.graph import cooccurrence, shortest_paths
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select("entity_a", "entity_b")
+    sym = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).union(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    return shortest_paths(sym, [ENTITY_A, ENTITY_B], max_depth=4).orderBy(
+        "dist", "vertex"
+    )
+
+
+def q_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (SCD1) applied to the customer dimension: a synthetic
+    deterministic change feed — custkey%5==0 deletes, %5==1 updates
+    acctbal (+100.00) and re-inserts under key+10^6 — folded in with
+    one window + one anti-join + one union, the Delta/Iceberg MERGE
+    physical plan minus the commit protocol."""
+    from hippollm_spark.operators.scd import merge_into
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    upd = cust.filter(F.col("c_custkey") % 5 == 1).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.col("c_custkey").alias("seq"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 5 == 1).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("copy of "), F.col("c_name")).alias("c_name"),
+        F.col("c_mktsegment"),
+        F.col("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.col("c_custkey").alias("seq"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("D").alias("op"),
+        F.col("c_custkey").alias("seq"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    return merge_into(cust, changes, "c_custkey")
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of `value` at the exact
+    interpolated [p5, p95]: one sorted percentile pass per group
+    (group-count-sized bounds table) broadcast back onto the facts —
+    outlier clipping before any downstream mean/variance stage."""
+    from hippollm_spark.operators.stats import winsorize
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return winsorize(ev, "value", "event_type", lower=0.05, upper=0.95)
+
+
+def q_entity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-similarity: Jaccard of fact sets for entity pairs sharing
+    ≥2 facts — shared-fact blocking generates pairs, never a cross
+    join; degrees join back on narrow keys."""
+    from hippollm_spark.operators.graph import entity_jaccard
+
+    return entity_jaccard(_edges(spark, sf_dir), min_shared=2)
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous label propagation with the deterministic
+    (max count, min label) update rule over the undirected
+    co-occurrence graph — community detection whose fixpoint the
+    DuckDB oracle replays exactly (plain LPA's random tie-break
+    cannot be hash-compared)."""
+    from hippollm_spark.operators.graph import cooccurrence, label_propagation
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select("entity_a", "entity_b")
+    sym = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).union(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    return label_propagation(sym, iterations=3).orderBy("vertex")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags per event type: |v − median| > 3·MAD with
+    exact interpolated medians — two bounds tables broadcast back,
+    facts never shuffle."""
+    from hippollm_spark.operators.stats import mad_outliers
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return mad_outliers(ev, "value", "event_type", k=3.0)
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: NTILE(10) over the integer quality score
+    (doc_id tie-break makes the total order — and therefore every
+    bucket boundary — deterministic)."""
+    from hippollm_spark.operators.stats import ntile_buckets
+    from hippollm_spark.operators.textstats import quality_features
+
+    q = quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score_e8"
+    )
+    return ntile_buckets(q, "quality_score_e8", 10, tiebreak_col="doc_id")
+
+
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue average: exact DECIMAL daily sums, then
+    a RANGE window over the integer day index (so calendar gaps
+    shorten the window instead of silently spanning them); the
+    trailing mean divides the exact decimal window sum by the window
+    row count."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(_dec(F.col("value"))).alias("__rev__")
+    )
+    daily = daily.withColumn(
+        "day_idx", F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("__rev__").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("__rev__").over(w).cast("double") / F.count("*").over(w), 6
+        ).alias("avg_7d"),
+        F.count("*").over(w).alias("n_days"),
+    ).orderBy("day")
+
+
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open 'view' intervals per day (sweep-line over
+    [ts, ts + floor(value×10) s) spans): unpivot to ±1 deltas, net per
+    instant (map-side combinable — makes the prefix sum deterministic),
+    running sum per day. The `by` grouping is what keeps the prefix
+    sum parallel at 100 TB."""
+    from hippollm_spark.operators.temporal import max_concurrency
+
+    iv = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("ts").alias("start_ts"),
+            F.expr(
+                "timestampadd(SECOND, cast(floor(value * 10) as int), ts)"
+            ).alias("end_ts"),
+        )
+    )
+    return max_concurrency(iv, by="day").orderBy("day")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2011,6 +2212,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": q_sales_cube,
         "winnow_pairs": q_winnow_pairs,
         "graph_components": q_graph_components,
+        "tfidf_keywords": q_tfidf_keywords,
+        "pmi_collocations": q_pmi_collocations,
+        "classifier_score": q_classifier_score,
+        "dup_spans": q_dup_spans,
+        "graph_bfs": q_graph_bfs,
+        "merge_changes": q_merge_changes,
+        "winsorize_value": q_winsorize,
+        "max_concurrency": q_max_concurrency,
+        "entity_similarity": q_entity_similarity,
+        "lpa_communities": q_lpa_communities,
+        "mad_outliers": q_mad_outliers,
+        "quality_deciles": q_quality_deciles,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
     }
 
 
@@ -2093,6 +2307,44 @@ def _pagerank_oracle_sql(
         {chain}
         SELECT vertex, rank_scaled FROM pr{iterations}
         ORDER BY rank_scaled DESC, vertex ASC
+    """
+
+
+def _lpa_oracle_sql(iterations: int = 3) -> str:
+    """DuckDB replica of q_lpa_communities: the deterministic
+    (max count, min label) update unrolled one CTE per round (the same
+    unrolling discipline as the PageRank oracle — recursive CTEs can't
+    aggregate over the recursive reference)."""
+    ctes = ["lp0 AS (SELECT vertex, vertex AS label FROM verts)"]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""lp{i} AS (
+            SELECT v.vertex, coalesce(p.new_label, v.label) AS label
+            FROM lp{i - 1} v LEFT JOIN (
+                SELECT dst, min(label) AS new_label FROM (
+                    SELECT dst, label, cnt,
+                           max(cnt) OVER (PARTITION BY dst) AS mx
+                    FROM (SELECT e.dst, l.label, count(*) AS cnt
+                          FROM e JOIN lp{i - 1} l ON e.src = l.vertex
+                          GROUP BY e.dst, l.label)
+                ) WHERE cnt = mx GROUP BY dst
+            ) p ON v.vertex = p.dst
+        )""")
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH ed AS ({_EDGES_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.entity AS ea, b.entity AS eb
+            FROM ed a JOIN ed b
+              ON a.fact_id = b.fact_id AND a.entity < b.entity
+        ),
+        e AS (
+            SELECT ea AS src, eb AS dst FROM pairs
+            UNION
+            SELECT eb AS src, ea AS dst FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS vertex FROM e),
+        {chain}
+        SELECT vertex, label FROM lp{iterations} ORDER BY vertex
     """
 
 
@@ -3684,5 +3936,290 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id ORDER BY user_id
+        """,
+        "tfidf_keywords": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+                WHERE term <> '' GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf, df,
+                       round(tf * round(ln(1.0 + (SELECT n FROM nd) / df), 6), 6)
+                           AS score_tfidf
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, score_tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_tfidf DESC, term ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "pmi_collocations": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            tot AS (
+                SELECT CAST(sum(len(toks)) AS BIGINT) AS t_tok,
+                       CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS b_bg
+                FROM t
+            ),
+            uni AS (
+                SELECT tk AS w, count(*) AS n_w
+                FROM (SELECT unnest(toks) AS tk FROM t)
+                WHERE tk <> '' GROUP BY tk
+            ),
+            pairs AS (
+                SELECT w1, w2, count(*) AS n_pair
+                FROM (
+                    SELECT toks[i] AS w1, toks[i + 1] AS w2
+                    FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                          FROM t WHERE len(toks) >= 2)
+                )
+                WHERE w1 <> '' AND w2 <> ''
+                GROUP BY w1, w2 HAVING count(*) >= 5
+            )
+            SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+                   round(ln((n_pair * (SELECT t_tok FROM tot)::DOUBLE
+                                    * (SELECT t_tok FROM tot))
+                            / ((SELECT b_bg FROM tot)::DOUBLE
+                               * u1.n_w * u2.n_w)), 6) AS pmi
+            FROM pairs
+            JOIN uni u1 ON u1.w = pairs.w1
+            JOIN uni u2 ON u2.w = pairs.w2
+            ORDER BY pmi DESC, w1, w2
+            LIMIT 15
+        """,
+        "classifier_score": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM t
+            ),
+            agg AS (
+                SELECT doc_id, any_value(n) AS n,
+                       CAST(sum(
+                           (('0x' || substr(md5(CAST(
+                               (('0x' || substr(md5(tk), 1, 15))::BIGINT % 65536)
+                               AS VARCHAR)), 1, 15))::BIGINT % 2000001)
+                           - 1000000
+                       ) AS BIGINT) AS w_sum
+                FROM tok GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n AS INT) AS n_tokens, w_sum AS w_sum_e6,
+                   round(w_sum / (greatest(n, 1) * 1000000.0), 6) AS z,
+                   round(1.0 / (1.0 + exp(
+                       -round(w_sum / (greatest(n, 1) * 1000000.0), 6))), 6)
+                       AS score
+            FROM agg
+        """,
+        "dup_spans": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+                                       1, 15))::BIGINT AS h
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+                      FROM t WHERE len(toks) >= 8)
+            ),
+            dup AS (
+                SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)
+            ),
+            st AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+            cov AS (
+                SELECT doc_id,
+                       greatest(pos + 8 - greatest(pos,
+                           coalesce(max(pos + 8) OVER (PARTITION BY doc_id
+                               ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               -1)), 0) AS c
+                FROM st
+            ),
+            agg AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
+                FROM cov GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+                   coalesce(agg.dup_tokens, 0) AS dup_tokens,
+                   round(coalesce(agg.dup_tokens, 0)::DOUBLE
+                         / greatest(len(t.toks), 1), 6) AS dup_frac
+            FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "graph_bfs": f"""
+            WITH RECURSIVE ed AS ({_EDGES_SQL}),
+            pairs AS (
+                SELECT DISTINCT a.entity AS ea, b.entity AS eb
+                FROM ed a JOIN ed b
+                  ON a.fact_id = b.fact_id AND a.entity < b.entity
+            ),
+            e AS (
+                SELECT ea AS src, eb AS dst FROM pairs
+                UNION
+                SELECT eb AS src, ea AS dst FROM pairs
+            ),
+            bfs AS (
+                SELECT * FROM (VALUES ('{ENTITY_A}', 0), ('{ENTITY_B}', 0))
+                    s(vertex, dist)
+                UNION
+                SELECT e.dst, b.dist + 1
+                FROM bfs b JOIN e ON e.src = b.vertex
+                WHERE b.dist < 4
+            )
+            SELECT vertex, CAST(min(dist) AS INT) AS dist
+            FROM bfs GROUP BY vertex
+            ORDER BY dist, vertex
+        """,
+        "merge_changes": """
+            WITH cust AS (
+                SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+            ),
+            upserted AS (
+                SELECT c_custkey, c_name, c_mktsegment,
+                       round(c_acctbal + 100.0, 2) AS c_acctbal
+                FROM cust WHERE c_custkey % 5 = 1
+                UNION ALL
+                SELECT c_custkey + 1000000, 'copy of ' || c_name,
+                       c_mktsegment, c_acctbal
+                FROM cust WHERE c_custkey % 5 = 1
+            ),
+            touched AS (
+                SELECT c_custkey FROM cust WHERE c_custkey % 5 IN (0, 1)
+                UNION ALL
+                SELECT c_custkey + 1000000 FROM cust WHERE c_custkey % 5 = 1
+            )
+            SELECT * FROM cust
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM touched)
+            UNION ALL
+            SELECT * FROM upserted
+        """,
+        "winsorize_value": """
+            WITH b AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+            FROM events e JOIN b USING (event_type)
+        """,
+        "entity_similarity": f"""
+            WITH ed AS ({_EDGES_SQL}),
+            pairs AS (
+                SELECT a.entity AS entity_a, b.entity AS entity_b,
+                       count(*) AS n_shared
+                FROM ed a JOIN ed b
+                  ON a.fact_id = b.fact_id AND a.entity < b.entity
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            deg AS (SELECT entity, count(*) AS deg FROM ed GROUP BY entity)
+            SELECT entity_a, entity_b, n_shared,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   round(n_shared
+                         / (da.deg + db.deg - n_shared)::DOUBLE, 6) AS jaccard
+            FROM pairs
+            JOIN deg da ON da.entity = pairs.entity_a
+            JOIN deg db ON db.entity = pairs.entity_b
+        """,
+        "lpa_communities": _lpa_oracle_sql(3),
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY event_type
+            ),
+            devs AS (
+                SELECT e.event_id, e.event_type, e.value,
+                       abs(e.value - m.med) AS dev0
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, quantile_cont(dev0, 0.5) AS mad
+                FROM devs GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, d.value,
+                   round(d.dev0, 6) AS dev, round(m.mad, 6) AS mad,
+                   round(d.dev0, 6) > 3.0 * round(m.mad, 6) AS is_outlier
+            FROM devs d JOIN mad m USING (event_type)
+        """,
+        "quality_deciles": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split({_NORM}, ' ') AS toks,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                       round(len(list_filter(toks, t -> list_contains({en}, t))) / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
+                       round(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
+                FROM base
+            ),
+            scored AS (
+                SELECT doc_id,
+                       (least(n_tokens * 10000, 1000000) * 25
+                        + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
+                        + least(CAST(round(stopword_ratio * 1000000) AS BIGINT) * 5, 1000000) * 20
+                        + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS quality_score_e8
+                FROM feat
+            )
+            SELECT doc_id, quality_score_e8,
+                   CAST(ntile(10) OVER (ORDER BY quality_score_e8 DESC,
+                        doc_id ASC) AS INT) AS bucket
+            FROM scored
+        """,
+        "rolling_revenue_7d": """
+            WITH daily AS (
+                SELECT date_trunc('day', ts) AS day,
+                       sum(CAST(value AS DECIMAL(38,10))) AS rev,
+                       date_diff('day', DATE '1970-01-01',
+                                 date_trunc('day', ts)::DATE) AS day_idx
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY date_trunc('day', ts)
+            )
+            SELECT day, round(rev::DOUBLE, 2) AS revenue,
+                   round(sum(rev) OVER w::DOUBLE / count(*) OVER w, 6) AS avg_7d,
+                   count(*) OVER w AS n_days
+            FROM daily
+            WINDOW w AS (ORDER BY day_idx
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY day
+        """,
+        "max_concurrency": """
+            WITH iv AS (
+                SELECT date_trunc('day', ts) AS day,
+                       ts AS start_ts,
+                       ts + to_seconds(CAST(floor(value * 10) AS BIGINT))
+                           AS end_ts
+                FROM events WHERE event_type = 'view'
+            ),
+            deltas AS (
+                SELECT day, start_ts AS ts, 1 AS delta FROM iv
+                UNION ALL
+                SELECT day, end_ts AS ts, -1 AS delta FROM iv
+            ),
+            net AS (
+                SELECT day, ts, CAST(sum(delta) AS BIGINT) AS net
+                FROM deltas GROUP BY day, ts
+            ),
+            prof AS (
+                SELECT day,
+                       CAST(sum(net) OVER (PARTITION BY day ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS INT) AS concurrent
+                FROM net
+            )
+            SELECT day, max(concurrent) AS peak
+            FROM prof GROUP BY day ORDER BY day
         """,
     }

@@ -120,6 +120,19 @@ BENCH_QUERIES = [
     "graph_pagerank_weighted",
     "graph_triangles",
     "sales_cube",
+    "tfidf_keywords",
+    "pmi_collocations",
+    "classifier_score",
+    "dup_spans",
+    "graph_bfs",
+    "merge_changes",
+    "winsorize_value",
+    "max_concurrency",
+    "entity_similarity",
+    "lpa_communities",
+    "mad_outliers",
+    "quality_deciles",
+    "rolling_revenue_7d",
 ]
 
 

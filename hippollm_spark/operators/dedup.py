@@ -983,3 +983,108 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= kk)
         .select("id_a", "id_b", "dist")
     )
+
+
+# --------------------------------------------------------------------------
+# 10. sequence-level dedup: cross-document duplicated n-gram spans
+# --------------------------------------------------------------------------
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document coverage of token spans that also occur in ANOTHER
+    document — the sequence-level (substring) dedup signal of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally: instead of a suffix array over
+    the concatenated corpus, hash every overlapping token n-gram, keep
+    the n-grams seen in ≥2 distinct documents, and measure how much of
+    each document those duplicated spans cover (overlapping spans
+    union-merged, not double-counted).
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_frac) where dup_tokens
+    is the size of the union of [pos, pos+n) intervals over duplicated
+    n-gram start positions and dup_frac = dup_tokens / n_tokens
+    (rounded 6dp). Documents shorter than n tokens report 0 coverage.
+
+    Scale shape: the exchange carries (digest BIGINT, doc_id, pos) —
+    never text. Cross-doc duplication is min(doc)≠max(doc) on the
+    digest group (no countDistinct state). The interval union is a
+    single aggregate() fold over the per-doc SORTED start array
+    (collect_list bounded by document length — the same bound every
+    per-doc array op here already carries), so nothing explodes by n.
+    The 100 TB blowup guard is the digest groupBy itself: boilerplate
+    n-grams shared by millions of docs still aggregate to one group
+    row, and rejoin fans out only to their true occurrence count.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("__toks__"),
+    )
+    grams = t.select(
+        "doc_id",
+        F.size("__toks__").alias("n_tokens"),
+        F.posexplode(
+            F.when(
+                F.size("__toks__") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks__") - n),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice("__toks__", i + 1, n))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "h"),
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("__mn__"), F.max("doc_id").alias("__mx__"))
+        .filter(F.col("__mn__") != F.col("__mx__"))
+        .select("h")
+    )
+    starts = (
+        grams.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts__"))
+    )
+    covered = F.aggregate(
+        F.col("__starts__"),
+        F.struct(
+            F.lit(-1).cast("long").alias("end"),
+            F.lit(0).cast("long").alias("tot"),
+        ),
+        lambda a, s: F.struct(
+            F.greatest(a["end"], s.cast("long") + n).alias("end"),
+            (
+                a["tot"]
+                + F.greatest(
+                    s.cast("long") + n - F.greatest(s.cast("long"), a["end"]),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("tot"),
+        ),
+        lambda a: a["tot"],
+    )
+    base = t.select("doc_id", F.size("__toks__").alias("n_tokens"))
+    return (
+        base.join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(covered, F.lit(0).cast("long")).alias("dup_tokens"),
+            F.round(
+                F.coalesce(covered, F.lit(0).cast("long"))
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

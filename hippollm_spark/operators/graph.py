@@ -424,3 +424,175 @@ def triangle_stats(
             6,
         ).alias("clustering"),
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: Sequence[str],
+    max_depth: int = 6,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Unweighted shortest-path distance from a seed SET (multi-source
+    BFS) — the batch form of the reference's depth-limited explore
+    (hippoview app.py:37-63): instead of materializing one neighbour
+    list per hop around one origin, label every reachable vertex with
+    its hop distance in ≤ ``max_depth`` synchronous rounds.
+
+    Classic frontier BFS: per round, join the frontier (vertices fixed
+    at distance d) to the edge list, anti-join out already-settled
+    vertices, settle the remainder at d+1. Each round is one hash join
+    + one anti-join on narrow (vertex) keys; the frontier is cached
+    and the settled set localCheckpoint'ed every ``checkpoint_every``
+    rounds to cut lineage. Early exit when a frontier lands empty (the
+    count is already materialized by the cache — no extra job).
+
+    Pass both edge directions for an undirected graph. Output:
+    (vertex, dist INT) for reachable vertices only; unreachable
+    vertices are simply absent (join against it with a coalesce to ∞
+    if needed).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    seed_list = sorted(set(seeds))
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(s, 0) for s in seed_list], "vertex string, dist int"
+    )
+    frontier = settled.select("vertex").cache()
+    for d in range(1, max_depth + 1):
+        reached = (
+            e.join(frontier, e.src == frontier.vertex)
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+        )
+        nxt = reached.join(settled, "vertex", "left_anti").cache()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        settled = settled.unionByName(
+            nxt.withColumn("dist", F.lit(d).cast("int"))
+        )
+        if d % checkpoint_every == 0:
+            settled = settled.localCheckpoint(eager=True)
+        frontier.unpersist()
+        frontier = nxt
+    return settled
+
+
+def entity_jaccard(
+    edges: DataFrame,
+    *,
+    min_shared: int = 1,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Node similarity over the hypergraph: Jaccard of the fact sets
+    of every entity pair that shares at least ``min_shared`` facts —
+    the graph-native cousin of the document near-dup joins (same
+    blocking idea: pairs are only generated where an actual shared
+    fact exists, never a quadratic cross join).
+
+    Shape: one self-join of edges on fact_id (a < b) → pair counts;
+    degrees aggregate from the same edge table and join back on each
+    side. All shuffles carry (entity, entity, count) triples. Skew
+    guard: a fact with f members emits f(f-1)/2 pairs — hyperedges
+    are small in this domain (facts link a handful of entities), but
+    a degenerate giant fact would need the same cap `winnow_dup_pairs`
+    applies via max_df; expose nothing here and let callers pre-filter
+    edges (documented contract).
+
+    Output: (entity_a, entity_b, n_shared, deg_a, deg_b, jaccard) with
+    jaccard = shared / (deg_a + deg_b - shared), rounded 6dp.
+    """
+    a = edges.select(F.col("fact_id"), F.col("entity").alias("entity_a"))
+    b = edges.select(F.col("fact_id"), F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "fact_id")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    deg = edges.groupBy("entity").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("entity").alias("entity_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("entity").alias("entity_b"), F.col("deg").alias("deg_b"))
+    out = (
+        pairs.join(da, "entity_a")
+        .join(db, "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection with a fully
+    deterministic update rule: each round, a vertex adopts the label
+    that is (most frequent among its in-neighbours, then smallest
+    lexicographically) — the two-stage argmax makes the fixpoint
+    engine-independent, so the DuckDB oracle can unroll the identical
+    recurrence (plain LPA's random tie-breaking cannot be
+    hash-compared). Isolated vertices keep their own label.
+
+    Per round: one join (edges ⨝ labels, both keyed on the vertex
+    domain), one (dst, label) count aggregate, a per-dst max window,
+    and a min-label aggregate — all narrow key/label/count shuffles.
+    Fixed iteration count, no convergence check (each check would be
+    an extra job; communities stabilize in a few rounds and the
+    semantic is "k synchronous rounds", which is what the oracle
+    replays). Pass both edge directions for an undirected graph.
+
+    Output: (vertex, label) — label is the elected community
+    representative's name.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    labels = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .cache()
+    )
+    for it in range(iterations):
+        counted = (
+            e.join(labels, e.src == labels.vertex)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        wmax = Window.partitionBy("dst")
+        pick = (
+            counted.withColumn("__mx__", F.max("cnt").over(wmax))
+            .filter(F.col("cnt") == F.col("__mx__"))
+            .groupBy("dst")
+            .agg(F.min("label").alias("new_label"))
+        )
+        labels = labels.join(
+            pick, labels.vertex == pick.dst, "left"
+        ).select(
+            "vertex", F.coalesce("new_label", "label").alias("label")
+        )
+        if it % checkpoint_every == checkpoint_every - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -80,3 +80,39 @@ def scd2_apply(
     fresh = scd2_init(new_keys.unionByName(reopened), ts_col)
 
     return closed_rows.unionByName(closing).unionByName(unchanged_open).unionByName(fresh)
+
+
+def merge_into(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """SCD1 / CDC MERGE semantics without a table format: apply a
+    change feed of upserts ('U' — insert or replace) and deletes ('D')
+    to a keyed snapshot. The latest change per key wins, ordered by
+    ``seq_col`` (a CDC log offset / commit timestamp); ties broken by
+    op descending so a same-seq U beats a D deterministically.
+
+    Shape: one window over changes keyed on the business key (the
+    change feed is normally ≪ the snapshot), one left-anti join to
+    drop superseded/deleted target rows, one union. This is exactly
+    the physical work Delta/Iceberg MERGE INTO performs per batch,
+    minus the transactional commit; at 100 TB the anti-join is the
+    only snapshot-sized operation, and AQE turns it into a broadcast
+    anti-join whenever the deduped change set fits.
+    """
+    from pyspark.sql import Window
+
+    payload = [c for c in changes.columns if c not in (op_col, seq_col)]
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col), F.desc(op_col))
+    latest = (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .filter("__rn__ = 1")
+        .drop("__rn__")
+    )
+    survivors = target.join(latest.select(key), on=key, how="left_anti")
+    upserts = latest.filter(F.col(op_col) == "U").select(*payload)
+    return survivors.unionByName(upserts)

@@ -284,3 +284,120 @@ def standardize(
         f"__s2_{c}__" for c in value_cols
     ]
     return out.drop(*drop)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    *,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    [lower, upper] exact interpolated percentiles (the
+    ``exact_percentiles`` definition, so the bounds themselves are
+    oracle-checkable quantile_cont values).
+
+    Shape: one sort-based percentile pass per group (window + filter
+    aggregation — the same single shuffle ``exact_percentiles`` does)
+    producing a bounds table with ONE ROW PER GROUP, broadcast-joined
+    back onto the fact rows. The fact table is scanned twice but
+    shuffled never — at 100 TB the clip itself is scan-speed.
+
+    Output: input columns + ``<value_col>_w`` (clipped, rounded).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    bounds = exact_percentiles(df, value_col, by, [lower, upper])
+    lo_name, hi_name = bounds.columns[len(by)], bounds.columns[len(by) + 1]
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col(lo_name)), F.col(hi_name)
+    )
+    if round_to is not None:
+        clipped = F.round(clipped, round_to)
+    return (
+        df.join(F.broadcast(bounds), on=by)
+        .withColumn(f"{value_col}_w", clipped)
+        .drop(lo_name, hi_name)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    *,
+    k: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation:
+    a row is an outlier when |v − median| > k · MAD (both the median
+    and the MAD are the exact interpolated group medians, so the rule
+    is deterministic and oracle-checkable — unlike stddev-based
+    z-scores, one wild value cannot drag the threshold).
+
+    Two percentile passes (median of v, then median of |v − median|),
+    each producing a one-row-per-group bounds table broadcast back —
+    the fact rows are scanned twice, shuffled never. Deviations and
+    MADs are rounded to ``round_to`` before the comparison so the
+    boundary decision is bit-identical across engines.
+
+    Output: input columns + dev (rounded |v − med|), mad (rounded
+    group MAD), is_outlier BOOLEAN.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    med = exact_percentiles(df, value_col, by, [0.5]).withColumnRenamed(
+        "p50", "__med__"
+    )
+    devs = df.join(F.broadcast(med), on=by).withColumn(
+        "__dev__", F.abs(F.col(value_col) - F.col("__med__"))
+    )
+    mad = (
+        exact_percentiles(devs, "__dev__", by, [0.5])
+        .withColumnRenamed("p50", "__mad__")
+    )
+    out = (
+        devs.join(F.broadcast(mad), on=by)
+        .withColumn("dev", F.round("__dev__", round_to))
+        .withColumn("mad", F.round("__mad__", round_to))
+        .withColumn("is_outlier", F.col("dev") > F.lit(k) * F.col("mad"))
+        .drop("__med__", "__dev__", "__mad__")
+    )
+    return out
+
+
+def ntile_buckets(
+    df: DataFrame,
+    order_col: str,
+    n: int = 10,
+    *,
+    tiebreak_col: str | None = None,
+    by: str | Sequence[str] | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Equal-frequency bucketing (NTILE): curriculum/quality deciles.
+
+    Deterministic only when the total order is — pass a unique
+    ``tiebreak_col``. Scale note: without ``by`` this is a single
+    total order; Spark executes it as a range-partitioned global sort
+    (not one partition — the window's ntile runs after a skew-free
+    rangepartitioning exchange, but the ntile itself needs the global
+    row position, so Spark inserts a single-partition window for the
+    unpartitioned case). At 100 TB use ``by`` (e.g. shard or date) or
+    switch to threshold bucketing against an ``exact_percentiles``
+    boundary table — equal-frequency-up-to-boundary-ties, fully
+    parallel; this operator keeps exact NTILE semantics for the sizes
+    where the global window is affordable (model-eval sets, sampled
+    corpora).
+
+    Output: input columns + bucket INT (1-based).
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(*order)
+    return df.withColumn("bucket", F.ntile(n).over(w))

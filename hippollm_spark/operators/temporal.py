@@ -220,3 +220,75 @@ def gap_fill(
             ],
         )
     return joined.select(*keys, "tick", *vals, "n_obs")
+
+
+def concurrency_profile(
+    intervals: DataFrame,
+    *,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency: for a table of [start, end) intervals,
+    the number of intervals open at every boundary instant — the
+    classic "max concurrent sessions" analysis.
+
+    Each interval unpivots to (+1 at start, -1 at end); the deltas are
+    pre-aggregated to one NET delta per distinct boundary instant
+    (map-side combinable, and it makes the subsequent prefix sum
+    deterministic — no within-timestamp ordering exists to disagree
+    about); a running sum ordered by ts then gives the open count
+    AFTER each boundary. Ends cancel starts at the same instant, i.e.
+    [start, end) semantics: a session ending exactly when another
+    starts never overlaps it.
+
+    Shape: the unpivot doubles rows map-side; the only exchange is the
+    window's partition (per ``by`` group, or a single partition when
+    global — acceptable because boundary rows are 2/interval, and a
+    global profile is inherently a sequential prefix sum; for 100 TB
+    use a ``by`` grouping, e.g. per day, which is what the entry query
+    does: the prefix sum is then parallel across days and exact within
+    each, days being closed under session containment in the fixture).
+
+    Output: by-cols + (ts, concurrent INT).
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    deltas = intervals.select(
+        *by,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(F.col(end_col).alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select(*by, "e.ts", "e.delta")
+    net = deltas.groupBy(*(by + ["ts"])).agg(F.sum("delta").alias("__net__"))
+    w_run = (
+        (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1)))
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return net.select(
+        *by,
+        "ts",
+        F.sum("__net__").over(w_run).cast("int").alias("concurrent"),
+    )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    *,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Peak concurrent open intervals per group (sweep-line max)."""
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    prof = concurrency_profile(
+        intervals, start_col=start_col, end_col=end_col, by=by or None
+    )
+    if by:
+        return prof.groupBy(*by).agg(F.max("concurrent").alias("peak"))
+    return prof.agg(F.max("concurrent").alias("peak"))

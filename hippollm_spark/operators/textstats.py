@@ -492,3 +492,211 @@ def quality_gate(
         )
         out = out.filter(dup5 <= max_dup5_frac)
     return out.drop("__toks__")
+
+
+# --------------------------------------------------------------------------
+# Keyword / collocation extraction and classifier inference
+# --------------------------------------------------------------------------
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document.
+
+    score = tf × ln(1 + N/df), idf rounded to 6dp before the multiply
+    and the product rounded to 6dp after it, so DuckDB reproduces the
+    exact bits (same discipline as the BM25 oracle). Ties broken by
+    term ascending; output (doc_id, term, tf, df, score_tfidf, rank).
+
+    Scale shape: the explode shuffles (doc_id, term) pairs once for the
+    tf aggregate; the document-frequency table is one row per distinct
+    term (vocabulary-sized, orders of magnitude smaller than the
+    corpus) and joins back by broadcast; the per-document top-k window
+    re-shuffles only (doc_id, term, tf, df) quads — the tf aggregate
+    partitions on (doc_id, term), the window on doc_id alone, so the
+    extra exchange is narrow and unavoidable without bucketing the
+    corpus by doc_id up front (which `HippoStore.save_bucketed` does
+    for the persisted-table path).
+    """
+    from pyspark.sql import Window
+
+    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    terms = t.select("doc_id", F.explode("__toks__").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.round(F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")), 6),
+            6,
+        ).alias("score_tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    *,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information: PMI = ln(c_xy · T² / (B · c_x · c_y)) with T = total
+    tokens, B = total bigrams — every argument of the ln is an exact
+    integer product, so the 6dp-rounded PMI matches across engines.
+
+    Bigrams under ``min_count`` occurrences are dropped (PMI is noise
+    on rare pairs — standard Church & Hanks practice, and the scale
+    guard: the surviving bigram table is vocabulary²-bounded but
+    min_count-pruned). Counts aggregate map-side; the unigram table is
+    broadcast back twice (once per side of the bigram). Final top-k is
+    a TakeOrderedAndProject, never a full sort.
+
+    Output: (w1, w2, n_pair, n_w1, n_w2, pmi).
+    """
+    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    toks = F.col("__toks__")
+    uni = (
+        t.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    pairs = (
+        t.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.struct(
+                            F.element_at(toks, i + 1).alias("w1"),
+                            F.element_at(toks, i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    # T and B count ALL token / bigram occurrences (including pruned
+    # bigrams): one tiny driver-side pass over per-doc sizes.
+    sums = t.select(
+        F.size(toks).alias("n")
+    ).agg(
+        F.sum("n").alias("t_tokens"),
+        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("b_bigrams"),
+    ).collect()[0]
+    T, B = int(sums["t_tokens"]), int(sums["b_bigrams"])
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.lit(T).cast("double") * F.lit(T))
+                    / (F.lit(B).cast("double") * F.col("n_w1") * F.col("n_w2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+
+
+# fastText-style hashed linear classifier inference. The "model" is a
+# weight per hash bucket; here the default weights are derived
+# deterministically from the bucket id (a stand-in for a trained
+# vector — the serving shape, which is what the engine owns, is
+# identical). A real model would broadcast its weight table and
+# array-index into it; either way inference is a per-row expression —
+# NO shuffle, NO Python — i.e. classifier scoring at scan speed.
+N_CLASSIFIER_BUCKETS = 1 << 16
+
+
+def _bucket_weight_e6(bucket: Column) -> Column:
+    """Deterministic pseudo-weight in [-1, 1] (×1e6, integer): derived
+    from md5 of the bucket id so both engines agree bit-for-bit."""
+    h = F.conv(F.substring(F.md5(bucket.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return h % 2_000_001 - 1_000_000
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_CLASSIFIER_BUCKETS,
+) -> DataFrame:
+    """Per-document logistic score over hashed bag-of-words features:
+    z = mean over tokens of w[h(token) mod n_buckets], score =
+    1/(1+e^-z). The token→weight map, the mean, and the sigmoid are a
+    single codegen'd expression chain (aggregate over transform) — the
+    100 TB shape is scan-bound with zero exchanges.
+
+    The weight sum is assembled in exact integer µ-units; the only
+    double steps are one division (exact-integer operands → identical
+    bits on any engine) and the exp, whose ulp noise the 6dp rounds
+    absorb — z is rounded before the sigmoid and the sigmoid is
+    computed from the ROUNDED z, the same discipline the BM25 oracle
+    uses for ln.
+
+    Output: (doc_id, n_tokens, w_sum_e6 BIGINT, z DOUBLE, score DOUBLE).
+    """
+    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    toks = F.col("__toks__")
+    w_sum = F.aggregate(
+        F.transform(
+            toks,
+            lambda tok: _bucket_weight_e6(
+                F.pmod(
+                    F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+                    F.lit(n_buckets),
+                )
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    z = F.round(w_sum / (n_tok.cast("double") * 1_000_000.0), 6)
+    return t.select(
+        F.col("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        w_sum.alias("w_sum_e6"),
+        z.alias("z"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )
