@@ -2081,6 +2081,60 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 3 rounds) over the embeddings
+    in exact fixed-point integer arithmetic — quantize to µ-units,
+    integer squared-L2 argmin with (dist, cid) tie-break, sign-wrapped
+    truncating-division means — so the iterative fixpoint is
+    bit-identical on any engine; the DuckDB twin unrolls the same
+    recurrence (the PageRank determinism discipline applied to
+    clustering). Per round: one assignment expression over broadcast
+    centroid literals + one (cluster, dim) sum shuffle."""
+    from hippollm_spark.operators.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _cents, assigned = kmeans_fit(emb, k=8, iterations=3)
+    return assigned.select(
+        F.col("__id__").alias("vec_id"), "cluster", "dist_e12"
+    ).orderBy("vec_id")
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user stream:
+    lead window with (ts, event_id) tie-break, map-side pair counts,
+    type-cardinality broadcast for the row-normalized probabilities."""
+    from hippollm_spark.operators.behavior import transition_matrix
+
+    return transition_matrix(_events(spark, sf_dir))
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over (order, part-name)
+    baskets: support ≥ 3 pairs via the shared-basket self-join (no
+    cross join), lift from exact integer counts."""
+    from hippollm_spark.operators.behavior import basket_lift
+
+    return basket_lift(
+        _edges(spark, sf_dir),
+        basket_col="fact_id",
+        item_col="entity",
+        min_support=3,
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation of the CDC-merged customer dimension
+    against the original snapshot: one full-outer join emitting
+    added/removed/changed/same verdicts — the rebuild-validation
+    query every backfill pipeline runs."""
+    from hippollm_spark.operators.scd import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
+
+
 def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent open 'view' intervals per day (sweep-line over
     [ts, ts + floor(value×10) s) spans): unpivot to ±1 deltas, net per
@@ -2222,6 +2276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_concurrency": q_max_concurrency,
         "entity_similarity": q_entity_similarity,
         "lpa_communities": q_lpa_communities,
+        "kmeans_clusters": q_kmeans_clusters,
+        "markov_transitions": q_markov_transitions,
+        "basket_lift": q_basket_lift,
+        "snapshot_diff": q_snapshot_diff,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -2345,6 +2403,75 @@ def _lpa_oracle_sql(iterations: int = 3) -> str:
         verts AS (SELECT DISTINCT src AS vertex FROM e),
         {chain}
         SELECT vertex, label FROM lp{iterations} ORDER BY vertex
+    """
+
+
+def _kmeans_oracle_sql(k: int = 8, d: int = 64, iterations: int = 3) -> str:
+    """DuckDB replica of q_kmeans_clusters: the identical fixed-point
+    Lloyd recurrence unrolled one assignment+update CTE pair per
+    round. Every operation is exact BIGINT math; the means use the
+    same sign-wrapped truncating division as the Spark side (on the
+    positive domain DuckDB's `//` and Spark/python truncation agree,
+    so wrapping negatives through abs removes the floor-vs-trunc
+    divergence)."""
+    dist = " + ".join(
+        f"(v.ve[{j}] - c.ce[{j}]) * (v.ve[{j}] - c.ce[{j}])"
+        for j in range(1, d + 1)
+    )
+    ctes = [
+        f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                   ve AS ce
+            FROM v ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"""a{i} AS (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (SELECT v.vec_id, c.cid, {dist} AS dist
+                  FROM v CROSS JOIN {prev} c)
+        )""")
+        ctes.append(f"""m{i} AS (
+            SELECT a.cid, dims.dim,
+                   CAST(sum(v.ve[dims.dim]) AS BIGINT) AS s,
+                   count(*) AS n
+            FROM (SELECT vec_id, cid FROM a{i} WHERE rn = 1) a
+            JOIN v USING (vec_id)
+            CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS dim) dims
+            GROUP BY a.cid, dims.dim
+        )""")
+        ctes.append(f"""c{i} AS (
+            SELECT c.cid,
+                   coalesce(m.ce, c.ce) AS ce
+            FROM {prev} c LEFT JOIN (
+                SELECT cid,
+                       list(CASE WHEN s >= 0 THEN s // n
+                                 ELSE -((-s) // n) END ORDER BY dim) AS ce
+                FROM m{i} GROUP BY cid
+            ) m ON c.cid = m.cid
+        )""")
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
+            FROM embeddings
+        ),
+        {chain}
+        SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS dist_e12
+        FROM (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM (SELECT v.vec_id, c.cid, {dist} AS dist
+                  FROM v CROSS JOIN c{iterations} c)
+        )
+        WHERE rn = 1
+        ORDER BY vec_id
     """
 
 
@@ -4130,6 +4257,76 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg db ON db.entity = pairs.entity_b
         """,
         "lpa_communities": _lpa_oracle_sql(3),
+        "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
+        "markov_transitions": """
+            WITH pairs AS (
+                SELECT from_type, to_type, count(*) AS n_trans FROM (
+                    SELECT event_type AS from_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS to_type
+                    FROM events
+                )
+                WHERE to_type IS NOT NULL
+                GROUP BY from_type, to_type
+            ),
+            totals AS (
+                SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+                FROM pairs GROUP BY from_type
+            )
+            SELECT p.from_type, p.to_type, p.n_trans, t.n_from,
+                   round(p.n_trans / t.n_from::DOUBLE, 6) AS prob
+            FROM pairs p JOIN totals t USING (from_type)
+        """,
+        "basket_lift": f"""
+            WITH b AS (SELECT DISTINCT fact_id, entity FROM ({_EDGES_SQL})),
+            nb AS (SELECT count(DISTINCT fact_id) AS n FROM b),
+            pairs AS (
+                SELECT x.entity AS item_a, y.entity AS item_b,
+                       count(*) AS n_pair
+                FROM b x JOIN b y
+                  ON x.fact_id = y.fact_id AND x.entity < y.entity
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            ),
+            freq AS (SELECT entity, count(*) AS n_item FROM b GROUP BY entity)
+            SELECT item_a, item_b, n_pair,
+                   fa.n_item AS n_a, fb.n_item AS n_b,
+                   round((n_pair * (SELECT n FROM nb)::DOUBLE)
+                         / (fa.n_item * fb.n_item)::DOUBLE, 6) AS lift
+            FROM pairs
+            JOIN freq fa ON fa.entity = pairs.item_a
+            JOIN freq fb ON fb.entity = pairs.item_b
+        """,
+        "snapshot_diff": """
+            WITH cust AS (
+                SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+            ),
+            merged AS (
+                SELECT c_custkey, c_name, c_mktsegment,
+                       round(c_acctbal + 100.0, 2) AS c_acctbal
+                FROM cust WHERE c_custkey % 5 = 1
+                UNION ALL
+                SELECT c_custkey + 1000000, 'copy of ' || c_name,
+                       c_mktsegment, c_acctbal
+                FROM cust WHERE c_custkey % 5 = 1
+                UNION ALL
+                SELECT * FROM cust
+                WHERE c_custkey % 5 NOT IN (0, 1)
+            )
+            SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                   CASE WHEN o.c_custkey IS NULL THEN 'added'
+                        WHEN n.c_custkey IS NULL THEN 'removed'
+                        WHEN o.c_name IS DISTINCT FROM n.c_name
+                             OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                             OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                             THEN 'changed'
+                        ELSE 'same' END AS status,
+                   o.c_name AS old_c_name, n.c_name AS new_c_name,
+                   o.c_mktsegment AS old_c_mktsegment,
+                   n.c_mktsegment AS new_c_mktsegment,
+                   o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
+            FROM cust o FULL OUTER JOIN merged n
+              ON o.c_custkey = n.c_custkey
+        """,
         "mad_outliers": """
             WITH med AS (
                 SELECT event_type, quantile_cont(value, 0.5) AS med

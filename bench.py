@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     "mad_outliers",
     "quality_deciles",
     "rolling_revenue_7d",
+    "kmeans_clusters",
+    "markov_transitions",
+    "basket_lift",
+    "snapshot_diff",
 ]
 
 

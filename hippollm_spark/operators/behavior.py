@@ -194,3 +194,108 @@ def cohort_retention(
             F.round(F.col("n_users") / F.col("__size__"), 6).alias("retention"),
         )
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types per user — the behavioral "what happens
+    next" query (and the input to next-event prediction baselines).
+
+    One window per user orders events by (ts, tiebreak) — the unique
+    tie-break makes consecutive pairs, and therefore every count,
+    deterministic under concurrent timestamps — then pairs aggregate
+    map-side. Probability = count / Σcount(from_type), computed
+    against a type-cardinality-sized broadcast. Shuffles carry
+    (user, type, ts) triples then (from, to, count) — never payloads.
+
+    Output: (from_type, to_type, n_trans, n_from, prob) with prob
+    rounded 6dp.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_from",
+        F.round(F.col("n_trans") / F.col("n_from").cast("double"), 6).alias(
+            "prob"
+        ),
+    )
+
+
+def basket_lift(
+    baskets: DataFrame,
+    *,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+    min_support: int = 2,
+) -> DataFrame:
+    """Pairwise market-basket association mining: support, confidence
+    bounds and lift for every unordered item pair co-occurring in at
+    least ``min_support`` baskets.
+
+    lift = P(a,b) / (P(a)·P(b)) = n_pair · N / (n_a · n_b) with N the
+    basket count — computed as one double expression over exact
+    integer counts (engine-exact after 6dp rounding, the PMI
+    discipline). Pair generation is the shared-basket self-join (the
+    entity_jaccard/cooccurrence shape): pairs exist only where a
+    co-occurrence does, never a cross join; item frequencies join
+    back from a vocabulary-sized broadcast. A degenerate basket with
+    f items emits f(f-1)/2 pairs — callers cap basket size upstream
+    (same documented contract as the fingerprint max_df guard).
+
+    Output: (item_a, item_b, n_pair, n_a, n_b, lift).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__")
+    ).distinct()
+    n_baskets = b.select("__b__").distinct().count()
+    left = b.select(F.col("__b__"), F.col("__i__").alias("item_a"))
+    right = b.select(F.col("__b__"), F.col("__i__").alias("item_b"))
+    pairs = (
+        left.join(right, "__b__")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    freq = b.groupBy("__i__").agg(F.count("*").alias("n_item"))
+    fa = freq.select(F.col("__i__").alias("item_a"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("__i__").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_pair") * F.lit(n_baskets).cast("double"))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -116,3 +116,49 @@ def merge_into(
     survivors = target.join(latest.select(key), on=key, how="left_anti")
     upserts = latest.filter(F.col(op_col) == "U").select(*payload)
     return survivors.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table: the
+    reconciliation report behind every CDC/backfill validation
+    ("what did this rebuild change?").
+
+    One full-outer join on the key; each compared column contributes a
+    null-safe inequality to the 'changed' verdict (eqNullSafe — NULL
+    transitions count as changes). Output keeps both sides' values
+    for changed columns downstream inspection and a status column:
+    'added' | 'removed' | 'changed' | 'same'.
+
+    At scale this is the one unavoidable snapshot-sized shuffle (both
+    sides hash on the key); with bucketed snapshots
+    (HippoStore.save_bucketed) the exchange disappears entirely —
+    the same contract as the bucketed-join test asserts.
+    """
+    cols = compare_cols or [c for c in old.columns if c != key]
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
+    diff_cond = None
+    for c in cols:
+        neq = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        diff_cond = neq if diff_cond is None else (diff_cond | neq)
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(diff_cond, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    sel = [
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        status.alias("status"),
+    ]
+    for c in cols:
+        sel.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        sel.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return joined.select(*sel)

@@ -394,3 +394,111 @@ def pq_topk(
         .limit(k)
         .select(id_col, "distance")
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], DataFrame]:
+    """Distributed Lloyd k-means in exact fixed-point arithmetic — the
+    same determinism discipline as the exact-integer PageRank: floats
+    cannot be hash-compared across engines once arithmetic compounds,
+    so vectors are quantized to integer micro-units (×1e6, i.e. 6dp)
+    and every subsequent operation — squared-L2 distances, argmin with
+    (distance, cluster) tie-break, centroid means via sign-wrapped
+    truncating division — is exact BIGINT math that any engine
+    reproduces bit-for-bit. Quantization error is 1e-6 per coordinate,
+    irrelevant next to Lloyd's own local-optimum noise; determinism is
+    what a 100 TB pipeline needs (rerunning the job must not reshuffle
+    cluster ids).
+
+    Initialization: the k vectors with the smallest ids, cluster ids
+    0..k-1 in id order (deterministic seed choice — at scale one
+    samples ids first; any deterministic id set works).
+
+    Per iteration: ONE job — assignment is a per-row expression over
+    broadcast centroid literals (k·d integers inlined into the plan,
+    no join), the centroid update aggregates (cluster, dim) sums via
+    posexplode — a narrow (cluster, dim, sum) shuffle of k·d·P partial
+    rows — and k·d totals collect to the driver where the means are
+    computed in Python ints. Overflow: |coord_e6| ≤ ~1e9 ⇒ diff² ≤
+    1e18·d… callers with coordinates beyond ±9e5 should scale down
+    (documents/embeddings here are O(10)); sums over n rows stay in
+    Python (unbounded) and BIGINT (n·1e6·1e6 ≤ 2^63 for n ≤ 9e6 per
+    cluster per dim — partition-level partial sums make the Spark-side
+    exact too at larger n via DECIMAL if ever needed).
+
+    Returns (centroids_e6, assignments) where centroids_e6 is a
+    k×d list of ints (final, post-update) and assignments is
+    (id, cluster INT, dist_e12 BIGINT) computed against the FINAL
+    centroids.
+    """
+    d = len(vectors.select(vec_col).first()[0])
+    q = vectors.select(
+        F.col(id_col).alias("__id__"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("__v__"),
+    ).cache()
+    init = [
+        r["__v__"]
+        for r in q.orderBy("__id__").limit(k).collect()
+    ]
+    centroids: list[list[int]] = [list(map(int, v)) for v in init]
+
+    def _assign(cents: list[list[int]]):
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v__"),
+                            F.array(*[F.lit(int(c)) for c in cent]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cent in enumerate(cents)
+            ]
+        )
+        best = F.array_sort(pairs)[0]
+        return q.select(
+            "__id__",
+            best["cid"].cast("int").alias("cluster"),
+            best["dist"].alias("dist_e12"),
+        )
+
+    def _tdiv(s: int, n: int) -> int:
+        """Truncating (toward-zero) integer division — the sign-wrapped
+        form both Spark's `div` and DuckDB's `//` agree on, because on
+        the positive domain floor and truncation coincide."""
+        return s // n if s >= 0 else -((-s) // n)
+
+    for _ in range(iterations):
+        assigned = _assign(centroids)
+        sums = (
+            assigned.join(q, "__id__")
+            .select("cluster", F.posexplode("__v__").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], []).append(
+                (r["dim"], int(r["s"]), int(r["n"]))
+            )
+        for cid, dims in by_cluster.items():
+            for dim, s, n in dims:
+                new_c[cid][dim] = _tdiv(s, n)
+        centroids = new_c
+    return centroids, _assign(centroids)

@@ -1,0 +1,120 @@
+"""Fixed-point k-means, Markov transitions, basket lift, snapshot
+diff — python-replica parity and hand-computed checks."""
+
+from __future__ import annotations
+
+
+def test_kmeans_matches_python_replica(spark):
+    from hippollm_spark.operators.similarity import kmeans_fit
+
+    # two obvious blobs in 2-D
+    pts = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),
+        (2, [0.1, -0.1]), (3, [10.2, 9.9]),
+        (4, [-0.2, 0.1]), (5, [9.8, 10.1]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cents, assigned = kmeans_fit(df, k=2, iterations=3)
+    got = {r["__id__"]: r["cluster"] for r in assigned.collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+
+    # python replica of the exact integer recurrence
+    def tdiv(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    vecs = {i: [round(x * 1e6) for x in v] for i, v in pts}
+    cs = [vecs[0], vecs[1]]
+    for _ in range(3):
+        assign = {}
+        for i, v in vecs.items():
+            ds = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), j)
+                for j, c in enumerate(cs)
+            )
+            assign[i] = ds[0][1]
+        new = []
+        for j, old in enumerate(cs):
+            members = [vecs[i] for i in vecs if assign[i] == j]
+            if not members:
+                new.append(old)
+                continue
+            n = len(members)
+            new.append(
+                [tdiv(sum(m[d] for m in members), n) for d in range(2)]
+            )
+        cs = new
+    assert cents == cs
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from hippollm_spark.operators.similarity import kmeans_fit
+
+    # k=3 over 3 identical points: clusters 1,2 lose all members after
+    # round 1 (all points closest to centroid 0 by tie-break)
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0]), (2, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents, assigned = kmeans_fit(df, k=3, iterations=2)
+    assert cents == [[1_000_000], [1_000_000], [1_000_000]]
+    assert all(r["cluster"] == 0 for r in assigned.collect())
+
+
+def test_transition_matrix(spark):
+    from hippollm_spark.operators.behavior import transition_matrix
+
+    rows = [
+        (1, 1, "a", 100), (2, 1, "b", 200), (3, 1, "a", 300),
+        (4, 2, "a", 100), (5, 2, "b", 200),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, float(ts)) for e, u, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts double",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["n_from"], r["prob"])
+        for r in transition_matrix(df).collect()
+    }
+    # user1: a->b, b->a; user2: a->b
+    assert got[("a", "b")] == (2, 2, 1.0)
+    assert got[("b", "a")] == (1, 1, 1.0)
+
+
+def test_basket_lift(spark):
+    from hippollm_spark.operators.behavior import basket_lift
+
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "w"),
+    ]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_lift(df, min_support=2).collect()
+    }
+    assert set(got) == {("x", "y")}
+    r = got[("x", "y")]
+    # lift = n_pair*N / (n_x*n_y) = 2*4 / (3*2)
+    assert (r["n_pair"], r["n_a"], r["n_b"]) == (2, 3, 2)
+    assert abs(r["lift"] - 8 / 6) < 1e-6
+
+
+def test_snapshot_diff(spark):
+    from hippollm_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, val string"
+    )
+    got = {r["id"]: r for r in snapshot_diff(old, new, "id").collect()}
+    assert got[1]["status"] == "same"
+    assert got[2]["status"] == "changed"
+    assert (got[2]["old_val"], got[2]["new_val"]) == ("b", "B")
+    assert got[3]["status"] == "removed"
+    assert got[4]["status"] == "added" and got[4]["new_val"] == "d"
