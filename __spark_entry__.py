@@ -2135,6 +2135,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over a binary media column
+    (synthesized deterministically from the documents: data =
+    unhex(md5(lang:source)) — deliberately low-entropy so duplicate
+    "images" actually exist, ~10-16 per (lang, source) group). The
+    within-bucket pair blowup those groups cause is the realistic
+    stress the banding shape must absorb. Exercises the
+    real multimodal plumbing — BINARY column, banding join with the
+    pigeonhole guarantee (hamming ≤ 3 < 4 bands ⇒ no pair lost),
+    bit_count(xor) verify — with the container-fake hash, so the
+    whole pipeline is oracle-checkable; the oracle runs the QUADRATIC
+    form, which doubles as a cross-engine losslessness proof of the
+    banding."""
+    from hippollm_spark.operators.multimodal import phash_dup_pairs
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(F.md5(F.concat_ws(":", "lang", "source"))).alias("data"),
+    )
+    return phash_dup_pairs(media, max_hamming=3).orderBy("media_a", "media_b")
+
+
+def q_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency-up-to-ties value deciles per event type via
+    percentile-boundary broadcast — the parallel alternative to the
+    NTILE window (`quality_deciles`): the fact table is never
+    globally sorted; assignment is a 9-comparison expression."""
+    from hippollm_spark.operators.stats import threshold_buckets
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return threshold_buckets(ev, "value", 10, by="event_type")
+
+
 def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent open 'view' intervals per day (sweep-line over
     [ts, ts + floor(value×10) s) spans): unpivot to ±1 deltas, net per
@@ -2280,6 +2313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "basket_lift": q_basket_lift,
         "snapshot_diff": q_snapshot_diff,
+        "phash_pairs": q_phash_pairs,
+        "score_buckets": q_score_buckets,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4258,6 +4293,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
+        "phash_pairs": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       ('0x' || substr(md5(hex(unhex(md5(lang || ':' || source)))),
+                                       1, 15))::BIGINT AS phash
+                FROM documents
+            )
+            SELECT x.media_id AS media_a, y.media_id AS media_b,
+                   CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+            FROM m x JOIN m y ON x.media_id < y.media_id
+            WHERE bit_count(xor(x.phash, y.phash)) <= 3
+            ORDER BY media_a, media_b
+        """,
+        "score_buckets": f"""
+            WITH b AS (
+                SELECT event_type,
+                       {", ".join(f"quantile_cont(value, {i / 10}) AS b{i}" for i in range(1, 10))}
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, e.event_id, e.value,
+                   CAST(1 {" ".join(f"+ CASE WHEN e.value > b.b{i} THEN 1 ELSE 0 END" for i in range(1, 10))}
+                        AS INT) AS bucket
+            FROM events e JOIN b USING (event_type)
+        """,
         "markov_transitions": """
             WITH pairs AS (
                 SELECT from_type, to_type, count(*) AS n_trans FROM (

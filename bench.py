@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "markov_transitions",
     "basket_lift",
     "snapshot_diff",
+    "phash_pairs",
+    "score_buckets",
 ]
 
 

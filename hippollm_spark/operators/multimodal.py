@@ -144,3 +144,120 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Dat
     return media.filter("kind = 'video'").select("media_id", "data", "meta").mapInPandas(
         _run, "media_id long, frame_idx int, frame binary"
     )
+
+
+def phash64(media: DataFrame, *, fake: bool = True) -> DataFrame:
+    """64-bit perceptual hash per media row → (media_id, phash BIGINT).
+
+    Real path (PIL importable, fake=False): 8×8 grayscale average-hash
+    — the standard aHash. Container fallback (fake=True): first 60
+    bits of md5 of the HEX encoding of the raw bytes (hex because
+    DuckDB's md5 only accepts VARCHAR, and Spark and DuckDB agree on
+    hex's uppercase form — verified), which keeps every downstream
+    stage — the banding join, the hamming verify, the oracle —
+    bit-for-bit reproducible on any engine. The fake is labeled, not
+    hidden: it exercises the plumbing, not perceptual quality.
+
+    Pure column expression in the fake path (scan speed, no Python);
+    the real path is an Arrow-batched mapInPandas like the other
+    decoders.
+    """
+    from pyspark.sql import functions as F
+
+    if fake:
+        return media.select(
+            "media_id",
+            F.conv(F.substring(F.md5(F.hex("data")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("phash"),
+        )
+    if not _have_pil():
+        raise NotImplementedError("PIL not available; use fake=True")
+
+    import io
+
+    import PIL.Image
+
+    def _run(batches):
+        for pdf in batches:
+            hashes = []
+            for data in pdf["data"]:
+                img = PIL.Image.open(io.BytesIO(bytes(data))).convert("L")
+                img = img.resize((8, 8))
+                px = np.asarray(img, dtype=np.float64)
+                bits = (px > px.mean()).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # keep within signed 64-bit
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    return media.mapInPandas(_run, "media_id long, phash long")
+
+
+def phash_dup_pairs(
+    media: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits_per_band: int = 15,
+    fake: bool = True,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash hamming distance
+    — the multimodal cousin of MinHash-LSH dedup, with the same
+    pigeonhole guarantee: a pair within ``max_hamming`` ≤ n_bands − 1
+    bit flips must agree on at least one band, so banding loses
+    nothing (at the default 3 < 4). Blocking joins carry only
+    (band_idx, band_value, media_id) longs; the hamming verify is
+    bit_count(xor) — one instruction per candidate, JVM-side.
+
+    Group-then-pair (the winnow_dup_pairs shape, not a self-join): one
+    shuffle of the banded hashes, pairs emitted per bucket; a bucket
+    with f members emits f(f-1)/2 candidates — buckets are 15-bit
+    slices, so only true near-dup clusters grow large, and those ARE
+    the output.
+
+    Output: (media_a, media_b, hamming INT), hamming ≤ max_hamming.
+    """
+    from pyspark.sql import functions as F
+
+    hashes = phash64(media, fake=fake)
+    mask = (1 << bits_per_band) - 1
+    banded = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"(phash >> {i * bits_per_band}) & {mask}L"
+                        ).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "phash", "b.band_idx", "b.band_val")
+    buckets = banded.groupBy("band_idx", "band_val").agg(
+        F.collect_list(F.struct("media_id", "phash")).alias("__ms__")
+    )
+    pairs = (
+        buckets.select(F.explode("__ms__").alias("x"), "__ms__")
+        .select("x", F.explode("__ms__").alias("y"))
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .select(
+            F.col("x.media_id").alias("media_a"),
+            F.col("y.media_id").alias("media_b"),
+            F.bit_count(
+                F.col("x.phash").bitwiseXOR(F.col("y.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

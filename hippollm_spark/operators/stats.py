@@ -401,3 +401,45 @@ def ntile_buckets(
         order.append(F.col(tiebreak_col).asc())
     w = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(*order)
     return df.withColumn("bucket", F.ntile(n).over(w))
+
+
+def threshold_buckets(
+    df: DataFrame,
+    value_col: str,
+    n: int = 10,
+    *,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Equal-frequency-up-to-ties bucketing via percentile boundaries —
+    the 100 TB alternative to ``ntile_buckets`` promised in its
+    docstring: instead of a global NTILE window (which needs every
+    row's global position), compute the n−1 interpolated percentile
+    boundaries once (one sorted pass, one row per group) and assign
+    bucket = 1 + #boundaries strictly below the value as a broadcast
+    join + expression — the fact table is never globally sorted and
+    never shuffled for the assignment.
+
+    Semantics differ from NTILE exactly where ties straddle a
+    boundary: all equal values land in the same bucket here (often
+    what curriculum bucketing actually wants), so bucket populations
+    are equal only up to ties. Boundaries are the exact interpolated
+    percentiles, so the whole assignment is deterministic and
+    oracle-checkable.
+
+    Output: input columns + bucket INT (1-based, ascending by value).
+    """
+    by_list = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    probe = df if by_list else df.withColumn("__g__", F.lit(1))
+    group_cols = by_list or ["__g__"]
+    ps = [i / n for i in range(1, n)]
+    bounds = exact_percentiles(probe, value_col, group_cols, ps)
+    bcols = bounds.columns[len(group_cols):]
+    bucket = F.lit(1)
+    for c in bcols:
+        bucket = bucket + F.when(F.col(value_col) > F.col(c), 1).otherwise(0)
+    out = (
+        probe.join(F.broadcast(bounds), on=group_cols)
+        .withColumn("bucket", bucket.cast("int"))
+        .drop(*bcols)
+    )
+    return out.drop("__g__") if not by_list else out

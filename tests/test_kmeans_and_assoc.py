@@ -118,3 +118,51 @@ def test_snapshot_diff(spark):
     assert (got[2]["old_val"], got[2]["new_val"]) == ("b", "B")
     assert got[3]["status"] == "removed"
     assert got[4]["status"] == "added" and got[4]["new_val"] == "d"
+
+
+def test_phash_dup_pairs_banding_lossless(spark):
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.multimodal import phash64, phash_dup_pairs
+
+    media = spark.createDataFrame(
+        [(i, bytes([i % 7, 1, 2, 3])) for i in range(40)],
+        "media_id long, data binary",
+    )
+    pairs = phash_dup_pairs(media, max_hamming=3).collect()
+    # brute force over the same fake hashes
+    hs = {r["media_id"]: r["phash"] for r in phash64(media).collect()}
+    want = set()
+    for a in hs:
+        for b in hs:
+            if a < b and bin(hs[a] ^ hs[b]).count("1") <= 3:
+                want.add((a, b))
+    got = {(r["media_a"], r["media_b"]) for r in pairs}
+    assert got == want
+    assert len(got) > 0  # identical bytes (i%7 collisions) -> hamming 0
+    assert all(r["hamming"] == 0 for r in pairs if (r["media_a"] - r["media_b"]) % 7 == 0)
+
+
+def test_threshold_buckets_vs_ntile(spark):
+    from hippollm_spark.operators.stats import ntile_buckets, threshold_buckets
+
+    # distinct values, one group: threshold deciles == NTILE deciles
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    thr = {r["id"]: r["bucket"] for r in threshold_buckets(df, "v", 10).collect()}
+    nt = {
+        r["id"]: r["bucket"]
+        for r in ntile_buckets(
+            df, "v", 10, tiebreak_col="id", descending=False
+        ).collect()
+    }
+    assert thr == nt
+    # ties straddling a boundary all land in one bucket
+    df2 = spark.createDataFrame(
+        [(i, 1.0) for i in range(10)] + [(10 + i, 2.0) for i in range(10)],
+        "id long, v double",
+    )
+    got = {r["id"]: r["bucket"] for r in threshold_buckets(df2, "v", 4).collect()}
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[10 + i] for i in range(10)}) == 1
