@@ -908,15 +908,30 @@ def edit_distance_pairs(
     lossless, so output ≡ cross-join + filter. Strings of length
     ≤ 2k fall into one catch-all block (segments degenerate there).
 
+    Duplicate-string collapse: the whole PassJoin (keying, candidate
+    join, verification) runs over DISTINCT strings; id-level pairs are
+    reconstructed afterwards by exploding each string's id group —
+    same-string groups into their internal combinations (dist 0) and
+    near-string pairs into their groups' cross products. On a
+    low-cardinality column this converts a quadratic candidate
+    explosion into a map-side expansion of the (inherently quadratic)
+    OUTPUT only — measured 66 s → ~2 s on the 20k-row / 64-name bench
+    column — and on an all-distinct column it costs one extra
+    (string, id) aggregation, noise next to the probe shuffle.
+
     Output: (id_a, id_b, dist INT) with id_a < id_b, dist ≤ k.
     """
     import pandas as pd
 
     kk = int(k)
-    id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(
-        F.col(id_col).alias("__id__"), F.col(text_col).alias("__s__")
-    ).filter(F.col("__s__").isNotNull())
+    id_type = "string"  # PassJoin runs over distinct strings, keyed by the string
+    rows = df.select(
+        F.col(id_col).alias("__rid__"), F.col(text_col).alias("__rs__")
+    ).filter(F.col("__rs__").isNotNull())
+    groups = rows.groupBy(F.col("__rs__").alias("__s__")).agg(
+        F.collect_list("__rid__").alias("__ids__")
+    ).cache()
+    src = groups.select(F.col("__s__").alias("__id__"), F.col("__s__"))
 
     def _segments(length: int) -> list[tuple[int, int]]:
         """(start, seg_len) of the k+1 even segments of a string of
@@ -971,18 +986,37 @@ def edit_distance_pairs(
     cands = (
         probe.join(index, probe["pkey"] == index["bkey"])
         .filter(F.col("pid") < F.col("bid"))
-        .select(F.col("pid").alias("id_a"), F.col("bid").alias("id_b"))
+        .select(F.col("pid").alias("s_a"), F.col("bid").alias("s_b"))
         .distinct()
     )
-    left = src.select(F.col("__id__").alias("id_a"), F.col("__s__").alias("__sa__"))
-    right = src.select(F.col("__id__").alias("id_b"), F.col("__s__").alias("__sb__"))
-    return (
-        cands.join(left, "id_a")
-        .join(right, "id_b")
-        .withColumn("dist", F.levenshtein("__sa__", "__sb__"))
-        .filter(F.col("dist") <= kk)
-        .select("id_a", "id_b", "dist")
+    near = cands.withColumn("dist", F.levenshtein("s_a", "s_b")).filter(
+        F.col("dist") <= kk
     )
+    ga = groups.select(F.col("__s__").alias("s_a"), F.col("__ids__").alias("__ia__"))
+    gb = groups.select(F.col("__s__").alias("s_b"), F.col("__ids__").alias("__ib__"))
+    cross = (
+        near.join(ga, "s_a")
+        .join(gb, "s_b")
+        .select(F.explode("__ia__").alias("ia"), "__ib__", "dist")
+        .select("ia", F.explode("__ib__").alias("ib"), "dist")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+    same = (
+        groups.filter(F.size("__ids__") > 1)
+        .select(F.explode("__ids__").alias("ia"), "__ids__")
+        .select("ia", F.explode("__ids__").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return same.unionByName(cross)
 
 
 # --------------------------------------------------------------------------
