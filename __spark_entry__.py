@@ -2135,6 +2135,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_event_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user modal event type (max count, min value
+    tie-break — the built-in mode() leaves ties undefined, so it can
+    never hash-match)."""
+    from hippollm_spark.operators.stats import grouped_mode
+
+    return grouped_mode(_events(spark, sf_dir), "event_type", "user_id")
+
+
+def q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-drift monitor: Jensen-Shannon divergence of each
+    source's language mix against the corpus-wide distribution —
+    per-category terms rounded then summed as exact DECIMAL (a raw
+    double sum's accumulation order is partition-dependent)."""
+    from hippollm_spark.operators.stats import distribution_drift
+
+    return distribution_drift(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling summary of the events table (row/null/exact
+    distinct counts, typed min/max) — one aggregation pass, unpivoted
+    to a row per column; the 100 TB variant swaps exact distincts for
+    HLL sketches, same contract."""
+    from hippollm_spark.operators.stats import profile_columns
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return profile_columns(ev)
+
+
 def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over a binary media column
     (synthesized deterministically from the documents: data =
@@ -2315,6 +2347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "phash_pairs": q_phash_pairs,
         "score_buckets": q_score_buckets,
+        "event_mode": q_event_mode,
+        "lang_drift": q_lang_drift,
+        "profile_events": q_profile_events,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4293,6 +4328,93 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
+        "event_mode": """
+            WITH counted AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY user_id, event_type
+            ),
+            mx AS (
+                SELECT user_id, event_type, c,
+                       max(c) OVER (PARTITION BY user_id) AS m
+                FROM counted
+            )
+            SELECT user_id, min(event_type) AS mode_value,
+                   CAST(max(m) AS BIGINT) AS mode_count
+            FROM mx WHERE c = m GROUP BY user_id
+        """,
+        "lang_drift": """
+            WITH by_cell AS (
+                SELECT source AS slice, lang AS cat, count(*) AS n_pc
+                FROM documents GROUP BY source, lang
+            ),
+            st AS (
+                SELECT slice, CAST(sum(n_pc) AS BIGINT) AS n_p
+                FROM by_cell GROUP BY slice
+            ),
+            gl AS (
+                SELECT cat, CAST(sum(n_pc) AS BIGINT) AS n_qc
+                FROM by_cell GROUP BY cat
+            ),
+            nq AS (SELECT count(*) AS n FROM documents),
+            grid AS (
+                SELECT st.slice, gl.cat, st.n_p, gl.n_qc,
+                       coalesce(bc.n_pc, 0) AS n_pc
+                FROM st CROSS JOIN gl
+                LEFT JOIN by_cell bc
+                  ON bc.slice = st.slice AND bc.cat = gl.cat
+            ),
+            terms AS (
+                SELECT slice, n_p,
+                       round(
+                           CASE WHEN n_pc > 0
+                                THEN (n_pc / n_p::DOUBLE)
+                                     * ln((n_pc / n_p::DOUBLE)
+                                          / (((n_pc / n_p::DOUBLE)
+                                              + (n_qc / (SELECT n FROM nq)::DOUBLE)) / 2.0))
+                                     / 2.0
+                                ELSE 0.0 END
+                           + CASE WHEN n_qc > 0
+                                THEN (n_qc / (SELECT n FROM nq)::DOUBLE)
+                                     * ln((n_qc / (SELECT n FROM nq)::DOUBLE)
+                                          / (((n_pc / n_p::DOUBLE)
+                                              + (n_qc / (SELECT n FROM nq)::DOUBLE)) / 2.0))
+                                     / 2.0
+                                ELSE 0.0 END, 6) AS term
+                FROM grid
+            )
+            SELECT slice, max(n_p) AS n_rows,
+                   round(sum(term::DECIMAL(38,10))::DOUBLE, 6) AS js_divergence
+            FROM terms GROUP BY slice
+        """,
+        "profile_events": """
+            SELECT 'event_id' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT event_id) AS n_distinct,
+                   min(event_id)::DOUBLE AS min_num, max(event_id)::DOUBLE AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*),
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT user_id),
+                   min(user_id)::DOUBLE, max(user_id)::DOUBLE,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*),
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT event_type),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*),
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT value),
+                   min(value)::DOUBLE, max(value)::DOUBLE,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM events
+        """,
         "phash_pairs": """
             WITH m AS (
                 SELECT doc_id AS media_id,

@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "phash_pairs",
     "score_buckets",
+    "event_mode",
+    "lang_drift",
+    "profile_events",
 ]
 
 

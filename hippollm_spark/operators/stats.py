@@ -443,3 +443,151 @@ def threshold_buckets(
         .drop(*bcols)
     )
     return out.drop("__g__") if not by_list else out
+
+
+def grouped_mode(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent value, ties
+    broken by smallest value — the same two-stage argmax that makes
+    label_propagation hash-comparable (the built-in ``mode()`` leaves
+    ties undefined). One count aggregate + a per-group max window +
+    a min aggregate, all on (group, value, count) rows.
+
+    Output: group cols + (mode_value, mode_count).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    counted = df.groupBy(*by, value_col).agg(F.count("*").alias("__c__"))
+    wmax = Window.partitionBy(*by)
+    return (
+        counted.withColumn("__mx__", F.max("__c__").over(wmax))
+        .filter(F.col("__c__") == F.col("__mx__"))
+        .groupBy(*by)
+        .agg(
+            F.min(value_col).alias("mode_value"),
+            F.max("__mx__").alias("mode_count"),
+        )
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    category_col: str,
+    slice_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-slice categorical drift vs the global distribution:
+    Jensen-Shannon divergence (base e) of each slice's category
+    distribution against the whole table's — the monitoring query a
+    continuously-ingesting corpus runs per day/source to catch
+    composition shifts.
+
+    JS(P‖Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q); every probability is a
+    ratio of exact integer counts, each per-category term is rounded
+    to 6dp, and the per-slice total sums those rounded terms as exact
+    DECIMAL — the BM25-score discipline, because a raw double sum's
+    accumulation order is partition-dependent and would not
+    hash-match. Categories absent from a slice contribute only
+    through Q's KL term (0·log0 = 0 on the P side).
+
+    Shape: one (slice, category) count aggregate; the global
+    distribution is a category-cardinality broadcast; the JS sum is a
+    per-slice aggregation over category-level terms. Rows shuffled:
+    #slices × #categories.
+
+    Output: (slice, n_rows, js_divergence).
+    """
+    by_cell = (
+        df.groupBy(F.col(slice_col).alias("slice"), F.col(category_col).alias("cat"))
+        .agg(F.count("*").alias("n_pc"))
+    )
+    slice_tot = by_cell.groupBy("slice").agg(F.sum("n_pc").alias("n_p"))
+    glob = by_cell.groupBy("cat").agg(F.sum("n_pc").alias("n_qc"))
+    n_q = df.count()
+    # full (slice × category) grid so Q-only categories contribute
+    grid = (
+        slice_tot.crossJoin(F.broadcast(glob))
+        .join(by_cell, ["slice", "cat"], "left")
+        .fillna(0, subset=["n_pc"])
+    )
+    p = F.col("n_pc") / F.col("n_p").cast("double")
+    q = F.col("n_qc") / F.lit(float(n_q))
+    m = (p + q) / 2.0
+    term = (
+        F.when(F.col("n_pc") > 0, p * F.log(p / m) / 2.0).otherwise(0.0)
+        + F.when(F.col("n_qc") > 0, q * F.log(q / m) / 2.0).otherwise(0.0)
+    )
+    return (
+        grid.groupBy("slice")
+        .agg(
+            F.max("n_p").alias("n_rows"),
+            F.round(
+                F.sum(F.round(term, 6).cast("decimal(38,10)")).cast("double"),
+                round_to,
+            ).alias("js_divergence"),
+        )
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Data-profiling summary: one output row per column with row
+    count, null count, exact distinct count, and min/max (numeric
+    columns in ``min_num``/``max_num``, strings in
+    ``min_str``/``max_str`` — kept in their own typed columns because
+    casting doubles to strings formats differently across engines).
+
+    One aggregation job: all per-column aggregates share a single
+    pass (Spark plans the multiple DISTINCTs via one Expand), then
+    the single wide row unpivots via stack(). At 100 TB swap the
+    exact distincts for ``approx_count_distinct`` (mergeable, one
+    pass, no Expand blowup) — the output contract is unchanged; the
+    exact form is what the DuckDB oracle can replay.
+
+    Output: (column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str).
+    """
+    cols = list(columns) if columns is not None else df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+        or f.dataType.simpleString().startswith("decimal")
+    }
+    aggs = [F.count("*").alias("__n__")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}__")
+        )
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}__"))
+        if c in numeric:
+            aggs.append(F.min(c).cast("double").alias(f"__mn_{c}__"))
+            aggs.append(F.max(c).cast("double").alias(f"__mx_{c}__"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"__mn_{c}__"))
+            aggs.append(F.max(c).cast("string").alias(f"__mx_{c}__"))
+    wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in cols:
+        is_num = c in numeric
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n__").alias("n_rows"),
+                F.col(f"__nn_{c}__").alias("n_nulls"),
+                F.col(f"__nd_{c}__").alias("n_distinct"),
+                (F.col(f"__mn_{c}__") if is_num else null_d).alias("min_num"),
+                (F.col(f"__mx_{c}__") if is_num else null_d).alias("max_num"),
+                (null_s if is_num else F.col(f"__mn_{c}__")).alias("min_str"),
+                (null_s if is_num else F.col(f"__mx_{c}__")).alias("max_str"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

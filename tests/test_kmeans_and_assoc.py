@@ -166,3 +166,61 @@ def test_threshold_buckets_vs_ntile(spark):
     got = {r["id"]: r["bucket"] for r in threshold_buckets(df2, "v", 4).collect()}
     assert len({got[i] for i in range(10)}) == 1
     assert len({got[10 + i] for i in range(10)}) == 1
+
+
+def test_grouped_mode(spark):
+    from hippollm_spark.operators.stats import grouped_mode
+
+    df = spark.createDataFrame(
+        [("u1", "a"), ("u1", "a"), ("u1", "b"),
+         ("u2", "b"), ("u2", "c")],  # tie -> min value wins
+        "u string, t string",
+    )
+    got = {r["u"]: (r["mode_value"], r["mode_count"])
+           for r in grouped_mode(df, "t", "u").collect()}
+    assert got == {"u1": ("a", 2), "u2": ("b", 1)}
+
+
+def test_distribution_drift(spark):
+    import math
+
+    from hippollm_spark.operators.stats import distribution_drift
+
+    rows = [("s1", "en")] * 8 + [("s1", "fr")] * 2 + [("s2", "en")] * 5 + [("s2", "fr")] * 5
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {r["slice"]: r for r in
+           distribution_drift(df, "lang", "source").collect()}
+    # global: en 13/20, fr 7/20
+    def js(p_counts, n_p):
+        tot = 0.0
+        for cat, n_qc in (("en", 13), ("fr", 7)):
+            n_pc = p_counts.get(cat, 0)
+            p = n_pc / n_p
+            q = n_qc / 20
+            m = (p + q) / 2
+            t = 0.0
+            if n_pc > 0:
+                t += p * math.log(p / m) / 2
+            if n_qc > 0:
+                t += q * math.log(q / m) / 2
+            tot += round(t, 6)
+        return round(tot, 6)
+
+    assert abs(got["s1"]["js_divergence"] - js({"en": 8, "fr": 2}, 10)) < 2e-6
+    assert abs(got["s2"]["js_divergence"] - js({"en": 5, "fr": 5}, 10)) < 2e-6
+    assert got["s1"]["n_rows"] == 10
+
+
+def test_profile_columns(spark):
+    from hippollm_spark.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", None), (2, None, 3.5)],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert got["id"]["n_rows"] == 3 and got["id"]["n_distinct"] == 2
+    assert got["id"]["min_num"] == 1.0 and got["id"]["max_num"] == 2.0
+    assert got["s"]["n_nulls"] == 1 and got["s"]["min_str"] == "x"
+    assert got["v"]["n_nulls"] == 1 and got["v"]["max_num"] == 3.5
+    assert got["s"]["min_num"] is None
