@@ -2135,6 +2135,18 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1.3-epoch upsampling of the corpus: every doc
+    once, plus an md5-hash-selected 30% a second time — map-side
+    sequence explode, no shuffle; membership is f(id, salt) so
+    appends never re-roll existing rows."""
+    from hippollm_spark.operators.sampling import upsample
+
+    return upsample(_t(spark, sf_dir, "documents"), 1.3).select(
+        "doc_id", "lang", "copy_idx"
+    )
+
+
 def q_event_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user modal event type (max count, min value
     tie-break — the built-in mode() leaves ties undefined, so it can
@@ -2350,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_mode": q_event_mode,
         "lang_drift": q_lang_drift,
         "profile_events": q_profile_events,
+        "epoch_upsample": q_epoch_upsample,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4328,6 +4341,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
+        "epoch_upsample": """
+            WITH n AS (
+                SELECT doc_id, lang,
+                       1 + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':up'),
+                                      1, 15))::BIGINT % 1000000 < 300000
+                                THEN 1 ELSE 0 END AS n_copies
+                FROM documents
+            )
+            SELECT doc_id, lang, unnest(range(0, n_copies)) AS copy_idx
+            FROM n
+        """,
         "event_mode": """
             WITH counted AS (
                 SELECT user_id, event_type, count(*) AS c

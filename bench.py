@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "event_mode",
     "lang_drift",
     "profile_events",
+    "epoch_upsample",
 ]
 
 

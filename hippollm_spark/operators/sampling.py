@@ -239,3 +239,56 @@ def weighted_sample(
         .filter(F.col("__rn__") <= n)
         .drop("__k__", "__rn__")
     )
+
+
+def upsample(
+    df: DataFrame,
+    factor: float,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "up",
+    factor_col=None,
+) -> DataFrame:
+    """Deterministic fractional upsampling (epoch replication) — the
+    data-mixing primitive behind "repeat the high-quality source 2.3
+    epochs": every row appears floor(factor) times, plus one more with
+    probability frac(factor), decided by the row's md5 rank-hash — so
+    re-running the pipeline reproduces the exact same training mix,
+    and appends never re-roll existing rows (membership = f(id, salt),
+    the hash_split contract).
+
+    The extra-copy test is integer-exact: ``hash % 10^6 <
+    round(frac·10^6)`` — a one-in-a-million modulo bias (2^60 is not a
+    multiple of 10^6), which is noise for a sampling ratio but keeps
+    the decision reproducible on any engine (no float compare).
+
+    Pass ``factor_col`` (a Column of per-row factors, e.g. joined from
+    a per-source mixing-weight table) to vary the rate by row;
+    ``factor`` is then ignored. Output: input columns + ``copy_idx``
+    (0-based) — one row per emitted copy, produced by a map-side
+    sequence explode: no shuffle, no window.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    f_col = factor_col if factor_col is not None else F.lit(float(factor))
+    base = F.floor(f_col).cast("long")
+    frac_e6 = F.round((f_col - F.floor(f_col)) * 1_000_000, 0).cast("long")
+    n_copies = base + F.when(F.pmod(h, F.lit(1_000_000)) < frac_e6, 1).otherwise(0)
+    return (
+        df.withColumn("__n__", n_copies)
+        .filter(F.col("__n__") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("__n__") - 1)
+            ),
+        )
+        .drop("__n__")
+    )

@@ -136,3 +136,48 @@ def bootstrap_entities(
     store.add_entities(
         enriched.select("name", F.coalesce("description", F.lit("")).alias("description"))
     )
+
+
+def read_docs_jsonl(
+    spark,
+    path: str,
+    *,
+    schema: str = "doc_id long, title string, url string, content string",
+    quarantine: bool = True,
+):
+    """Robust JSONL document ingestion — the crawl-dump reader a
+    training-data pipeline starts from: explicit schema (NEVER
+    inference at 100 TB — schema inference is a full extra pass over
+    the data and silently widens types per run), PERMISSIVE mode with
+    the malformed line captured in ``_corrupt_record``.
+
+    Returns (good, bad): ``good`` has the declared columns for rows
+    that parsed; ``bad`` carries the raw malformed lines for a
+    quarantine sink (count it, alert on it, never drop it silently —
+    at crawl scale a parser regression looks exactly like a corpus
+    shrink). With ``quarantine=False``, bad rows are dropped and only
+    ``good`` is returned.
+
+    Scale note: one scan feeds both outputs; the corrupt-record
+    column must be part of the read schema per Spark's contract, and
+    Spark requires caching the parsed frame before filtering on it
+    (documented SPARK-26108) — at scale write the quarantine out in
+    the same job instead of caching.
+    """
+    full_schema = schema + ", _corrupt_record string"
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    if not quarantine:
+        return good
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad

@@ -298,3 +298,45 @@ def test_weighted_sample_deterministic_and_stable_under_repartition(spark):
         for r in weighted_sample(df.repartition(17), "w", n=200).collect()
     }
     assert a == b and len(a) == 200
+
+
+def test_upsample_deterministic_and_exact(spark):
+    import hashlib
+
+    from hippollm_spark.operators.sampling import upsample
+
+    df = spark.createDataFrame(
+        [(i, "t") for i in range(200)], "doc_id long, text string"
+    )
+    got = upsample(df, 2.3).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in got}
+    for i in range(200):
+        h = int(
+            hashlib.md5(f"{i}:up".encode()).hexdigest()[:15], 16
+        )
+        want = 2 + (1 if h % 1_000_000 < 300_000 else 0)
+        assert counts[i] == want
+    # rerun reproduces exactly
+    again = {r["doc_id"]: r["count"]
+             for r in upsample(df, 2.3).groupBy("doc_id").count().collect()}
+    assert counts == again
+    # copy_idx is dense 0..n-1
+    rows = upsample(df, 2.3).filter("doc_id = 0").collect()
+    assert sorted(r["copy_idx"] for r in rows) == list(range(len(rows)))
+
+
+def test_upsample_zero_and_per_row_factor(spark):
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.sampling import upsample
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "drop")], "doc_id long, kind string"
+    )
+    out = upsample(
+        df,
+        0.0,
+        factor_col=F.when(F.col("kind") == "keep", 2.0).otherwise(0.0),
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 2

@@ -95,3 +95,19 @@ def test_action_log(spark):
     assert df.count() == 2
     acts = [r["action"] for r in df.orderBy("ts").collect()]
     assert acts == ["llm_invoke", "add_facts"]
+
+
+def test_read_docs_jsonl_quarantine(spark, tmp_path):
+    from hippollm_spark.sources.loaders import read_docs_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "title": "a", "url": "u", "content": "x"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "title": "b", "url": "u2", "content": "y"}\n'
+    )
+    good, bad = read_docs_jsonl(spark, str(p))
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    assert good.columns == ["doc_id", "title", "url", "content"]
+    brows = bad.collect()
+    assert len(brows) == 1 and "NOT JSON" in brows[0]["_corrupt_record"]
