@@ -81,3 +81,66 @@ def dedup_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming funnel progression — CEP-lite pattern detection as a
+    custom stateful operator (``applyInPandasWithState``), the
+    incremental twin of ``behavior.funnel_counts(method='walk')``:
+    per-user state is (stage reached, ts of the advancing event); an
+    arriving event advances the state iff it is the NEXT step and
+    strictly later than the last advance — the same greedy
+    time-ordered walk the batch operator folds, so on an in-order
+    finite feed the stream's max step per user equals the batch
+    funnel (parity-tested).
+
+    Emits one row per advancement: (user, step_idx 1-based, step,
+    ts) — downstream can aggregate live conversion counts in the same
+    query. Events are sorted by ts inside each micro-batch; ACROSS
+    batches arrival order is trusted (the standard processing-time
+    caveat — event-time reorder needs a watermark buffer upstream,
+    e.g. a windowed sort in a foreachBatch stage).
+
+    State is two scalars per user — unlike the batch walk, nothing
+    per-event is retained, so state size is #users regardless of
+    stream length.
+    """
+    step_list = list(steps)
+    out_schema = f"{user_col} long, step_idx int, step string, ts timestamp"
+
+    def _fn(
+        key, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        stage, last_ts = (state.get if state.exists else (0, None))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for et, ts in zip(pdf[type_col], pdf[ts_col]):
+                if stage >= len(step_list):
+                    break
+                if et == step_list[stage] and (
+                    last_ts is None or ts > last_ts
+                ):
+                    stage += 1
+                    last_ts = ts
+                    rows.append((key[0], stage, et, ts))
+        state.update((stage, last_ts))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "step_idx", "step", "ts"]
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType="stage int, last_ts timestamp",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -96,3 +96,60 @@ def test_dedup_stream(spark, tmp_path):
     assert got == {(1, 100), (1, 200), (1, 300), (2, 100)}
     n = spark.sql("SELECT count(*) c FROM dedup_out").first()["c"]
     assert n == 4  # within-batch AND cross-batch duplicates dropped
+
+def test_funnel_stream_matches_batch_walk(spark, tmp_path):
+    from hippollm_spark.operators.behavior import funnel_counts
+    from hippollm_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    schema = "user_id long, event_type string, ts timestamp"
+    rows1 = [
+        (1, "view", dt.datetime(2024, 1, 1, 0, 0)),
+        (1, "click", dt.datetime(2024, 1, 1, 0, 1)),
+        (2, "view", dt.datetime(2024, 1, 1, 0, 2)),
+        (3, "click", dt.datetime(2024, 1, 1, 0, 3)),  # no view yet: ignored
+        (2, "purchase", dt.datetime(2024, 1, 1, 0, 4)),  # skips click: ignored
+    ]
+    rows2 = [
+        (1, "purchase", dt.datetime(2024, 1, 1, 0, 5)),  # completes funnel
+        (2, "click", dt.datetime(2024, 1, 1, 0, 6)),
+        (3, "view", dt.datetime(2024, 1, 1, 0, 7)),  # view after click: stage 1
+    ]
+    drop = tmp_path / "stream"
+    drop.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(drop))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(drop))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    prog = spark.sql("SELECT * FROM funnel_out").collect()
+    max_stage: dict = {}
+    for r in prog:
+        max_stage[r["user_id"]] = max(max_stage.get(r["user_id"], 0), r["step_idx"])
+    assert max_stage == {1: 3, 2: 2, 3: 1}
+
+    # parity: per-step user counts == batch walk funnel on the same rows
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(batch, steps).collect()
+    }
+    got = {
+        k: sum(1 for u in max_stage.values() if u >= k)
+        for k in (1, 2, 3)
+    }
+    assert got == want
