@@ -2135,6 +2135,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (4 Bellman-Ford rounds)
+    from the probe entity over the co-occurrence graph, edge cost =
+    10^6 div shared-fact-count (more evidence = cheaper hop) — exact
+    BIGINT relaxations, hash-comparable fixpoint."""
+    from hippollm_spark.operators.graph import bellman_ford, cooccurrence
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select(
+        "entity_a", "entity_b", F.expr("1000000 div weight").alias("w")
+    )
+    sym = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst"), "w"
+    ).union(
+        pairs.select(
+            F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"), "w"
+        )
+    )
+    return bellman_ford(sym, [ENTITY_A], rounds=4).orderBy("dist", "vertex")
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window outliers: each event z-scored against its own
+    previous ≤10 observations per user (exact integer window sums;
+    the current row is excluded from its own baseline)."""
+    from hippollm_spark.operators.temporal import rolling_zscore
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return rolling_zscore(
+        ev, "value", by="user_id", lookback=10, min_obs=3, threshold=2.5
+    ).select("event_id", "user_id", "value", "roll_n", "z", "is_anomaly")
+
+
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1.3-epoch upsampling of the corpus: every doc
     once, plus an md5-hash-selected 30% a second time — map-side
@@ -2363,6 +2395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_drift": q_lang_drift,
         "profile_events": q_profile_events,
         "epoch_upsample": q_epoch_upsample,
+        "graph_sssp": q_graph_sssp,
+        "rolling_anomaly": q_rolling_anomaly,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -2555,6 +2589,40 @@ def _kmeans_oracle_sql(k: int = 8, d: int = 64, iterations: int = 3) -> str:
         )
         WHERE rn = 1
         ORDER BY vec_id
+    """
+
+
+def _sssp_oracle_sql(rounds: int = 4, seed: str = ENTITY_A) -> str:
+    """DuckDB replica of q_graph_sssp: Bellman-Ford relaxations
+    unrolled one CTE per round (min over previous-dists ∪ relaxed
+    candidates ≡ the Spark full-outer + least). Exact BIGINT costs;
+    `//` matches Spark `div` on the positive domain."""
+    ctes = [f"d0 AS (SELECT '{seed}' AS vertex, 0::BIGINT AS dist)"]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS (
+            SELECT vertex, min(dist) AS dist FROM (
+                SELECT vertex, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS vertex, d.dist + e.w AS dist
+                FROM d{i - 1} d JOIN e ON e.src = d.vertex
+            ) GROUP BY vertex
+        )""")
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH ed AS ({_EDGES_SQL}),
+        pairs AS (
+            SELECT a.entity AS ea, b.entity AS eb, count(*)::BIGINT AS ww
+            FROM ed a JOIN ed b
+              ON a.fact_id = b.fact_id AND a.entity < b.entity
+            GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT ea AS src, eb AS dst, 1000000 // ww AS w FROM pairs
+            UNION ALL
+            SELECT eb AS src, ea AS dst, 1000000 // ww AS w FROM pairs
+        ),
+        {chain}
+        SELECT vertex, dist FROM d{rounds} ORDER BY dist, vertex
     """
 
 
@@ -4341,6 +4409,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
+        "graph_sssp": _sssp_oracle_sql(4),
+        "rolling_anomaly": """
+            WITH v AS (
+                SELECT event_id, user_id, ts, value,
+                       CAST(round(value * 1000000.0) AS BIGINT) AS v6
+                FROM events
+            ),
+            s AS (
+                SELECT event_id, user_id, value,
+                       count(value) OVER w AS n,
+                       sum(v6) OVER w AS s1,
+                       sum(CAST(v6 AS DECIMAL(19,0))
+                           * CAST(v6 AS DECIMAL(19,0))) OVER w AS s2
+                FROM v
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+            ),
+            calc AS (
+                SELECT event_id, user_id, value, n,
+                       s1::DOUBLE / (n * 1000000.0) AS mean,
+                       (s2::DOUBLE / 1e12
+                        - (s1::DOUBLE / 1000000.0)
+                          * (s1::DOUBLE / 1000000.0) / n) / (n - 1) AS var
+                FROM s
+            )
+            SELECT event_id, user_id, value,
+                   CAST(n AS BIGINT) AS roll_n,
+                   CASE WHEN n >= 3 AND var > 0
+                        THEN round((value - mean) / sqrt(var), 6) END AS z,
+                   coalesce(abs(CASE WHEN n >= 3 AND var > 0
+                        THEN round((value - mean) / sqrt(var), 6) END) > 2.5,
+                        false) AS is_anomaly
+            FROM calc
+        """,
         "epoch_upsample": """
             WITH n AS (
                 SELECT doc_id, lang,

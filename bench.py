@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "lang_drift",
     "profile_events",
     "epoch_upsample",
+    "graph_sssp",
+    "rolling_anomaly",
 ]
 
 

@@ -596,3 +596,56 @@ def label_propagation(
         if it % checkpoint_every == checkpoint_every - 1:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: Sequence[str],
+    rounds: int = 4,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weighted shortest-path distances from a seed set: ``rounds``
+    synchronous Bellman-Ford relaxations with exact BIGINT weights —
+    the weighted generalization of ``shortest_paths`` (hop counts are
+    the w=1 special case). Exact-integer arithmetic keeps the
+    fixpoint hash-comparable (float path sums compound ulp error
+    across rounds), the same discipline as the integer PageRank and
+    fixed-point k-means.
+
+    Per round: one dist⨝edges join, one min-per-dst aggregate, one
+    left join back — all narrow (vertex, dist) shuffles; consecutive
+    rounds reuse the vertex-domain hash partitioning, lineage cut via
+    localCheckpoint. After k rounds distances are exact for all
+    shortest paths of ≤ k edges (full convergence at k = longest
+    shortest path, the standard bound). Semantics: only vertices
+    reachable within ``rounds`` edges appear.
+
+    Output: (vertex, dist BIGINT).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).cache()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(s, 0) for s in sorted(set(seeds))], "vertex string, dist long"
+    )
+    for r in range(rounds):
+        relaxed = (
+            e.join(dist, e.src == dist.vertex)
+            .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("vertex")
+            .agg(F.min("d").alias("d"))
+        )
+        # least() skips NULLs, so a full-outer join + least IS the relax
+        dist = dist.join(relaxed, "vertex", "full_outer").select(
+            "vertex", F.least("dist", "d").alias("dist")
+        )
+        if r % checkpoint_every == checkpoint_every - 1:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

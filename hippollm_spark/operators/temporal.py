@@ -292,3 +292,67 @@ def max_concurrency(
     if by:
         return prof.groupBy(*by).agg(F.max("concurrent").alias("peak"))
     return prof.agg(F.max("concurrent").alias("peak"))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | Sequence[str] = "user_id",
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    lookback: int = 10,
+    min_obs: int = 3,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling-window anomaly score: each observation's z-score
+    against the mean/stddev of its OWN preceding ``lookback``
+    observations (per group, time-ordered) — the streaming-friendly
+    time-series outlier test, windowed so a level shift re-baselines
+    itself.
+
+    Numeric discipline: observations are quantized to integer
+    µ-units; the window sums of v and v² are exact integers (BIGINT /
+    DECIMAL(38,0) — order-independent, unlike a double window sum,
+    whose frame accumulation order is engine-defined; and unlike
+    DECIMAL×DECIMAL, whose result precision/scale rules differ
+    between Spark and DuckDB). Mean/variance/z are assembled from the
+    exact sums in DOUBLE with a fixed expression shape and z rounded
+    to 6dp. Rows with fewer than ``min_obs`` prior observations or
+    zero variance get NULL z (never ±inf). The frame excludes the
+    current row, so an anomaly cannot mask itself.
+
+    One shuffle (the per-group window); at 100 TB the group key is
+    the parallelism unit, same contract as every window here.
+
+    Output: input columns + (roll_n, z, is_anomaly BOOLEAN —
+    null z ⇒ false).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(order_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    v_e6 = F.round(F.col(value_col) * 1_000_000.0, 0).cast("long")
+    v_dec = v_e6.cast("decimal(19,0)")
+    s1 = F.sum(v_e6).over(w)
+    s2 = F.sum(v_dec * v_dec).over(w)  # decimal(38,0): exact squares
+    n = F.count(value_col).over(w)
+    mean = s1.cast("double") / (n * 1_000_000.0)
+    var = (
+        s2.cast("double") / 1e12
+        - (s1.cast("double") / 1_000_000.0)
+        * (s1.cast("double") / 1_000_000.0)
+        / n
+    ) / (n - 1)
+    z = F.round((F.col(value_col) - mean) / F.sqrt(var), 6)
+    z_ok = (n >= min_obs) & (var > 0)
+    return (
+        df.withColumn("roll_n", n)
+        .withColumn("z", F.when(z_ok, z))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)),
+        )
+    )

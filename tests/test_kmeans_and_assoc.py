@@ -224,3 +224,41 @@ def test_profile_columns(spark):
     assert got["s"]["n_nulls"] == 1 and got["s"]["min_str"] == "x"
     assert got["v"]["n_nulls"] == 1 and got["v"]["max_num"] == 3.5
     assert got["s"]["min_num"] is None
+
+
+def test_bellman_ford(spark):
+    from hippollm_spark.operators.graph import bellman_ford
+
+    und = [("a", "b", 5), ("b", "c", 5), ("a", "c", 20), ("c", "d", 1)]
+    edges = spark.createDataFrame(
+        und + [(y, x, w) for x, y, w in und], "src string, dst string, w long"
+    )
+    got = {r["vertex"]: r["dist"] for r in bellman_ford(edges, ["a"], rounds=4).collect()}
+    # a->b->c (10) beats the direct a->c (20)
+    assert got == {"a": 0, "b": 5, "c": 10, "d": 11}
+    # bounded rounds: with 1 round only direct edges relax
+    one = {r["vertex"]: r["dist"] for r in bellman_ford(edges, ["a"], rounds=1).collect()}
+    assert one == {"a": 0, "b": 5, "c": 20}
+
+
+def test_rolling_zscore(spark):
+    import datetime as dt
+
+    from hippollm_spark.operators.temporal import rolling_zscore
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(minutes=i), v)
+        for i, v in enumerate([10.0, 10.0, 12.0, 11.0, 100.0, 10.0])
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r for r in rolling_zscore(df, "value", lookback=10, min_obs=3).collect()}
+    assert got[0]["z"] is None and got[0]["is_anomaly"] is False
+    assert got[2]["z"] is None  # only 2 prior observations
+    assert got[4]["is_anomaly"] is True  # 100.0 vs baseline ~10.75
+    # numpy parity for the anomalous row (prior window = first 4 values)
+    import numpy as np
+
+    prior = np.array([10.0, 10.0, 12.0, 11.0])
+    want = (100.0 - prior.mean()) / prior.std(ddof=1)
+    assert abs(got[4]["z"] - want) < 1e-3  # fixed-point quantization tolerance
