@@ -2135,6 +2135,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal: mean −ln P of each
+    document's token bigrams under the corpus's own add-one-smoothed
+    bigram LM — two count passes + vocabulary-keyed joins; rounded
+    terms summed as exact DECIMAL."""
+    from hippollm_spark.operators.textstats import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths (4 Bellman-Ford rounds)
     from the probe entity over the co-occurrence graph, edge cost =
@@ -2397,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_upsample": q_epoch_upsample,
         "graph_sssp": q_graph_sssp,
         "rolling_anomaly": q_rolling_anomaly,
+        "lm_perplexity": q_lm_perplexity,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4410,6 +4421,33 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "graph_sssp": _sssp_oracle_sql(4),
+        "lm_perplexity": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                      FROM t WHERE len(toks) >= 2)
+            ),
+            bgc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2),
+            uni AS (
+                SELECT tk AS w1, count(*) AS c_x
+                FROM (SELECT unnest(toks) AS tk FROM t)
+                WHERE tk <> '' GROUP BY tk
+            ),
+            v AS (SELECT count(*) AS vocab FROM uni),
+            terms AS (
+                SELECT doc_id,
+                       round(-ln((c_xy + 1)
+                                 / (c_x + (SELECT vocab FROM v))::DOUBLE), 6)
+                           AS term
+                FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1)
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(sum(term::DECIMAL(38,10))::DOUBLE / count(*), 6) AS nll
+            FROM terms GROUP BY doc_id
+        """,
         "rolling_anomaly": """
             WITH v AS (
                 SELECT event_id, user_id, ts, value,

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "epoch_upsample",
     "graph_sssp",
     "rolling_anomaly",
+    "lm_perplexity",
 ]
 
 

@@ -700,3 +700,86 @@ def linear_classifier_score(
         z.alias("z"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring with a self-trained bigram LM —
+    the relational form of CCNet-style perplexity filtering (Wenzek et
+    al. 2020): documents whose token transitions are improbable under
+    the corpus's own bigram statistics (gibberish, boilerplate soup,
+    wrong-language shards) score high and get filtered.
+
+    Model: add-one-smoothed bigram LM, P(y|x) = (c_xy + 1)/(c_x + V),
+    V = unigram vocabulary size. Score = mean over a doc's bigrams of
+    −ln P — lower is more fluent. Docs with no bigrams score NULL.
+
+    Two passes over the corpus, both shuffle-narrow: (1) aggregate
+    global bigram/unigram counts — vocabulary-sized tables; (2)
+    explode each doc's bigrams and join the count tables back, then
+    aggregate per doc. The count joins are vocabulary-keyed (broadcast
+    when small; at 100 TB the bigram table is a standard shuffle join
+    keyed on narrow string pairs — NOT collected anywhere).
+
+    Numeric discipline: each −ln P term is computed from exact integer
+    counts and rounded to 6dp, the per-doc total sums rounded terms as
+    exact DECIMAL, and the mean divides by the exact bigram count —
+    the BM25/JS-divergence summation rule.
+
+    Output: (doc_id, n_bigrams, nll_e6-mean as nll DOUBLE 6dp).
+    """
+    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    toks = F.col("__toks__")
+    doc_bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bg_counts = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = (
+        t.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c_x"))
+    )
+    vocab = uni.count()
+    u1 = uni.select(F.col("w").alias("w1"), "c_x")
+    scored = (
+        doc_bigrams.join(bg_counts, ["w1", "w2"])
+        .join(u1, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("c_xy") + 1)
+                    / (F.col("c_x") + F.lit(vocab)).cast("double")
+                ),
+                6,
+            ).alias("__t__"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__t__").cast("decimal(38,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("nll"),
+        )
+    )

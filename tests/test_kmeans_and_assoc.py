@@ -262,3 +262,26 @@ def test_rolling_zscore(spark):
     prior = np.array([10.0, 10.0, 12.0, 11.0])
     want = (100.0 - prior.mean()) / prior.std(ddof=1)
     assert abs(got[4]["z"] - want) < 1e-3  # fixed-point quantization tolerance
+
+
+def test_ngram_lm_score(spark):
+    import math
+
+    from hippollm_spark.operators.textstats import ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
+    # vocab = {a,b,x,q} = 4; bigrams: (a,b)x2 doc0 + doc1 -> c=3, (b,a) c=1, (x,q) c=1
+    # c_a=3, c_b=3, c_x=1, c_q=1
+    t_ab = round(-math.log((3 + 1) / (3 + 4)), 6)
+    t_ba = round(-math.log((1 + 1) / (3 + 4)), 6)
+    t_xq = round(-math.log((1 + 1) / (1 + 4)), 6)
+    assert got[0]["n_bigrams"] == 3
+    assert abs(got[0]["nll"] - round((2 * t_ab + t_ba) / 3, 6)) < 1e-6
+    assert abs(got[1]["nll"] - t_ab) < 1e-6
+    assert abs(got[2]["nll"] - t_xq) < 1e-6
+    # fluent (repeated) transitions score lower than rare ones
+    assert got[1]["nll"] < got[2]["nll"]
