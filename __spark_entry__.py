@@ -2135,6 +2135,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum mix: score → percentile quartiles (no
+    global sort) → per-bucket epoch replication (0.25x/1x/1.5x/2x,
+    hash-selected fractional copies) — the composed, end-to-end
+    oracle-checked training-mix pipeline."""
+    from hippollm_spark.pipelines.curate import build_training_mix
+
+    return build_training_mix(_t(spark, sf_dir, "documents"))
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering signal: mean −ln P of each
     document's token bigrams under the corpus's own add-one-smoothed
@@ -2408,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "rolling_anomaly": q_rolling_anomaly,
         "lm_perplexity": q_lm_perplexity,
+        "training_mix": q_training_mix,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4421,6 +4432,59 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "graph_sssp": _sssp_oracle_sql(4),
+        "training_mix": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split({_NORM}, ' ') AS toks,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                       round(len(list_filter(toks, t -> list_contains({en}, t))) / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
+                       round(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
+                FROM base
+            ),
+            scored AS (
+                SELECT doc_id,
+                       (least(n_tokens * 10000, 1000000) * 25
+                        + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
+                        + least(CAST(round(stopword_ratio * 1000000) AS BIGINT) * 5, 1000000) * 20
+                        + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS quality_score_e8
+                FROM feat
+            ),
+            b AS (
+                SELECT quantile_cont(quality_score_e8, 0.25) AS b1,
+                       quantile_cont(quality_score_e8, 0.5) AS b2,
+                       quantile_cont(quality_score_e8, 0.75) AS b3
+                FROM scored
+            ),
+            bk AS (
+                SELECT s.doc_id, d.lang, s.quality_score_e8,
+                       CAST(1 + CASE WHEN s.quality_score_e8 > b.b1 THEN 1 ELSE 0 END
+                              + CASE WHEN s.quality_score_e8 > b.b2 THEN 1 ELSE 0 END
+                              + CASE WHEN s.quality_score_e8 > b.b3 THEN 1 ELSE 0 END
+                            AS INT) AS bucket
+                FROM scored s JOIN documents d USING (doc_id) CROSS JOIN b
+            ),
+            n AS (
+                SELECT doc_id, lang, quality_score_e8, bucket,
+                       (CASE bucket WHEN 1 THEN 0 WHEN 2 THEN 1
+                                    WHEN 3 THEN 1 ELSE 2 END)
+                       + (CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':mix'),
+                                     1, 15))::BIGINT % 1000000
+                               < (CASE bucket WHEN 1 THEN 250000
+                                              WHEN 3 THEN 500000 ELSE 0 END)
+                               THEN 1 ELSE 0 END) AS n_copies
+                FROM bk
+            )
+            SELECT doc_id, lang, quality_score_e8, bucket,
+                   unnest(range(0, n_copies)) AS copy_idx
+            FROM n WHERE n_copies > 0
+        """,
         "lm_perplexity": f"""
             WITH t AS (
                 SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents

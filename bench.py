@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "graph_sssp",
     "rolling_anomaly",
     "lm_perplexity",
+    "training_mix",
 ]
 
 

@@ -149,3 +149,53 @@ def curate_corpus(
         )
         .orderBy("lang")
     )
+
+
+def build_training_mix(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 4,
+    epoch_factors: dict[int, float] | None = None,
+) -> DataFrame:
+    """Quality-curriculum mix construction — the composition a
+    pretraining data team actually ships: score every document
+    (exact-integer composite), bucket the corpus into quality
+    quartiles by percentile thresholds (no global sort), then
+    replicate each bucket at its configured epoch factor (top quality
+    oversampled, bottom down-sampled) with the deterministic
+    hash-selected fractional copies.
+
+    Every stage is an already-oracle-checked operator
+    (quality_features → threshold_buckets → upsample), so the whole
+    composed program is hash-comparable end-to-end. Zero Python; the
+    only shuffles are the percentile pass (one row per bucket
+    boundary) — the corpus itself never shuffles, and the replication
+    is a map-side explode.
+
+    Default factors (bucket 1 = lowest quality): {1: 0.25, 2: 1.0,
+    3: 1.5, 4: 2.0}. Output: (doc_id, lang, quality_score_e8, bucket,
+    copy_idx) — one row per emitted training copy.
+    """
+    from hippollm_spark.operators.sampling import upsample
+    from hippollm_spark.operators.stats import threshold_buckets
+    from hippollm_spark.operators.textstats import quality_features
+
+    factors = epoch_factors or {1: 0.25, 2: 1.0, 3: 1.5, 4: 2.0}
+    scored = quality_features(docs).select("doc_id", "quality_score_e8")
+    scored = scored.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    bucketed = threshold_buckets(scored, "quality_score_e8", n_buckets)
+    factor_expr = None
+    for b, f in sorted(factors.items()):
+        cond = F.col("bucket") == b
+        factor_expr = (
+            F.when(cond, F.lit(float(f)))
+            if factor_expr is None
+            else factor_expr.when(cond, F.lit(float(f)))
+        )
+    factor_expr = factor_expr.otherwise(F.lit(1.0))
+    mixed = upsample(bucketed, 1.0, factor_col=factor_expr, salt="mix")
+    return mixed.select(
+        "doc_id", "lang", "quality_score_e8", "bucket", "copy_idx"
+    )
