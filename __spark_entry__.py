@@ -2135,6 +2135,25 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows per event type: percent_rank and
+    cume_dist of each event's value (event_id tie-break for a total
+    order), plus the value's global rank — the remaining members of
+    the window-function family (rank/dense_rank/row_number/ntile are
+    covered elsewhere)."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum mix: score → percentile quartiles (no
     global sort) → per-bucket epoch replication (0.25x/1x/1.5x/2x,
@@ -2419,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_anomaly": q_rolling_anomaly,
         "lm_perplexity": q_lm_perplexity,
         "training_mix": q_training_mix,
+        "value_ranks": q_value_ranks,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4432,6 +4452,13 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "graph_sssp": _sssp_oracle_sql(4),
+        "value_ranks": """
+            SELECT event_id, event_type, value,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        """,
         "training_mix": f"""
             WITH base AS (
                 SELECT doc_id,

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "rolling_anomaly",
     "lm_perplexity",
     "training_mix",
+    "value_ranks",
 ]
 
 
