@@ -214,14 +214,40 @@ def ivf_build(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distributed: bool = False,
 ):
-    """Train centroids (seeded sample init + Lloyd iterations, all
-    driver-side numpy on a sample — centroid table is tiny) and return
-    (assigned DataFrame with 'list_id', centroids ndarray).
+    """Train centroids and return (assigned DataFrame with 'list_id',
+    centroids ndarray).
+
+    Two trainer paths, same output contract:
+    - default: seeded sample init + Lloyd iterations, all driver-side
+      numpy on a ≤100k sample — the right call whenever a sample fits
+      the driver (centroid quality needs a representative sample, not
+      every row);
+    - ``distributed=True``: delegate the Lloyd loop to
+      ``kmeans_fit`` — the exact fixed-point cluster-side trainer —
+      when the training set itself must be the full (or a huge)
+      vector table. Centroids come back as µ-unit integers and are
+      rescaled to float64 here.
 
     At scale the assigned table is written partitioned by list_id so a
     probe reads only nprobe partitions (partition pruning at the file
     level)."""
+    if distributed:
+        cents_e6, _assigned = kmeans_fit(
+            vecs, k=nlist, iterations=iters, id_col=id_col, vec_col=vec_col
+        )
+        cents = np.array(cents_e6, dtype=np.float64) / 1e6
+
+        @F.pandas_udf("int")
+        def _assign_d(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series(np.zeros(0, dtype=np.int32))
+            mat = np.array(emb.tolist(), dtype=np.float64)
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            return pd.Series(d.argmin(1).astype(np.int32))
+
+        return vecs.withColumn("list_id", _assign_d(F.col(vec_col))), cents
     sample = np.array(
         [r[0] for r in vecs.select(vec_col).limit(100_000).collect()],
         dtype=np.float64,

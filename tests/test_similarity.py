@@ -165,3 +165,27 @@ def test_pq_adc_matches_reconstruction(spark, embeddings):
         recon = np.concatenate([cb[j][codes[j]] for j in range(8)])
         expect = ((q - recon) ** 2).sum()
         assert abs(got[r["vec_id"]] - expect) < 1e-9
+
+
+def test_ivf_distributed_trainer_recall(spark, embeddings):
+    """IVF with the distributed fixed-point trainer: same output
+    contract, recall vs exact top-k at nprobe=nlist (exhaustive probe
+    == exact search over all lists)."""
+    from hippollm_spark.operators.similarity import (
+        ivf_build,
+        ivf_topk,
+        topk_per_query,
+    )
+
+    assigned, cents = ivf_build(embeddings, nlist=4, iters=2, distributed=True)
+    assert cents.shape == (4, 64)
+    q = [r["embedding"] for r in embeddings.filter("vec_id = 0").collect()][0]
+    got = {r["vec_id"] for r in ivf_topk(assigned, cents, q, k=10, nprobe=4).collect()}
+    queries = embeddings.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    want = {
+        r["vec_id"]
+        for r in topk_per_query(embeddings, queries, k=10).collect()
+    }
+    assert got == want
