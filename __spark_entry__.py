@@ -2135,6 +2135,21 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: customers who ordered in 1996 but not in
+    1997 (EXCEPT), customers active in both years (INTERSECT), and the
+    counts — Spark plans these as left-anti / left-semi joins over the
+    distinct key sets."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    y94 = o.filter("y = 1996").select("o_custkey").distinct()
+    y95 = o.filter("y = 1997").select("o_custkey").distinct()
+    churned = y94.exceptAll(y95).withColumn("status", F.lit("churned"))
+    retained = y94.intersect(y95).withColumn("status", F.lit("retained"))
+    return churned.unionByName(retained).orderBy("status", "o_custkey")
+
+
 def q_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-position windows per event type: percent_rank and
     cume_dist of each event's value (event_id tie-break for a total
@@ -2439,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "training_mix": q_training_mix,
         "value_ranks": q_value_ranks,
+        "churned_customers": q_churned_customers,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4452,6 +4468,22 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "graph_sssp": _sssp_oracle_sql(4),
+        "churned_customers": """
+            WITH y94 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1996
+            ),
+            y95 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1997
+            )
+            SELECT o_custkey, 'churned' AS status
+            FROM (SELECT o_custkey FROM y94 EXCEPT SELECT o_custkey FROM y95)
+            UNION ALL
+            SELECT o_custkey, 'retained' AS status
+            FROM (SELECT o_custkey FROM y94 INTERSECT SELECT o_custkey FROM y95)
+            ORDER BY status, o_custkey
+        """,
         "value_ranks": """
             SELECT event_id, event_type, value,
                    round(percent_rank() OVER w, 6) AS pct_rank,

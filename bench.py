@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "training_mix",
     "value_ranks",
+    "churned_customers",
 ]
 
 
