@@ -2135,6 +2135,31 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batch assignment: documents bucketed into
+    length deciles (percentile thresholds, no global sort), fixed-size
+    batches numbered off within each bucket in (length, id) order."""
+    from hippollm_spark.operators.sampling import length_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_batches(docs, "n_chars", 32)
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: 4 hash-drawn
+    negatives per (query, positive) pair — map-side explode + md5,
+    no join, rerun-identical."""
+    from hippollm_spark.operators.sampling import negative_samples
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    pairs = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.pmod(F.col("vec_id") + 1, F.lit(n)).alias("pos_id"),
+    )
+    return negative_samples(pairs, n, k=4)
+
+
 def q_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface: customers who ordered in 1996 but not in
     1997 (EXCEPT), customers active in both years (INTERSECT), and the
@@ -2455,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "value_ranks": q_value_ranks,
         "churned_customers": q_churned_customers,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4468,6 +4495,51 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "graph_sssp": _sssp_oracle_sql(4),
+        "length_batches": f"""
+            WITH b AS (
+                SELECT {", ".join(f"quantile_cont(n_chars, {i / 10}) AS b{i}" for i in range(1, 10))}
+                FROM documents
+            ),
+            bk AS (
+                SELECT d.doc_id, d.n_chars,
+                       CAST(1 {" ".join(f"+ CASE WHEN d.n_chars > b.b{i} THEN 1 ELSE 0 END" for i in range(1, 10))}
+                            AS INT) AS bucket
+                FROM documents d CROSS JOIN b
+            ),
+            rn AS (
+                SELECT doc_id, n_chars, bucket,
+                       row_number() OVER (PARTITION BY bucket
+                           ORDER BY n_chars, doc_id) - 1 AS r
+                FROM bk
+            )
+            SELECT doc_id, n_chars, bucket,
+                   bucket::VARCHAR || '-' || (r // 32)::VARCHAR AS batch_id,
+                   CAST(r % 32 AS INT) AS pos_in_batch
+            FROM rn
+        """,
+        "negative_samples": """
+            WITH n AS (SELECT count(*) AS c FROM embeddings),
+            pairs AS (
+                SELECT vec_id AS query_id,
+                       (vec_id + 1) % (SELECT c FROM n) AS pos_id
+                FROM embeddings WHERE vec_id < 50
+            ),
+            slots AS (
+                SELECT query_id, pos_id, CAST(unnest(range(0, 4)) AS INT) AS slot
+                FROM pairs
+            )
+            SELECT query_id, pos_id, slot,
+                   CASE WHEN raw = pos_id
+                        THEN (raw + 1) % (SELECT c FROM n)
+                        ELSE raw END AS neg_id
+            FROM (
+                SELECT query_id, pos_id, slot,
+                       ('0x' || substr(md5(query_id::VARCHAR || ':'
+                            || slot::VARCHAR || ':neg'), 1, 15))::BIGINT
+                           % (SELECT c FROM n) AS raw
+                FROM slots
+            )
+        """,
         "churned_customers": """
             WITH y94 AS (
                 SELECT DISTINCT o_custkey FROM orders

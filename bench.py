@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "training_mix",
     "value_ranks",
     "churned_customers",
+    "length_batches",
+    "negative_samples",
 ]
 
 

@@ -292,3 +292,100 @@ def upsample(
         )
         .drop("__n__")
     )
+
+
+def length_batches(
+    df: DataFrame,
+    length_col: str,
+    batch_size: int,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Length-grouped batch assignment — the padding-efficiency
+    construction for sequence training: bucket rows by length decile
+    (percentile thresholds, no global sort), then number off
+    fixed-size batches WITHIN each bucket in (length, id) order, so a
+    batch's members have near-equal lengths and padding waste is
+    bounded by the bucket's spread.
+
+    batch_id = (row_number within bucket − 1) div batch_size, prefixed
+    by the bucket so ids are globally unique. The within-bucket window
+    is the only sort, and buckets are the parallelism unit — the
+    standard compromise (a globally optimal packing is a bin-packing
+    problem; decile-bucketed batching captures most of the win).
+
+    Output: input columns + (bucket INT, batch_id STRING,
+    pos_in_batch INT).
+    """
+    from hippollm_spark.operators.stats import threshold_buckets
+
+    bucketed = threshold_buckets(df, length_col, n_buckets)
+    w = Window.partitionBy("bucket").orderBy(
+        F.col(length_col).asc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w) - 1
+    return (
+        bucketed.withColumn(
+            "batch_id",
+            F.concat_ws(
+                "-",
+                F.col("bucket").cast("string"),
+                (rn / batch_size).cast("long").cast("string"),
+            ),
+        )
+        .withColumn("pos_in_batch", F.pmod(rn, F.lit(batch_size)).cast("int"))
+    )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    n_candidates: int,
+    k: int = 4,
+    *,
+    query_col: str = "query_id",
+    positive_col: str = "pos_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every (query, positive) pair emit ``k`` pseudo-random negative ids
+    drawn from [0, n_candidates) by hashing (query, slot, salt) — a
+    pure map-side expression (sequence explode + md5), no join, no
+    shuffle, and a rerun reproduces the identical negatives (the
+    training-set determinism contract every sampler here follows).
+
+    A drawn id that collides with the row's positive is shifted by one
+    (mod n) — the standard rejection-free fix; candidate ids are
+    assumed dense 0..n-1 (row_number-style ids, which is what
+    `with_dense_ids` produces).
+
+    Output: (query_id, pos_id, slot INT, neg_id BIGINT).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(query_col).cast("string"),
+                    F.col("slot").cast("string"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    raw = F.pmod(h, F.lit(n_candidates))
+    neg = F.when(
+        raw == F.col(positive_col), F.pmod(raw + 1, F.lit(n_candidates))
+    ).otherwise(raw)
+    return (
+        pairs.select(
+            query_col,
+            positive_col,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+        )
+        .withColumn("neg_id", neg)
+    )

@@ -340,3 +340,46 @@ def test_upsample_zero_and_per_row_factor(spark):
     ).collect()
     assert {r["doc_id"] for r in out} == {1}
     assert len(out) == 2
+
+
+def test_length_batches(spark):
+    from hippollm_spark.operators.sampling import length_batches
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(100)], "doc_id long, n_chars long"
+    )
+    got = length_batches(df, "n_chars", 4, n_buckets=5).collect()
+    by_batch: dict = {}
+    for r in got:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    # every full batch holds 4 rows with near-equal lengths
+    for rows in by_batch.values():
+        assert len(rows) <= 4
+        lens = [r["n_chars"] for r in rows]
+        assert max(lens) - min(lens) <= 25  # bounded by bucket spread
+        assert sorted(r["pos_in_batch"] for r in rows) == list(range(len(rows)))
+    # deterministic
+    again = length_batches(df, "n_chars", 4, n_buckets=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_negative_samples(spark):
+    import hashlib
+
+    from hippollm_spark.operators.sampling import negative_samples
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "query_id long, pos_id long"
+    )
+    got = negative_samples(pairs, 100, k=3).collect()
+    assert len(got) == 6
+    for r in got:
+        assert 0 <= r["neg_id"] < 100
+        assert r["neg_id"] != r["pos_id"]
+        h = int(
+            hashlib.md5(f"{r['query_id']}:{r['slot']}:neg".encode()).hexdigest()[:15],
+            16,
+        )
+        raw = h % 100
+        want = (raw + 1) % 100 if raw == r["pos_id"] else raw
+        assert r["neg_id"] == want
