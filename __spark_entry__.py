@@ -2135,6 +2135,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(cust, q_merge_changes(spark, sf_dir), "c_custkey")
 
 
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=1/4) of event values, final level — exact
+    fixed-point sequential recurrence (sign-wrapped truncating steps);
+    the oracle replays it with list_reduce over the same sorted list."""
+    from hippollm_spark.operators.temporal import ewma_latest
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return ewma_latest(ev, "value", by="user_id")
+
+
 def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-efficient batch assignment: documents bucketed into
     length deciles (percentile thresholds, no global sort), fixed-size
@@ -2482,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churned_customers": q_churned_customers,
         "length_batches": q_length_batches,
         "negative_samples": q_negative_samples,
+        "ewma_value": q_ewma_value,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4495,6 +4506,24 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "graph_sssp": _sssp_oracle_sql(4),
+        "ewma_value": """
+            WITH v AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 1000000.0) AS BIGINT) AS v6
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, list(v6 ORDER BY ts, event_id) AS vs
+                FROM v GROUP BY user_id
+            )
+            SELECT user_id, CAST(len(vs) AS INT) AS n_obs,
+                   round(list_reduce(vs, (a, x) ->
+                       CASE WHEN (x * 1 + a * 3) >= 0
+                            THEN (x * 1 + a * 3) // 4
+                            ELSE -((-(x * 1 + a * 3)) // 4) END
+                   )::DOUBLE / 1000000.0, 6) AS ewma
+            FROM g
+        """,
         "length_batches": f"""
             WITH b AS (
                 SELECT {", ".join(f"quantile_cont(n_chars, {i / 10}) AS b{i}" for i in range(1, 10))}

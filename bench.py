@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "churned_customers",
     "length_batches",
     "negative_samples",
+    "ewma_value",
 ]
 
 

@@ -356,3 +356,72 @@ def rolling_zscore(
             F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)),
         )
     )
+
+
+def ewma_latest(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | Sequence[str] = "user_id",
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, final value —
+    the "current level" estimate behind rate baselines and staleness
+    scoring: s0 = x0, s_t = alpha*x_t + (1-alpha)*s_{t-1} with
+    alpha = alpha_num/alpha_den, evaluated in exact fixed-point
+    integer arithmetic (values quantized to micro-units, each step one
+    sign-wrapped truncating division) so the sequential recurrence —
+    which floats would smear with compounding ulp error — is
+    bit-identical on any engine; the DuckDB oracle replays it with
+    ``list_reduce`` over the identically-sorted value list.
+
+    Shape: one groupBy collecting each key's (order, tiebreak, value)
+    triples, one array_sort, one linear aggregate() fold — per-key
+    history must fit in one array (the same per-key bound every
+    collect-based op here carries; an unbounded stream keeps only the
+    scalar s via the stateful streaming form).
+
+    The in-lambda truncating division is built from exact building
+    blocks ((|t| − |t| mod d)/d, sign reapplied): |t| stays far below
+    2^53, so the double intermediate is exact, and truncation matches
+    DuckDB's `//` through the positive-domain wrap.
+
+    Output: (by…, n_obs, ewma DOUBLE 6dp).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    a, d = int(alpha_num), int(alpha_den)
+    b = d - a
+    v_e6 = F.round(F.col(value_col) * 1_000_000.0, 0).cast("long")
+    grouped = df.groupBy(*by).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(tiebreak_col).alias("t"),
+                    v_e6.alias("v"),
+                )
+            )
+        ).alias("__seq__")
+    )
+    vals = F.transform(F.col("__seq__"), lambda s: s["v"])
+
+    def _tdiv(t):
+        abs_t = F.abs(t)
+        q = ((abs_t - F.pmod(abs_t, F.lit(d))) / d).cast("long")
+        return F.when(t < 0, -q).otherwise(q)
+
+    folded = F.aggregate(
+        vals,
+        F.lit(None).cast("long"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            _tdiv(x * a + acc * b)
+        ),
+    )
+    return grouped.select(
+        *by,
+        F.size("__seq__").alias("n_obs"),
+        F.round(folded / 1_000_000.0, 6).alias("ewma"),
+    )

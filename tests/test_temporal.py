@@ -144,3 +144,34 @@ def test_gap_fill_null_mode_leaves_gaps_null(spark):
     out = gap_fill(df, by="user_id", step="1 day", fill="none")
     mid = [r for r in out.collect() if r["tick"].day == 2][0]
     assert mid["value"] is None and mid["n_obs"] == 0
+
+
+def test_ewma_latest_fixed_point(spark):
+    import datetime as dt
+
+    from hippollm_spark.operators.temporal import ewma_latest
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [4.0, 8.0, -8.0, 16.0]
+    rows = [
+        (i, 1, base + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = ewma_latest(df, "value", by="user_id").first()
+
+    def tdiv(t, d):
+        return t // d if t >= 0 else -((-t) // d)
+
+    s = None
+    for v in vals:
+        x = round(v * 1e6)
+        s = x if s is None else tdiv(x * 1 + s * 3, 4)
+    assert got["n_obs"] == 4
+    assert abs(got["ewma"] - round(s / 1e6, 6)) < 1e-12
+    # sanity: close to the float recurrence
+    f = vals[0]
+    for v in vals[1:]:
+        f = 0.25 * v + 0.75 * f
+    assert abs(got["ewma"] - f) < 1e-3
