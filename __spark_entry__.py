@@ -2355,6 +2355,61 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_concurrency(iv, by="day").orderBy("day")
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS (value vs. day index per event type):
+    ONE map-side-combinable aggregate carrying six exact DECIMAL
+    sufficient statistics per group — shuffle volume independent of
+    row count; the DuckDB oracle replays the identical decimal sums
+    and double-precision normal equations."""
+    from hippollm_spark.operators.stats import linear_fit
+
+    # x is days since 2024-01-01, NOT the 1970 epoch: the small day
+    # index keeps the normal-equation cancellation shallow, so the
+    # decimal->double casts agree across engines to the last ulp (a
+    # 19,000-day epoch index puts ~25 significant digits into the
+    # scale-12 sums, past what a double can carry).
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return linear_fit(ev, "x", "y", "event_type").orderBy("event_type")
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of three lineitem measures in one
+    aggregation pass (k(k+3)/2 exact DECIMAL sums, unpivoted to long
+    form) — the single-scan wide-agg shape that profiles feature
+    redundancy without k² passes over 100 TB."""
+    from hippollm_spark.operators.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    ).orderBy("col_a", "col_b")
+
+
+def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day ROC-AUC of `value` predicting the purchase event via
+    the Mann-Whitney rank-sum identity with exact integer midranks —
+    one spillable window sort + one aggregate, never the O(P·N)
+    positive×negative pair join."""
+    from hippollm_spark.operators.stats import grouped_auc
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "value",
+    )
+    return grouped_auc(
+        ev, "value", F.col("event_type") == "purchase", "day"
+    ).orderBy("day")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2493,6 +2548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "negative_samples": q_negative_samples,
         "ewma_value": q_ewma_value,
+        "ols_trend": q_ols_trend,
+        "corr_matrix": q_corr_matrix,
+        "auc_score": q_auc_score,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -4987,5 +5045,107 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT day, max(concurrent) AS peak
             FROM prof GROUP BY day ORDER BY day
+        """,
+        "ols_trend": """
+            WITH pts AS (
+                SELECT event_type,
+                       CAST(date_diff('day', DATE '2024-01-01', ts::DATE)
+                            AS DECIMAL(19,6)) AS x,
+                       CAST(value AS DECIMAL(19,6)) AS y
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            s AS (
+                SELECT event_type, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy
+                FROM pts GROUP BY event_type
+            ),
+            d AS (
+                SELECT event_type, n,
+                       n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covn,
+                       n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varx,
+                       n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vary,
+                       n::DOUBLE AS nd, sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+                FROM s
+            )
+            SELECT event_type, n,
+                   round(CASE WHEN varx > 0 THEN covn / varx END, 6) AS slope,
+                   round(CASE WHEN varx > 0
+                         THEN (syd - (covn / varx) * sxd) / nd END, 6)
+                       AS intercept,
+                   round(CASE WHEN varx > 0 AND vary > 0
+                         THEN (covn * covn) / (varx * vary) END, 6) AS r2
+            FROM d ORDER BY event_type
+        """,
+        "corr_matrix": """
+            WITH s AS (
+                SELECT count(*) AS n,
+                       sum(CAST(l_quantity AS DECIMAL(19,6))) AS s_q,
+                       sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS s_p,
+                       sum(CAST(l_discount AS DECIMAL(19,6))) AS s_d,
+                       sum(CAST(l_quantity AS DECIMAL(19,6))
+                           * CAST(l_quantity AS DECIMAL(19,6))) AS s2_q,
+                       sum(CAST(l_extendedprice AS DECIMAL(19,6))
+                           * CAST(l_extendedprice AS DECIMAL(19,6))) AS s2_p,
+                       sum(CAST(l_discount AS DECIMAL(19,6))
+                           * CAST(l_discount AS DECIMAL(19,6))) AS s2_d,
+                       sum(CAST(l_quantity AS DECIMAL(19,6))
+                           * CAST(l_extendedprice AS DECIMAL(19,6))) AS sp_qp,
+                       sum(CAST(l_quantity AS DECIMAL(19,6))
+                           * CAST(l_discount AS DECIMAL(19,6))) AS sp_qd,
+                       sum(CAST(l_extendedprice AS DECIMAL(19,6))
+                           * CAST(l_discount AS DECIMAL(19,6))) AS sp_pd
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            ),
+            pairs AS (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+                       n::DOUBLE * sp_qp::DOUBLE - s_q::DOUBLE * s_p::DOUBLE AS cov,
+                       n::DOUBLE * s2_q::DOUBLE - s_q::DOUBLE * s_q::DOUBLE AS va,
+                       n::DOUBLE * s2_p::DOUBLE - s_p::DOUBLE * s_p::DOUBLE AS vb
+                FROM s
+                UNION ALL
+                SELECT 'l_quantity', 'l_discount', n,
+                       n::DOUBLE * sp_qd::DOUBLE - s_q::DOUBLE * s_d::DOUBLE,
+                       n::DOUBLE * s2_q::DOUBLE - s_q::DOUBLE * s_q::DOUBLE,
+                       n::DOUBLE * s2_d::DOUBLE - s_d::DOUBLE * s_d::DOUBLE
+                FROM s
+                UNION ALL
+                SELECT 'l_extendedprice', 'l_discount', n,
+                       n::DOUBLE * sp_pd::DOUBLE - s_p::DOUBLE * s_d::DOUBLE,
+                       n::DOUBLE * s2_p::DOUBLE - s_p::DOUBLE * s_p::DOUBLE,
+                       n::DOUBLE * s2_d::DOUBLE - s_d::DOUBLE * s_d::DOUBLE
+                FROM s
+            )
+            SELECT col_a, col_b, n,
+                   round(CASE WHEN va > 0 AND vb > 0
+                         THEN cov / sqrt(va * vb) END, 6) AS corr
+            FROM pairs ORDER BY col_a, col_b
+        """,
+        "auc_score": """
+            WITH ranked AS (
+                SELECT date_trunc('day', ts) AS day,
+                       (event_type = 'purchase') AS y,
+                       rank() OVER (PARTITION BY date_trunc('day', ts)
+                                    ORDER BY value ASC) AS r,
+                       count(*) OVER (PARTITION BY date_trunc('day', ts),
+                                      value) AS c
+                FROM events WHERE value IS NOT NULL
+            ),
+            a AS (
+                SELECT day, count(*) AS n,
+                       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_pos,
+                       CAST(sum(CASE WHEN y THEN 2*r + c - 1 END) AS BIGINT)
+                           AS s2
+                FROM ranked GROUP BY day
+            )
+            SELECT day, n, n_pos,
+                   round(CASE WHEN n_pos > 0 AND n - n_pos > 0
+                         THEN (s2 - n_pos*(n_pos+1))::DOUBLE
+                              / (2*n_pos*(n - n_pos))::DOUBLE END, 6) AS auc
+            FROM a ORDER BY day
         """,
     }

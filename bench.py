@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "length_batches",
     "negative_samples",
     "ewma_value",
+    "ols_trend",
+    "corr_matrix",
+    "auc_score",
 ]
 
 

@@ -591,3 +591,201 @@ def profile_columns(
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Grouped closed-form OLS of y on x: one aggregation pass computing
+    the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) as exact
+    DECIMAL sums, then slope/intercept/R² from the normal equations.
+
+    Scale shape: a single map-side-combinable hash aggregate — the
+    shuffle carries one row of six decimals per group regardless of
+    corpus size. The DECIMAL accumulation is order-independent, so
+    results are bit-stable across partitionings and hash-comparable to
+    any engine replaying the same sums (float `regr_slope`-style
+    accumulation is neither).
+
+    Rows where either coordinate is NULL are excluded (SQL regr_*
+    semantics). Degenerate groups (n < 2 or zero x-variance) yield NULL
+    slope/intercept/r2. R² is NULL when y has zero variance.
+
+    Reference scope note: the reference (hippoLLM) has no statistics
+    surface at all (SURVEY.md §2.10); this is part of the
+    training-data-pipeline extension layer (trend fitting for
+    drift/throughput monitoring).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    ok = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    # DECIMAL(18,6)×DECIMAL(18,6) = DECIMAL(37,12): stays under Spark's
+    # 38-digit cap without the silent precision-loss truncation a
+    # (38,10)×(38,10) product would trigger.
+    agg = (
+        df.filter(ok)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("__sx__"),
+            F.sum(y).alias("__sy__"),
+            F.sum(x * y).alias("__sxy__"),
+            F.sum(x * x).alias("__sxx__"),
+            F.sum(y * y).alias("__syy__"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx__").cast("double")
+    sy = F.col("__sy__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    syy = F.col("__syy__").cast("double")
+    cov_n = n * sxy - sx * sy       # n² · cov
+    var_x = n * sxx - sx * sx       # n² · var(x)
+    var_y = n * syy - sy * sy       # n² · var(y)
+    slope = F.when(var_x > 0, cov_n / var_x)
+    intercept = F.when(var_x > 0, (sy - (cov_n / var_x) * sx) / n)
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), (cov_n * cov_n) / (var_x * var_y)
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation of k numeric columns in ONE
+    aggregation pass: k·(k+3)/2 exact DECIMAL sums (Σxᵢ, Σxᵢ², Σxᵢxⱼ
+    for i<j) per group, unpivoted to long form
+    (group keys, col_a, col_b, n, corr).
+
+    Scale shape: one map-side-combinable hash aggregate; shuffle volume
+    is O(groups · k²) decimals, independent of row count — the same
+    wide-agg-then-explode shape as `profile_columns`. NULL handling is
+    pairwise-complete-equivalent only when columns have no NULLs; rows
+    with a NULL in ANY requested column are dropped first (listwise),
+    keeping every pair on the same row population so the matrix is
+    positive semi-definite.
+
+    Zero-variance columns produce NULL correlations; `corr(a,a)` rows
+    are not emitted (they are 1 by definition).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    cols = list(value_cols)
+    ok = F.lit(True)
+    for c in cols:
+        ok = ok & F.col(c).isNotNull()
+    dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"__s_{c}__"))
+        aggs.append(F.sum(dec[c] * dec[c]).alias(f"__s2_{c}__"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(dec[a] * dec[b]).alias(f"__sp_{a}_{b}__"))
+    wide = df.filter(ok).groupBy(*keys).agg(*aggs)
+
+    n = F.col("n").cast("double")
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa = F.col(f"__s_{a}__").cast("double")
+            sb = F.col(f"__s_{b}__").cast("double")
+            saa = F.col(f"__s2_{a}__").cast("double")
+            sbb = F.col(f"__s2_{b}__").cast("double")
+            sab = F.col(f"__sp_{a}_{b}__").cast("double")
+            cov = n * sab - sa * sb
+            va = n * saa - sa * sa
+            vb = n * sbb - sb * sb
+            corr = F.when(
+                (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+            )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n").alias("n"),
+                    F.round(corr, round_to).alias("corr"),
+                )
+            )
+    return wide.select(
+        *keys, F.explode(F.array(*structs)).alias("p")
+    ).select(*keys, "p.*")
+
+
+def grouped_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC-AUC per group via the Mann-Whitney rank-sum identity, with
+    exact tie handling:
+
+        AUC = (Σ avg_rank(positives) − P(P+1)/2) / (P·N)
+
+    where avg_rank uses midranks for tied scores. All intermediate
+    quantities are kept in integers — midranks enter doubled
+    (2·avg_rank = 2·rank + tie_count − 1), so the numerator
+    2·Σavg_rank − P(P+1) is an exact BIGINT and the result is
+    bit-stable across engines and partitionings (no float rank
+    accumulation).
+
+    Scale shape: one window rank per group (range-partitioned sort —
+    Tungsten spillable, constant memory) + one hash aggregate; no
+    pairwise positive×negative expansion (the naive O(P·N) join is the
+    shape that dies at 100 TB).
+
+    `label_col` may be a column name or a boolean Column expression.
+    Groups with zero positives or zero negatives yield NULL auc.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    w_rank = Window.partitionBy(*keys).orderBy(F.col(score_col).asc())
+    w_tie = Window.partitionBy(*keys, F.col(score_col))
+    ranked = df.filter(F.col(score_col).isNotNull()).select(
+        *keys,
+        lbl.alias("__y__"),
+        F.rank().over(w_rank).alias("__r__"),
+        F.count("*").over(w_tie).alias("__c__"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__y__").cast("long")).alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("__y__"),
+                2 * F.col("__r__").cast("long") + F.col("__c__") - 1,
+            )
+        ).alias("__s2__"),
+    )
+    p = F.col("n_pos")
+    neg = F.col("n") - p
+    num = F.col("__s2__") - p * (p + 1)
+    auc = F.when(
+        (p > 0) & (neg > 0),
+        num.cast("double") / (2 * p * neg).cast("double"),
+    )
+    return agg.select(
+        *keys, "n", "n_pos", F.round(auc, round_to).alias("auc")
+    )
