@@ -2410,6 +2410,58 @@ def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship over near-duplicate groups: exact-Jaccard pair
+    graph → min-label closure → one golden row per group (longest doc
+    wins, id tie-break) with group size — the MDM merge step after any
+    dedup pass; one window over tiny groups, corpus never re-shuffles
+    past the group join."""
+    from hippollm_spark.operators.dedup import (
+        dedup_canonicalize,
+        golden_record,
+        jaccard_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_dup_pairs(docs, threshold=0.5, n=3)
+    assign = dedup_canonicalize(pairs)
+    return (
+        golden_record(docs, assign, rank_cols=[F.col("n_chars").desc()])
+        .select("group_id", "doc_id", "source", "n_chars", "n_members")
+        .orderBy("group_id")
+    )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the entity co-occurrence graph by iterative peeling
+    (4 bounded rounds, confluent so deletion order is irrelevant) —
+    the classic dense-subgraph extraction; each round is a degree
+    count + two semi-joins on narrow keys."""
+    from hippollm_spark.operators.graph import cooccurrence, k_core
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select("entity_a", "entity_b")
+    sym = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("entity_b").alias("src"), F.col("entity_a").alias("dst")
+        )
+    )
+    return k_core(sym, 3, rounds=4).orderBy("vertex")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation verdicts (UT1/RefinedWeb-style source
+    filter): exact e8-integer mean quality + doc count per source,
+    keep = volume- and quality-floored — the tiny verdict table then
+    broadcast-filters the corpus without shuffling it."""
+    from hippollm_spark.pipelines.curate import domain_quality_stats
+
+    return domain_quality_stats(
+        _t(spark, sf_dir, "documents"), min_docs=10, min_mean_score=0.55
+    ).orderBy("domain")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2551,6 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "corr_matrix": q_corr_matrix,
         "auc_score": q_auc_score,
+        "golden_records": q_golden_records,
+        "graph_kcore": q_graph_kcore,
+        "domain_stats": q_domain_stats,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -5147,5 +5202,102 @@ def oracle_sql() -> dict[str, str]:
                          THEN (s2 - n_pos*(n_pos+1))::DOUBLE
                               / (2*n_pos*(n - n_pos))::DOUBLE END, 6) AS auc
             FROM a ORDER BY day
+        """,
+        "golden_records": f"""
+            {_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1)},
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b FROM p
+                JOIN sizes na ON na.doc_id = doc_a
+                JOIN sizes nb ON nb.doc_id = doc_b
+                WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
+            ),
+            ee AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM ee
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN ee e ON r.b = e.a
+            ),
+            groups AS (
+                SELECT a AS doc_id, least(a, min(b)) AS group_id
+                FROM reach GROUP BY a
+            ),
+            ranked AS (
+                SELECT g.group_id, d.doc_id, d.source, d.n_chars,
+                       row_number() OVER (PARTITION BY g.group_id
+                           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY g.group_id) AS n_members
+                FROM documents d JOIN groups g USING (doc_id)
+            )
+            SELECT group_id, doc_id, source, n_chars, n_members
+            FROM ranked WHERE rn = 1 ORDER BY group_id
+        """,
+        "graph_kcore": f"""
+            WITH ed AS ({_EDGES_SQL}),
+            p AS (
+                SELECT DISTINCT a.entity AS a, b.entity AS b
+                FROM ed a JOIN ed b
+                  ON a.fact_id = b.fact_id AND a.entity < b.entity
+            ),
+            e0 AS (SELECT a AS src, b AS dst FROM p
+                   UNION ALL SELECT b, a FROM p),
+            k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+            e1 AS (SELECT e.src, e.dst FROM e0 e
+                   JOIN k1 s ON e.src = s.src JOIN k1 t ON e.dst = t.src),
+            k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+            e2 AS (SELECT e.src, e.dst FROM e1 e
+                   JOIN k2 s ON e.src = s.src JOIN k2 t ON e.dst = t.src),
+            k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+            e3 AS (SELECT e.src, e.dst FROM e2 e
+                   JOIN k3 s ON e.src = s.src JOIN k3 t ON e.dst = t.src),
+            k4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 3),
+            e4 AS (SELECT e.src, e.dst FROM e3 e
+                   JOIN k4 s ON e.src = s.src JOIN k4 t ON e.dst = t.src)
+            SELECT src AS vertex, count(*) AS degree
+            FROM e4 GROUP BY src HAVING count(*) >= 3 ORDER BY vertex
+        """,
+        "domain_stats": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split({_NORM}, ' ') AS toks,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tokens,
+                       round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                       round(len(list_filter(toks, t -> list_contains({en}, t))) / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
+                       round(len(list_distinct(toks)) / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
+                FROM base
+            ),
+            scored AS (
+                SELECT doc_id, n_chars,
+                       (least(n_tokens * 10000, 1000000) * 25
+                        + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
+                        + least(CAST(round(stopword_ratio * 1000000) AS BIGINT) * 5, 1000000) * 20
+                        + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS q_e8
+                FROM feat
+            ),
+            agg AS (
+                SELECT d.source AS domain, count(*) AS n_docs,
+                       round((sum(s.q_e8)::DOUBLE / count(*)) / 1e8, 6) AS mean_score,
+                       round(sum(CAST(s.n_chars AS DECIMAL(18,6)))::DOUBLE / count(*), 2) AS mean_chars
+                FROM scored s JOIN documents d USING (doc_id)
+                GROUP BY d.source
+            )
+            SELECT domain, n_docs, mean_score, mean_chars,
+                   (n_docs >= 10 AND mean_score >= 0.55) AS keep
+            FROM agg ORDER BY domain
         """,
     }

@@ -155,6 +155,9 @@ BENCH_QUERIES = [
     "ols_trend",
     "corr_matrix",
     "auc_score",
+    "golden_records",
+    "graph_kcore",
+    "domain_stats",
 ]
 
 

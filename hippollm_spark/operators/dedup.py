@@ -27,6 +27,8 @@ and the MinHash path (3) is the intended operator at that scale anyway.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -1122,3 +1124,49 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    assignments: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rank_cols: Sequence | None = None,
+    fill_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Survivorship: collapse each duplicate group (the output of
+    ``dedup_canonicalize``) to ONE golden row.
+
+    - The survivor is the group's first row under ``rank_cols`` (e.g.
+      most-complete / longest / freshest first), with ``id_col``
+      ascending as the deterministic final tie-break.
+    - ``fill_cols``: per-FIELD survivorship — a NULL on the survivor is
+      back-filled with the first non-NULL value in rank order from the
+      rest of the group (the MDM "best of breed" merge rule).
+    - ``n_members`` counts the group.
+
+    Scale shape: one shuffle on ``group_id`` and a single window pass
+    (rank + count + per-field ordered first over the same partition
+    spec — Spark evaluates them in one WindowExec); duplicate groups
+    are tiny in practice, so no skew. Documents not present in
+    ``assignments`` are untouched singletons by ``dedup_canonicalize``'s
+    contract — union them back if a full corpus is wanted.
+    """
+    from pyspark.sql import Window
+
+    rank = list(rank_cols) if rank_cols is not None else []
+    g = assignments.select(
+        F.col(id_col), F.col("canonical_id").alias("group_id")
+    )
+    joined = df.join(g, id_col)
+    order = rank + [F.col(id_col).asc()]
+    w = Window.partitionBy("group_id").orderBy(*order)
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = joined.withColumn("__rn__", F.row_number().over(w)).withColumn(
+        "n_members", F.count("*").over(w_all)
+    )
+    for c in fill_cols or []:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w_all))
+    return out.filter(F.col("__rn__") == 1).drop("__rn__")

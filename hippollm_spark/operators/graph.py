@@ -649,3 +649,52 @@ def bellman_ford(
         if r % checkpoint_every == checkpoint_every - 1:
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core decomposition membership by iterative peeling: repeatedly
+    delete vertices with degree < k (and their incident edges) until
+    fixpoint. Peeling is confluent — the surviving set is unique
+    regardless of deletion order — so the result is deterministic and
+    hash-comparable across engines.
+
+    ``rounds`` bounds the peel loop (with early exit once a round
+    removes nothing); an oracle replays the identical bounded
+    recurrence, and converged-early runs are unaffected by the bound
+    (extra rounds are no-ops). Expects a SYMMETRIZED edge list (both
+    directions present); degree = count of out-neighbours.
+
+    Scale shape per round: one groupBy degree count on the edge key +
+    two semi-joins — all narrow-key hash shuffles; `localCheckpoint`
+    every few rounds cuts the nested plan (the `dedup_canonicalize`
+    discipline). Output: (vertex, degree) for the surviving k-core.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    for r in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src")
+        pruned = e.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        if r % checkpoint_every == checkpoint_every - 1:
+            pruned = pruned.localCheckpoint(eager=True)
+        else:
+            pruned = pruned.cache()
+        if pruned.count() == e.count():
+            e = pruned
+            break
+        e = pruned
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("src").alias("vertex"), "degree")
+    )

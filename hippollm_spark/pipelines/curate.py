@@ -199,3 +199,73 @@ def build_training_mix(
     return mixed.select(
         "doc_id", "lang", "quality_score_e8", "bucket", "copy_idx"
     )
+
+
+def domain_quality_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    min_docs: int = 1,
+    min_mean_score: float = 0.0,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Domain-level curation verdicts (the UT1/RefinedWeb-style
+    source filter): per domain — document count, mean quality score,
+    mean length, and a `keep` flag that is false when the domain is
+    blocklisted, too small, or below the mean-quality floor.
+
+    The mean is an exact BIGINT sum over the e8-scaled per-doc scores
+    divided by the count — order-independent and engine-replayable.
+    One quality scan + one tiny aggregate; joining the verdicts back
+    onto the corpus (`domain_filter`) is a broadcast of #domains rows,
+    so the corpus itself never shuffles.
+    """
+    q = quality_features(docs, id_col=id_col, text_col=text_col)
+    doc_domains = docs.select(F.col(id_col), F.col(domain_col).alias("domain"))
+    per_doc = q.join(doc_domains, id_col)
+    agg = per_doc.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            (
+                F.sum("quality_score_e8").cast("double") / F.count("*")
+            )
+            / F.lit(1e8),
+            6,
+        ).alias("mean_score"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("mean_chars"),
+    )
+    blocked = (
+        F.col("domain").isin(list(blocklist)) if blocklist else F.lit(False)
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "mean_score",
+        "mean_chars",
+        (
+            (~blocked)
+            & (F.col("n_docs") >= min_docs)
+            & (F.col("mean_score") >= min_mean_score)
+        ).alias("keep"),
+    )
+
+
+def domain_filter(
+    docs: DataFrame,
+    verdicts: DataFrame,
+    *,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Drop every document whose domain verdict is keep=false — a
+    broadcast semi-join on the tiny domain table; the corpus stays in
+    place (no shuffle)."""
+    keep = verdicts.filter(F.col("keep")).select(
+        F.col("domain").alias(domain_col)
+    )
+    return docs.join(F.broadcast(keep), domain_col, "left_semi")
