@@ -2462,6 +2462,23 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain")
 
 
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA 64->8 over the embeddings table: moment-matrix fit (one
+    Arrow pass shipping d+d^2 floats per partition) + projection
+    matmul — the dimensionality-reduction front-end for cheap ANN /
+    near-dup blocking. Float matmul -> rows-only driver check, like
+    the module's other pandas paths."""
+    from hippollm_spark.operators.similarity import pca_fit, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, 8)
+    return (
+        pca_project(emb, model)
+        .select("vec_id", "label", "pca")
+        .orderBy("vec_id")
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2606,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "graph_kcore": q_graph_kcore,
         "domain_stats": q_domain_stats,
+        "pca_embeddings": q_pca_embeddings,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "golden_records",
     "graph_kcore",
     "domain_stats",
+    "pca_embeddings",
 ]
 
 

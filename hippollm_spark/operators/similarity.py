@@ -528,3 +528,98 @@ def kmeans_fit(
                 new_c[cid][dim] = _tdiv(s, n)
         centroids = new_c
     return centroids, _assign(centroids)
+
+
+def pca_fit(
+    vecs: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+) -> dict:
+    """Distributed PCA fit via the covariance method: ONE Arrow-batched
+    pass computes per-partition partials (n, Σx, XᵀX) — d + d² floats
+    per partition regardless of row count — which reduce on the driver
+    to the d×d covariance; eigendecomposition of a 64×64 matrix is a
+    driver-side numpy call. This is the scale shape: the data never
+    moves, only KB-sized moment matrices do.
+
+    Determinism: eigenvectors are sign-normalized (largest-|coord|
+    positive) and ordered by descending eigenvalue with index
+    tie-break; float partial sums make the last-ulp partition-order
+    dependent, so PCA is recall-grade (rows-only driver check), like
+    the other float matmul paths in this module.
+
+    Returns {"mean": (d,), "components": (k, d) rows = top PCs,
+    "explained_variance": (k,), "explained_ratio": (k,)}.
+    """
+    schema = "n long, s binary, xtx binary"
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(mat)],
+                    "s": [mat.sum(axis=0).tobytes()],
+                    "xtx": [(mat.T @ mat).tobytes()],
+                }
+            )
+
+    parts = vecs.select(vec_col).mapInPandas(_partials, schema).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(p["n"] for p in parts)
+    s = sum(np.frombuffer(p["s"], dtype=np.float64) for p in parts)
+    d = s.shape[0]
+    xtx = sum(
+        np.frombuffer(p["xtx"], dtype=np.float64).reshape(d, d) for p in parts
+    )
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps = evecs[:, order].T  # (k, d)
+    # sign convention: largest-|coord| of each component is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = evals[order]
+    total = float(evals.sum())
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": ev,
+        "explained_ratio": ev / total if total > 0 else ev * 0.0,
+    }
+
+
+def pca_project(
+    vecs: DataFrame,
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Project vectors onto the fitted components: (x − mean) @ compsᵀ
+    as one Arrow-batched matmul; mean and components ship in the UDF
+    closure (KBs). The d→k reduction is what makes downstream ANN /
+    near-dup blocking cheap at 100 TB (e.g. PQ or LSH over 8 PCA dims
+    instead of 64 raw ones)."""
+    mean = model["mean"]
+    comps = model["components"]
+
+    @F.pandas_udf("array<double>")
+    def _proj(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(np.zeros(0, dtype=object))
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        out = (mat - mean) @ comps.T
+        if round_to is not None:
+            out = np.round(out, round_to)
+        return pd.Series(list(out))
+
+    return vecs.withColumn(out_col, _proj(F.col(vec_col)))
