@@ -2479,6 +2479,46 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Welch's t between the view and purchase arms on
+    `value`: one aggregation pass of six exact DECIMAL sufficient
+    statistics per day — the A/B readout whose shuffle volume is
+    independent of event count."""
+    from hippollm_spark.operators.stats import welch_t_test
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    return welch_t_test(
+        ev, "event_type", "value", "view", "purchase", by="day"
+    ).orderBy("day")
+
+
+def q_conversion_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day R-by-2 chi-square of arm (event type) vs conversion
+    (value > 100): exact integer contingency cells, per-arm terms
+    rounded then summed as exact DECIMAL (order-independent)."""
+    from hippollm_spark.operators.stats import conversion_chi2
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    return conversion_chi2(
+        ev, "event_type", F.col("value") > 100, by="day"
+    ).orderBy("day")
+
+
+def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 language-distinctive terms by chi-square feature selection
+    (presence-based 2x2 per term-language) — exact integer counts, a
+    vocabulary-sized scored table, one per-label top-k window."""
+    from hippollm_spark.operators.textstats import chi2_keywords
+
+    return chi2_keywords(
+        _t(spark, sf_dir, "documents"), "lang", k=5, min_df=2
+    ).orderBy("label", "rank")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2624,6 +2664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "domain_stats": q_domain_stats,
         "pca_embeddings": q_pca_embeddings,
+        "ab_welch": q_ab_welch,
+        "conversion_chi2": q_conversion_chi2,
+        "chi2_keywords": q_chi2_keywords,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -5317,5 +5360,139 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, mean_score, mean_chars,
                    (n_docs >= 10 AND mean_score >= 0.55) AS keep
             FROM agg ORDER BY domain
+        """,
+        "ab_welch": """
+            WITH pts AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       CAST(value AS DECIMAL(19,6)) AS x
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+                  AND value IS NOT NULL
+            ),
+            s AS (
+                SELECT day,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       sum(CASE WHEN event_type = 'view' THEN x END) AS sa,
+                       sum(CASE WHEN event_type = 'purchase' THEN x END) AS sb,
+                       sum(CASE WHEN event_type = 'view' THEN x * x END) AS sa2,
+                       sum(CASE WHEN event_type = 'purchase' THEN x * x END) AS sb2
+                FROM pts GROUP BY day
+            ),
+            d AS (
+                SELECT day, n_a, n_b,
+                       n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+                       sa::DOUBLE AS sad, sb::DOUBLE AS sbd,
+                       sa2::DOUBLE AS sa2d, sb2::DOUBLE AS sb2d
+                FROM s
+            ),
+            m AS (
+                SELECT day, n_a, n_b, na, nb,
+                       sad / na AS mean_a, sbd / nb AS mean_b,
+                       (sa2d - sad * (sad / na)) / (na - 1) AS va,
+                       (sb2d - sbd * (sbd / nb)) / (nb - 1) AS vb
+                FROM d
+            ),
+            e AS (
+                SELECT day, n_a, n_b, na, nb, mean_a, mean_b,
+                       va / na AS sea, vb / nb AS seb,
+                       va / na + vb / nb AS se2
+                FROM m
+            )
+            SELECT day, n_a, n_b,
+                   round(mean_a, 6) AS mean_a,
+                   round(mean_b, 6) AS mean_b,
+                   round(mean_b - mean_a, 6) AS lift,
+                   round(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                         THEN (mean_b - mean_a) / sqrt(se2) END, 6) AS t_stat,
+                   round(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                         THEN (se2 * se2)
+                              / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+                         END, 6) AS dof
+            FROM e ORDER BY day
+        """,
+        "conversion_chi2": """
+            WITH cells AS (
+                SELECT date_trunc('day', ts) AS day, event_type AS arm,
+                       CAST(count(*) AS BIGINT) AS rt,
+                       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS s
+                FROM events WHERE (value > 100) IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT day, arm, rt, s,
+                       CAST(sum(rt) OVER (PARTITION BY day) AS BIGINT) AS n,
+                       CAST(sum(s) OVER (PARTITION BY day) AS BIGINT) AS cs,
+                       CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS n_arms
+                FROM cells
+            ),
+            terms AS (
+                SELECT day, n, n_arms,
+                       CASE WHEN (rt::DOUBLE * cs::DOUBLE / n::DOUBLE) > 0
+                             AND (rt::DOUBLE * (n::DOUBLE - cs::DOUBLE) / n::DOUBLE) > 0
+                            THEN (s::DOUBLE - rt::DOUBLE * cs::DOUBLE / n::DOUBLE)
+                                 * (s::DOUBLE - rt::DOUBLE * cs::DOUBLE / n::DOUBLE)
+                                 / (rt::DOUBLE * cs::DOUBLE / n::DOUBLE)
+                                 + ((rt::DOUBLE - s::DOUBLE) - rt::DOUBLE * (n::DOUBLE - cs::DOUBLE) / n::DOUBLE)
+                                 * ((rt::DOUBLE - s::DOUBLE) - rt::DOUBLE * (n::DOUBLE - cs::DOUBLE) / n::DOUBLE)
+                                 / (rt::DOUBLE * (n::DOUBLE - cs::DOUBLE) / n::DOUBLE)
+                       END AS term
+                FROM tot
+            )
+            SELECT day, n, n_arms,
+                   CASE WHEN count(*) = count(term)
+                        THEN sum(round(term, 6)::DECIMAL(28,6))::DOUBLE
+                   END AS chi2,
+                   CAST(n_arms - 1 AS BIGINT) AS dof
+            FROM terms GROUP BY day, n, n_arms ORDER BY day
+        """,
+        "chi2_keywords": f"""
+            WITH t AS (
+                SELECT doc_id, lang AS label,
+                       list_distinct(string_split({_NORM}, ' ')) AS toks
+                FROM documents
+            ),
+            pres AS (
+                SELECT doc_id, label, unnest(toks) AS term FROM t
+            ),
+            tl AS (
+                SELECT term, label, CAST(count(*) AS BIGINT) AS a_
+                FROM pres WHERE term <> '' GROUP BY 1, 2
+            ),
+            tdf AS (
+                SELECT term, CAST(sum(a_) AS BIGINT) AS df_term
+                FROM tl GROUP BY term HAVING sum(a_) >= 2
+            ),
+            ln_ AS (
+                SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_label
+                FROM documents GROUP BY lang
+            ),
+            n_tot AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT c.label, c.term, c.a_ AS n_with, d.df_term,
+                       round(
+                         CASE WHEN (c.a_ + (l.n_label - c.a_))::DOUBLE
+                                 * ((d.df_term - c.a_) + ((SELECT n FROM n_tot) - l.n_label - d.df_term + c.a_))::DOUBLE
+                                 * (c.a_ + (d.df_term - c.a_))::DOUBLE
+                                 * ((l.n_label - c.a_) + ((SELECT n FROM n_tot) - l.n_label - d.df_term + c.a_))::DOUBLE > 0
+                         THEN (SELECT n FROM n_tot)::DOUBLE
+                              * (c.a_::DOUBLE * ((SELECT n FROM n_tot) - l.n_label - d.df_term + c.a_)::DOUBLE
+                                 - (l.n_label - c.a_)::DOUBLE * (d.df_term - c.a_)::DOUBLE)
+                              * (c.a_::DOUBLE * ((SELECT n FROM n_tot) - l.n_label - d.df_term + c.a_)::DOUBLE
+                                 - (l.n_label - c.a_)::DOUBLE * (d.df_term - c.a_)::DOUBLE)
+                              / ((c.a_ + (l.n_label - c.a_))::DOUBLE
+                                 * ((d.df_term - c.a_) + ((SELECT n FROM n_tot) - l.n_label - d.df_term + c.a_))::DOUBLE
+                                 * (c.a_ + (d.df_term - c.a_))::DOUBLE
+                                 * ((l.n_label - c.a_) + ((SELECT n FROM n_tot) - l.n_label - d.df_term + c.a_))::DOUBLE)
+                         END, 6) AS chi2
+                FROM tl c JOIN tdf d USING (term) JOIN ln_ l USING (label)
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY label
+                         ORDER BY chi2 DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT label, term, n_with, df_term, chi2, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY label, rank
         """,
     }

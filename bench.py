@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "graph_kcore",
     "domain_stats",
     "pca_embeddings",
+    "ab_welch",
+    "conversion_chi2",
+    "chi2_keywords",
 ]
 
 

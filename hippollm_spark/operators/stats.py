@@ -789,3 +789,163 @@ def grouped_auc(
     return agg.select(
         *keys, "n", "n_pos", F.round(auc, round_to).alias("auc")
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    arm_a: str,
+    arm_b: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Welch's t-test (unequal variances) between two
+    experiment arms, from ONE aggregation pass of exact DECIMAL
+    sufficient statistics (n, Σx, Σx² per arm): means, sample
+    variances, t statistic, and Welch–Satterthwaite degrees of
+    freedom. The shuffle carries six decimals per group — A/B
+    readouts at 100 TB cost one scan.
+
+    t = (mean_b − mean_a) / sqrt(va/na + vb/nb); dof via
+    Welch–Satterthwaite. Arms with n < 2 or both variances 0 yield
+    NULL t. (p-values need the t CDF — driver-side scipy if wanted;
+    the statistic itself is the engine's job.)
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    x = F.col(metric_col).cast("decimal(18,6)")
+    is_a = F.col(arm_col) == arm_a
+    is_b = F.col(arm_col) == arm_b
+    agg = (
+        df.filter((is_a | is_b) & F.col(metric_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(is_a, x)).alias("__sa__"),
+            F.sum(F.when(is_b, x)).alias("__sb__"),
+            F.sum(F.when(is_a, x * x)).alias("__sa2__"),
+            F.sum(F.when(is_b, x * x)).alias("__sb2__"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("__sa__").cast("double")
+    sb = F.col("__sb__").cast("double")
+    sa2 = F.col("__sa2__").cast("double")
+    sb2 = F.col("__sb2__").cast("double")
+    mean_a = sa / na
+    mean_b = sb / nb
+    va = (sa2 - sa * mean_a) / (na - 1)
+    vb = (sb2 - sb * mean_b) / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        (mean_b - mean_a) / F.sqrt(se2),
+    )
+    dof = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0),
+        (se2 * se2)
+        / (sea * sea / (na - 1) + seb * seb / (nb - 1)),
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round(mean_a, round_to).alias("mean_a"),
+        F.round(mean_b, round_to).alias("mean_b"),
+        F.round(mean_b - mean_a, round_to).alias("lift"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(dof, round_to).alias("dof"),
+    )
+
+
+def conversion_chi2(
+    df: DataFrame,
+    arm_col: str,
+    success_col,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """R×2 chi-square test of independence between experiment arm and
+    a boolean outcome: χ² = Σ (O−E)²/E over the contingency table,
+    E = row_total · col_total / N. Counts are exact integers from one
+    aggregate; the statistic assembles per group from an
+    arms-per-group-sized intermediate (a second tiny aggregate), so
+    nothing data-sized shuffles twice.
+
+    `success_col` may be a column name or boolean expression. Output:
+    group keys, n, n_arms, chi2 (NULL when any expected cell is 0 —
+    degenerate margins), dof = (r−1).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    succ = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("boolean")
+    cells = (
+        df.filter(succ.isNotNull())
+        .groupBy(*keys, F.col(arm_col).alias("__arm__"))
+        .agg(
+            F.count("*").alias("__rt__"),
+            F.sum(succ.cast("long")).alias("__s__"),
+        )
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    with_tot = cells.select(
+        *keys,
+        "__arm__",
+        "__rt__",
+        "__s__",
+        F.sum("__rt__").over(w).alias("__n__"),
+        F.sum("__s__").over(w).alias("__cs__"),
+        F.count("*").over(w).alias("n_arms"),
+    )
+    n = F.col("__n__").cast("double")
+    rt = F.col("__rt__").cast("double")
+    cs = F.col("__cs__").cast("double")
+    cf = n - cs
+    o_s = F.col("__s__").cast("double")
+    o_f = rt - o_s
+    e_s = rt * cs / n
+    e_f = rt * cf / n
+    term = F.when(
+        (e_s > 0) & (e_f > 0),
+        (o_s - e_s) * (o_s - e_s) / e_s + (o_f - e_f) * (o_f - e_f) / e_f,
+    )
+    per_arm = with_tot.select(
+        *keys,
+        F.col("__n__").alias("n"),
+        "n_arms",
+        term.alias("__term__"),
+    )
+    gb = [*keys, "n", "n_arms"]
+    return (
+        per_arm.groupBy(*gb)
+        .agg(
+            F.count("*").alias("__narm2__"),
+            F.sum(
+                F.when(F.col("__term__").isNotNull(), 1).otherwise(0)
+            ).alias("__ok__"),
+            # round each arm's term at 6dp THEN sum as exact DECIMAL —
+            # order-independent and engine-replayable (the
+            # `distribution_drift` discipline); a float sum of the
+            # raw terms would be partition-order dependent
+            F.sum(
+                F.round(F.col("__term__"), round_to).cast("decimal(28,6)")
+            ).alias("__chi2__"),
+        )
+        .select(
+            *keys,
+            "n",
+            "n_arms",
+            F.when(
+                F.col("__ok__") == F.col("__narm2__"),
+                F.col("__chi2__").cast("double"),
+            ).alias("chi2"),
+            (F.col("n_arms") - 1).alias("dof"),
+        )
+    )

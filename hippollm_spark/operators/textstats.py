@@ -783,3 +783,73 @@ def ngram_lm_score(
             ).alias("nll"),
         )
     )
+
+
+def chi2_keywords(
+    docs: DataFrame,
+    label_col: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-k label-distinctive terms by the χ² test of independence
+    between term presence and label (the classic supervised feature
+    selection — Yang & Pedersen 1997): for each (term, label), the 2×2
+    table (docs in label with/without term × other labels with/without)
+    gives χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+
+    All counts are exact integers: one (term,label) document-frequency
+    aggregate over DISTINCT tokens per doc (presence, not tf), a
+    labels-sized broadcast of per-label doc counts, then the χ² ratio
+    in doubles rounded 6dp and a per-label top-k window. Vocabulary
+    pruning via `min_df` keeps the scored table term-sized; the
+    corpus shuffles once on (term, label).
+
+    Output: (label, term, n_with, df_term, chi2, rank), rank by
+    (chi2 desc, term asc) — deterministic and engine-replayable (the
+    χ² value is a single division of exact integer products).
+    """
+    from pyspark.sql import Window
+
+    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("label")
+    )
+    # presence: one row per (doc, distinct term)
+    pres = (
+        t.select("doc_id", F.explode(F.array_distinct("__toks__")).alias("term"))
+        .filter(F.col("term") != "")
+        .join(labels, "doc_id")
+    )
+    tl = pres.groupBy("term", "label").agg(F.count("*").alias("a_"))
+    term_df = tl.groupBy("term").agg(F.sum("a_").alias("df_term")).filter(
+        F.col("df_term") >= min_df
+    )
+    label_n = labels.groupBy("label").agg(F.count("*").alias("n_label"))
+    n_total = labels.count()
+    cells = (
+        tl.join(F.broadcast(term_df), "term")
+        .join(F.broadcast(label_n), "label")
+    )
+    a = F.col("a_").cast("double")                      # label & term
+    b = (F.col("n_label") - F.col("a_")).cast("double")  # label, no term
+    c = (F.col("df_term") - F.col("a_")).cast("double")  # other, term
+    d = (
+        F.lit(n_total) - F.col("n_label") - F.col("df_term") + F.col("a_")
+    ).cast("double")                                    # other, no term
+    num = (a * d - b * c)
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(denom > 0, F.lit(float(n_total)) * num * num / denom)
+    scored = cells.select(
+        "label",
+        "term",
+        F.col("a_").alias("n_with"),
+        "df_term",
+        F.round(chi2, 6).alias("chi2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("chi2"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
