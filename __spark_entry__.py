@@ -2519,6 +2519,22 @@ def q_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "rank")
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (md5 salt|id order) with an
+    explicit position column: rerun- and partitioning-stable; at scale
+    the same key feeds repartitionByRange + sortWithinPartitions so
+    shard-file concatenation IS the shuffled order (no global sort on
+    one node)."""
+    from hippollm_spark.operators.sampling import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = global_shuffle(docs)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return out.select(
+        "doc_id", "shuffle_key", F.row_number().over(w).alias("pos")
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2667,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_welch": q_ab_welch,
         "conversion_chi2": q_conversion_chi2,
         "chi2_keywords": q_chi2_keywords,
+        "global_shuffle": q_global_shuffle,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -5494,5 +5511,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label, term, n_with, df_term, chi2, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY label, rank
+        """,
+        "global_shuffle": """
+            SELECT doc_id,
+                   md5('shuffle|' || doc_id::VARCHAR) AS shuffle_key,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('shuffle|' || doc_id::VARCHAR), doc_id
+                   ) AS INT) AS pos
+            FROM documents ORDER BY pos
         """,
     }

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "ab_welch",
     "conversion_chi2",
     "chi2_keywords",
+    "global_shuffle",
 ]
 
 

@@ -389,3 +389,35 @@ def negative_samples(
         )
         .withColumn("neg_id", neg)
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "shuffle",
+    shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the final stage before
+    writing training shards. Order = md5(salt|id): rerun-identical,
+    partitioning-independent, and re-saltable per epoch (a different
+    ``salt`` is a fresh permutation without touching the data).
+
+    Scale shape: with ``shards`` set, ONE `repartitionByRange` on the
+    hash key + `sortWithinPartitions` — the range exchange samples the
+    (uniform) key space, every shard gets an even slice, and the
+    concatenation of shard files in shard order IS the shuffled
+    corpus; no global sort ever materializes on one node. Without
+    ``shards`` (test scale) a plain orderBy gives the same sequence.
+
+    Adds ``shuffle_key`` (hex) — stable sort key and audit column.
+    """
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("shuffle_key", key)
+    if shards is not None:
+        return out.repartitionByRange(shards, "shuffle_key").sortWithinPartitions(
+            "shuffle_key"
+        )
+    return out.orderBy("shuffle_key", id_col)

@@ -383,3 +383,31 @@ def test_negative_samples(spark):
         raw = h % 100
         want = (raw + 1) % 100 if raw == r["pos_id"] else raw
         assert r["neg_id"] == want
+
+
+def test_global_shuffle_deterministic_and_salted(spark):
+    from hippollm_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], "doc_id long, text string"
+    )
+    a = [r["doc_id"] for r in global_shuffle(df).collect()]
+    b = [r["doc_id"] for r in global_shuffle(df.repartition(7)).collect()]
+    assert a == b  # partitioning-independent
+    assert a != sorted(a)  # actually permuted
+    c = [r["doc_id"] for r in global_shuffle(df, salt="epoch2").collect()]
+    assert c != a  # new salt = new permutation
+    assert sorted(c) == sorted(a)
+
+
+def test_global_shuffle_sharded_concat_matches_global_order(spark):
+    from hippollm_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    flat = [r["doc_id"] for r in global_shuffle(df).collect()]
+    sharded = global_shuffle(df, shards=8)
+    # concatenating shards in shard order reproduces the global order
+    parts = sharded.withColumn(
+        "pid", F.spark_partition_id()
+    ).orderBy("pid", "shuffle_key").collect()
+    assert [r["doc_id"] for r in parts] == flat
