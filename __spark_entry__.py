@@ -2535,6 +2535,44 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling of purchase values: one hash
+    aggregate using MIN/MAX_BY over a (ts, id) struct — no window, no
+    per-group sort; the shuffle carries one row per bar. Timestamp
+    ties break on event_id for hash-grade determinism."""
+    from hippollm_spark.operators.temporal import ohlc_bars
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return ohlc_bars(
+        ev, "ts", "value", bucket="hour", id_col="event_id"
+    ).orderBy("bucket")
+
+
+def q_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day two-sample Kolmogorov-Smirnov D between view and
+    purchase value distributions — the ECDF maximization runs entirely
+    in integers (cumulative counts cross-multiplied), one distinct-
+    value pre-aggregate + one window cumsum, no pairwise expansion."""
+    from hippollm_spark.operators.stats import ks_test
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    return ks_test(
+        ev, "value", "event_type", "view", "purchase", by="day"
+    ).orderBy("day")
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency/frequency/monetary
+    (exact DECIMAL sums) quantile-binned by deterministic NTILE with
+    unique user tie-breaks — windows run over the users-sized
+    aggregate, never the raw events."""
+    from hippollm_spark.operators.behavior import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir)).orderBy("user_id")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2684,6 +2722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_chi2": q_conversion_chi2,
         "chi2_keywords": q_chi2_keywords,
         "global_shuffle": q_global_shuffle,
+        "ohlc_hourly": q_ohlc_hourly,
+        "ks_value": q_ks_value,
+        "rfm_segments": q_rfm_segments,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -5519,5 +5560,84 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('shuffle|' || doc_id::VARCHAR), doc_id
                    ) AS INT) AS pos
             FROM documents ORDER BY pos
+        """,
+        "ohlc_hourly": """
+            SELECT date_trunc('hour', ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min_by(value, lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                          || lpad(event_id::VARCHAR, 12, '0')) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max_by(value, lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                          || lpad(event_id::VARCHAR, 12, '0')) AS close,
+                   round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE / count(*), 6)
+                       AS mean_value
+            FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL
+            GROUP BY 1 ORDER BY bucket
+        """,
+        "ks_value": """
+            WITH pts AS (
+                SELECT date_trunc('day', ts) AS day, value AS v,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS db
+                FROM events
+                WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT day,
+                       sum(da) OVER (PARTITION BY day ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS ca,
+                       sum(db) OVER (PARTITION BY day ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cb,
+                       sum(da) OVER (PARTITION BY day) AS na,
+                       sum(db) OVER (PARTITION BY day) AS nb
+                FROM pts
+            ),
+            agg AS (
+                SELECT day,
+                       CAST(max(na) AS BIGINT) AS n_a,
+                       CAST(max(nb) AS BIGINT) AS n_b,
+                       CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS dnum
+                FROM cum GROUP BY day
+            )
+            SELECT day, n_a, n_b,
+                   round(CASE WHEN n_a > 0 AND n_b > 0
+                         THEN dnum::DOUBLE / (n_a * n_b)::DOUBLE END, 6)
+                       AS d_stat,
+                   round(CASE WHEN n_a > 0 AND n_b > 0
+                         THEN sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                              * (dnum::DOUBLE / (n_a * n_b)::DOUBLE) END, 6)
+                       AS ks_scaled
+            FROM agg ORDER BY day
+        """,
+        "rfm_segments": """
+            WITH per_user AS (
+                SELECT user_id,
+                       date_diff('day', max(ts)::DATE, DATE '2024-02-01')
+                           AS recency_days,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2)
+                           AS monetary
+                FROM events GROUP BY user_id
+            ),
+            scored AS (
+                SELECT user_id, recency_days, frequency, monetary,
+                       ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC)
+                           AS r_score,
+                       ntile(5) OVER (ORDER BY frequency ASC, user_id ASC)
+                           AS f_score,
+                       ntile(5) OVER (ORDER BY monetary ASC, user_id ASC)
+                           AS m_score
+                FROM per_user
+            )
+            SELECT user_id, recency_days, frequency, monetary,
+                   CAST(r_score AS INT) AS r_score,
+                   CAST(f_score AS INT) AS f_score,
+                   CAST(m_score AS INT) AS m_score,
+                   r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+                       AS segment
+            FROM scored ORDER BY user_id
         """,
     }

@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "conversion_chi2",
     "chi2_keywords",
     "global_shuffle",
+    "ohlc_hourly",
+    "ks_value",
+    "rfm_segments",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_counts", "cohort_retention"]
@@ -298,4 +298,55 @@ def basket_lift(
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ref_date: str = "2024-02-01",
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation: per user — Recency (days from last
+    event to ``ref_date``), Frequency (event count), Monetary (exact
+    DECIMAL value sum) — each scored into ``n_bins`` quantile bins by
+    deterministic NTILE (unique ``user_col`` tie-break, so the binning
+    is total-ordered and engine-replayable), concatenated into the
+    classic segment code ("555" = recent, frequent, big spender).
+
+    Shape: one per-user aggregate (map-side combinable) shrinks the
+    data to one row per user; the three NTILEs are windows over that
+    users-sized table, not the raw events. ``ref_date`` is an explicit
+    literal — never now() — so reruns are identical.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.datediff(
+            F.lit(ref_date).cast("date"),
+            F.max(F.col(ts_col)).cast("date"),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"), 2
+        ).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_bins).over(w_r).alias("r_score"),
+        F.ntile(n_bins).over(w_f).alias("f_score"),
+        F.ntile(n_bins).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
     )

@@ -949,3 +949,75 @@ def conversion_chi2(
             (F.col("n_arms") - 1).alias("dof"),
         )
     )
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic per group —
+    the nonparametric companion to `welch_t_test` (distribution shift,
+    not just mean shift).
+
+    D = max over pooled distinct values of |F_a(x) − F_b(x)| with the
+    ECDFs evaluated right-continuously. The maximization runs ENTIRELY
+    in integers: per distinct value, |ca·nb − cb·na| (cumulative counts
+    cross-multiplied), so the max is exact and engine-replayable; the
+    single division by na·nb happens once at the end.
+
+    Shape: one (group, value) pre-aggregate, one window cumsum per
+    group (spillable sort), one max aggregate. No pairwise expansion.
+    Groups missing either arm yield NULL d_stat.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    is_a = F.col(arm_col) == arm_a
+    is_b = F.col(arm_col) == arm_b
+    pts = (
+        df.filter((is_a | is_b) & F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("__v__"))
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("__da__"),
+            F.sum(F.when(is_b, 1).otherwise(0)).alias("__db__"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = pts.select(
+        *keys,
+        F.sum("__da__").over(w).alias("__ca__"),
+        F.sum("__db__").over(w).alias("__cb__"),
+        F.sum("__da__").over(w_all).alias("__na__"),
+        F.sum("__db__").over(w_all).alias("__nb__"),
+    )
+    num = F.abs(
+        F.col("__ca__") * F.col("__nb__") - F.col("__cb__") * F.col("__na__")
+    )
+    agg = cum.groupBy(*keys).agg(
+        F.max("__na__").alias("n_a"),
+        F.max("__nb__").alias("n_b"),
+        F.max(num).alias("__dnum__"),
+    )
+    na = F.col("n_a")
+    nb = F.col("n_b")
+    d = F.when(
+        (na > 0) & (nb > 0),
+        F.col("__dnum__").cast("double") / (na * nb).cast("double"),
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round(d, round_to).alias("d_stat"),
+        F.round(
+            F.sqrt((na * nb).cast("double") / (na + nb).cast("double")) * d,
+            round_to,
+        ).alias("ks_scaled"),
+    )

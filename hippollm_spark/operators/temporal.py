@@ -425,3 +425,55 @@ def ewma_latest(
         F.size("__seq__").alias("n_obs"),
         F.round(folded / 1_000_000.0, 6).alias("ewma"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    by: str | list[str] | None = None,
+    bucket: str = "hour",
+    id_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (group, time bucket)
+    — open (value at earliest row), high, low, close (value at latest
+    row), n, and an exact-DECIMAL vwap-style mean.
+
+    Determinism: within-bucket ordering ties on ``ts_col`` are broken
+    by ``id_col`` (required for hash-grade results when timestamps can
+    collide — e.g. multiple events in the same microsecond). Open and
+    close use MIN/MAX_BY over a zero-padded "µs-epoch‖id" string key
+    (a struct key would be natural, but DuckDB's min_by cannot order
+    by one — the padded string totally orders identically in both
+    engines) — one hash aggregate, no window and no sort, so the
+    shuffle carries one row per bar regardless of input size (the
+    windowed first/last alternative sorts every group).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    # NTZ-safe: session TZ is pinned UTC, so the cast keeps the instant
+    order = F.lpad(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"
+    )
+    if id_col:
+        order = F.concat(
+            order, F.lpad(F.col(id_col).cast("string"), 12, "0")
+        )
+    v = F.col(value_col)
+    dec = v.cast("decimal(18,6)")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, b)
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.round(
+                F.sum(dec).cast("double") / F.count("*"), round_to
+            ).alias("mean_value"),
+        )
+    )

@@ -175,3 +175,46 @@ def test_ewma_latest_fixed_point(spark):
     for v in vals[1:]:
         f = 0.25 * v + 0.75 * f
     assert abs(got["ewma"] - f) < 1e-3
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from datetime import datetime
+
+    from hippollm_spark.operators.temporal import ohlc_bars
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0, 5), "a", 10.0),
+        (2, datetime(2024, 1, 1, 9, 30, 0), "a", 30.0),
+        (3, datetime(2024, 1, 1, 9, 59, 59), "a", 20.0),
+        (4, datetime(2024, 1, 1, 10, 1, 0), "a", 5.0),
+        (5, datetime(2024, 1, 1, 9, 15, 0), "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, sym string, value double"
+    )
+    out = {
+        (r["sym"], r["bucket"].hour): r
+        for r in ohlc_bars(
+            df, "ts", "value", by="sym", bucket="hour", id_col="event_id"
+        ).collect()
+    }
+    bar = out[("a", 9)]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (
+        10.0, 30.0, 10.0, 20.0,
+    )
+    assert bar["n"] == 3 and abs(bar["mean_value"] - 20.0) < 1e-9
+    assert out[("a", 10)]["open"] == 5.0
+    assert out[("b", 9)]["n"] == 1
+
+
+def test_ohlc_bars_tie_broken_by_id(spark):
+    from datetime import datetime
+
+    from hippollm_spark.operators.temporal import ohlc_bars
+
+    t = datetime(2024, 1, 1, 9, 0, 0)
+    df = spark.createDataFrame(
+        [(2, t, 99.0), (1, t, 11.0)], "event_id long, ts timestamp, value double"
+    )
+    bar = ohlc_bars(df, "ts", "value", id_col="event_id").first()
+    assert bar["open"] == 11.0 and bar["close"] == 99.0
