@@ -2573,6 +2573,42 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(_events(spark, sf_dir)).orderBy("user_id")
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event value per event type — exact
+    DECIMAL rank-weighted sums (tie-permutation invariant), one
+    spillable sort + one aggregate; the inequality profile that flags
+    domains/users dominating a corpus."""
+    from hippollm_spark.operators.stats import gini
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return gini(ev, "value", "event_type").orderBy("event_type")
+
+
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (scale = max|v|/127,
+    floor(v/scale + 0.5)) unnested to (vec_id, pos, code) rows + the
+    per-vector scale — pure codegen'd transform expressions at scan
+    speed, 4x at-rest compression before any ANN stage; floor(x+0.5)
+    keeps both engines on the identical IEEE path (Spark's round()
+    decimal-string detour does not)."""
+    from hippollm_spark.functions.vectors import quantize_int8
+
+    q = quantize_int8(_t(spark, sf_dir, "embeddings").limit(200))
+    return (
+        q.select("vec_id", "q8_scale", F.posexplode("q8").alias("pos", "code"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + FK grade from three codegen'd
+    regexp_count integers — scan-speed curation gate, no UDF, no
+    shuffle."""
+    from hippollm_spark.operators.textstats import readability_scores
+
+    return readability_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2725,6 +2761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hourly": q_ohlc_hourly,
         "ks_value": q_ks_value,
         "rfm_segments": q_rfm_segments,
+        "revenue_gini": q_revenue_gini,
+        "emb_quantize": q_emb_quantize,
+        "readability": q_readability,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -5639,5 +5678,64 @@ def oracle_sql() -> dict[str, str]:
                    r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
                        AS segment
             FROM scored ORDER BY user_id
+        """,
+        "revenue_gini": """
+            WITH ranked AS (
+                SELECT event_type,
+                       CAST(value AS DECIMAL(19,6)) AS x,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC) AS DECIMAL(18,0)) AS i
+                FROM events WHERE value IS NOT NULL
+            ),
+            agg AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(i * x) AS six
+                FROM ranked GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round(sx::DOUBLE, 2) AS total,
+                   round(CASE WHEN sx > 0
+                         THEN 2.0 * six::DOUBLE / (n::DOUBLE * sx::DOUBLE)
+                              - (n::DOUBLE + 1.0) / n::DOUBLE END, 6) AS gini
+            FROM agg ORDER BY event_type
+        """,
+        "emb_quantize": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 200
+            ),
+            scaled AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0
+                           AS q8_scale
+                FROM base
+            )
+            SELECT vec_id, q8_scale,
+                   generate_subscripts(v, 1) - 1 AS pos,
+                   CASE WHEN q8_scale > 0
+                        THEN CAST(floor(unnest(v) / q8_scale + 0.5) AS INT)
+                        ELSE 0 END AS code
+            FROM scaled ORDER BY vec_id, pos
+        """,
+        "readability": """
+            SELECT doc_id,
+                   greatest(len(regexp_extract_all(lower(text), '[^\\s]+')), 1)
+                       AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables,
+                   round(206.835
+                         - 1.015 * (greatest(len(regexp_extract_all(lower(text), '[^\\s]+')), 1)::DOUBLE
+                                    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+                         - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+                                   / greatest(len(regexp_extract_all(lower(text), '[^\\s]+')), 1)::DOUBLE),
+                         6) AS flesch_ease,
+                   round(0.39 * (greatest(len(regexp_extract_all(lower(text), '[^\\s]+')), 1)::DOUBLE
+                                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE)
+                         + 11.8 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+                                   / greatest(len(regexp_extract_all(lower(text), '[^\\s]+')), 1)::DOUBLE)
+                         - 15.59, 6) AS fk_grade
+            FROM documents ORDER BY doc_id
         """,
     }

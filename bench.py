@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "ohlc_hourly",
     "ks_value",
     "rfm_segments",
+    "revenue_gini",
+    "emb_quantize",
+    "readability",
 ]
 
 

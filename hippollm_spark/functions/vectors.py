@@ -97,3 +97,60 @@ def label_centroids(
     return ex.groupBy(label_col, "pos").agg(
         F.round(s.cast("double") / F.count("*"), 6).alias("c")
     )
+
+
+def quantize_int8(
+    df,
+    vec_col: str = "embedding",
+    *,
+    code_col: str = "q8",
+    scale_col: str = "q8_scale",
+):
+    """Per-vector symmetric int8 quantization: scale = max|v|/127,
+    qᵢ = floor(vᵢ/scale + 0.5) ∈ [−127, 127]. 4× at-rest compression
+    for float32 embeddings (the storage lever BEFORE PQ's 32×, with
+    ~0.3% cosine error instead of PQ's lossy codes).
+
+    Everything is a JVM-side higher-order-function expression — no
+    UDF, no shuffle, scan-speed. floor(x + 0.5) instead of round():
+    both engines floor the same IEEE double identically, whereas
+    Spark's round() goes through a decimal-string path that can
+    disagree with a binary-rounding engine on exact .5 boundaries.
+    Zero vectors quantize to all-zero codes with scale 0.
+    """
+    from pyspark.sql import functions as F
+
+    # compute in DOUBLE regardless of at-rest FLOAT storage: the
+    # float->double cast is exact, and every engine then runs the same
+    # IEEE-double divide/floor
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    codes = F.when(
+        max_abs > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.withColumn(scale_col, scale).withColumn(code_col, codes)
+
+
+def dequantize_int8(
+    df,
+    code_col: str = "q8",
+    scale_col: str = "q8_scale",
+    *,
+    out_col: str = "embedding_dq",
+):
+    """Inverse of `quantize_int8`: vᵢ ≈ qᵢ·scale, as a codegen'd
+    transform expression."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(code_col),
+            lambda q: q.cast("double") * F.col(scale_col),
+        ),
+    )

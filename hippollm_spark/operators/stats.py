@@ -1021,3 +1021,52 @@ def ks_test(
             round_to,
         ).alias("ks_scaled"),
     )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini concentration coefficient per group (how unequally a
+    quantity — revenue, token counts, domain traffic — is distributed):
+
+        G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n,  xᵢ ascending, i = 1..n
+
+    Both Σx and the rank-weighted Σ i·xᵢ accumulate as exact DECIMALs
+    (ties contribute identically under any permutation, so the
+    row_number tie order cannot change the result); the two divisions
+    happen once per group at the end. One spillable window sort + one
+    aggregate — the same shape as `exact_percentiles`.
+
+    Negative values are rejected semantically (Gini is defined for
+    non-negative quantities); groups with Σx = 0 yield NULL.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    x = F.col(value_col).cast("decimal(18,6)")
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        x.alias("__x__"),
+        F.row_number().over(w).cast("decimal(18,0)").alias("__i__"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum(F.col("__i__") * F.col("__x__")).alias("__six__"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx__").cast("double")
+    six = F.col("__six__").cast("double")
+    g = F.when(
+        F.col("__sx__") > 0,
+        2.0 * six / (n * sx) - (n + 1.0) / n,
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round(sx, 2).alias("total"),
+        F.round(g, round_to).alias("gini"),
+    )

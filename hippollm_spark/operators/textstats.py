@@ -853,3 +853,50 @@ def chi2_keywords(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade level from three
+    deterministic integer counts — words (whitespace tokens),
+    sentences (runs of [.!?], clamped ≥ 1), and syllables (runs of
+    vowels incl. y, the standard regex heuristic):
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    Pure codegen'd regexp_count expressions — scan-speed, no UDF, no
+    shuffle; the formula is two divisions of exact integers, so both
+    engines compute bit-identical doubles. A readability floor is a
+    standard curation gate alongside `quality_features` (documents
+    full of run-on pseudo-sentences or consonant noise score far off
+    the 60-80 "plain English" band).
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    words = F.greatest(
+        F.regexp_count(low, F.lit(r"[^\s]+")), F.lit(1)
+    )
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.regexp_count(low, F.lit(r"[aeiouy]+"))
+    wps = words.cast("double") / sentences.cast("double")
+    spw = syllables.cast("double") / words.cast("double")
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, round_to
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), round_to
+        ).alias("fk_grade"),
+    )
