@@ -2609,6 +2609,28 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session flows (ordered event-type paths per 30-min
+    session): one user-key shuffle serves sessionization AND ordered
+    path assembly; paths truncate at 10 steps so the distinct-path
+    domain stays bounded."""
+    from hippollm_spark.operators.behavior import session_paths
+
+    return session_paths(_events(spark, sf_dir), k=20).orderBy("rank")
+
+
+def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Shannon entropy of the event-type mix (diversity /
+    mode-collapse drift signal) — category-domain-sized shuffle,
+    ln terms 6dp-rounded then DECIMAL-summed."""
+    from hippollm_spark.operators.stats import entropy
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    )
+    return entropy(ev, "event_type", "day").orderBy("day")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2764,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": q_revenue_gini,
         "emb_quantize": q_emb_quantize,
         "readability": q_readability,
+        "session_paths": q_session_paths,
+        "type_entropy": q_type_entropy,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -5737,5 +5761,69 @@ def oracle_sql() -> dict[str, str]:
                                    / greatest(len(regexp_extract_all(lower(text), '[^\\s]+')), 1)::DOUBLE)
                          - 15.59, 6) AS fk_grade
             FROM documents ORDER BY doc_id
+        """,
+        "session_paths": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(new_session) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            ),
+            paths AS (
+                SELECT array_to_string(
+                           list_slice(
+                               list(event_type ORDER BY ts, event_id), 1, 10
+                           ), '>') AS path,
+                       CAST(least(count(*), 10) AS INT) AS n_steps
+                FROM sess GROUP BY user_id, sid
+            ),
+            counted AS (
+                SELECT path, n_steps, CAST(count(*) AS BIGINT) AS n_sessions
+                FROM paths GROUP BY path, n_steps
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           ORDER BY n_sessions DESC, path ASC) AS rank
+                FROM counted
+            )
+            SELECT path, n_steps, n_sessions, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 20 ORDER BY rank
+        """,
+        "type_entropy": """
+            WITH cells AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT day, event_type, cnt,
+                       CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+                FROM cells
+            ),
+            agg AS (
+                SELECT day, max(n) AS n,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       sum(round(-(cnt::DOUBLE / n::DOUBLE)
+                                 * ln(cnt::DOUBLE / n::DOUBLE), 6)
+                           ::DECIMAL(28,6)) AS h
+                FROM tot GROUP BY day
+            )
+            SELECT day, n, n_distinct,
+                   round(h::DOUBLE, 6) AS entropy,
+                   CASE WHEN n_distinct > 1
+                        THEN round(h::DOUBLE / ln(n_distinct::DOUBLE), 6)
+                        ELSE 0.0 END AS entropy_norm
+            FROM agg ORDER BY day
         """,
     }

@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "revenue_gini",
     "emb_quantize",
     "readability",
+    "session_paths",
+    "type_entropy",
 ]
 
 

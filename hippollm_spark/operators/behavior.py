@@ -350,3 +350,69 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    k: int = 20,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    max_steps: int = 10,
+) -> DataFrame:
+    """Top-k most common session paths ("view>click>purchase"): the
+    product-analytics flow report.
+
+    Sessionize by inactivity gap (lag + cumulative flag-sum, the batch
+    twin of streaming session_window), then build each session's path
+    with an ORDERED collect over the session window (ties broken by
+    ``id_col`` — hash-grade), truncate to ``max_steps`` (unbounded
+    paths make the distinct-path domain explode), and count.
+
+    Shape: one shuffle on the user key serves both the sessionization
+    windows and the path assembly (same partition spec); the path
+    count aggregate then shuffles one row per session, and top-k is a
+    TakeOrdered. Output: (path, n_steps, n_sessions, rank).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    flagged = events.withColumn(
+        "__new__",
+        F.when(
+            gap.isNull() | (gap > F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sess__",
+        F.sum("__new__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = Window.partitionBy(user_col, "__sess__").orderBy(ts_col, id_col)
+    paths = (
+        flagged.withColumn(
+            "__steps__",
+            F.collect_list(step_col).over(
+                w_sess.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
+        .withColumn("__rn__", F.row_number().over(w_sess))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.concat_ws(
+                ">", F.slice(F.col("__steps__"), 1, max_steps)
+            ).alias("path"),
+            F.least(F.size("__steps__"), F.lit(max_steps)).alias("n_steps"),
+        )
+    )
+    counted = paths.groupBy("path", "n_steps").agg(
+        F.count("*").alias("n_sessions")
+    )
+    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+    )

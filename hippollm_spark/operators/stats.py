@@ -1070,3 +1070,48 @@ def gini(
         F.round(sx, 2).alias("total"),
         F.round(g, round_to).alias("gini"),
     )
+
+
+def entropy(
+    df: DataFrame,
+    cat_col: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shannon entropy of a categorical column per group (token/label/
+    domain diversity — the drift-and-collapse signal next to
+    `distribution_drift`): H = −Σ p·ln p, with each term ln-rounded at
+    6dp and summed as exact DECIMAL (order-independent, the
+    `distribution_drift` discipline), plus the normalized H/ln(k).
+
+    Shape: one (group, category) count aggregate, one tiny per-group
+    reduce — shuffle volume is the distinct-category domain, not rows.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    cells = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(*keys, F.col(cat_col).alias("__c__"))
+        .agg(F.count("*").alias("__cnt__"))
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    with_tot = cells.withColumn("__n__", F.sum("__cnt__").over(w))
+    p = F.col("__cnt__").cast("double") / F.col("__n__").cast("double")
+    term = F.round(-p * F.log(p), round_to).cast("decimal(28,6)")
+    agg = with_tot.groupBy(*keys).agg(
+        F.max("__n__").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(term).alias("__h__"),
+    )
+    h = F.col("__h__").cast("double")
+    norm = F.when(
+        F.col("n_distinct") > 1,
+        F.round(h / F.log(F.col("n_distinct").cast("double")), round_to),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *keys,
+        "n",
+        "n_distinct",
+        F.round(h, round_to).alias("entropy"),
+        norm.alias("entropy_norm"),
+    )
