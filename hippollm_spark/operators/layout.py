@@ -162,3 +162,60 @@ def compact_table(
         "files_after": after["n_files"],
         "bytes": after["total_bytes"],
     }
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+    sort_within: str | None = None,
+    overwrite_partitions: bool = False,
+) -> None:
+    """Hive-partitioned parquet write with controlled file counts —
+    the layout that makes partition pruning work AND avoids the
+    small-files trap.
+
+    A naive ``df.write.partitionBy(cols)`` emits one file per
+    (task, partition-value) pair: with 1000 tasks × 365 days that is
+    365k files. The fix baked in here: repartition on the partition
+    columns first (plus a hash salt when ``files_per_partition`` > 1,
+    for hot partitions that need parallel writers), so each output
+    partition is produced by exactly that many tasks.
+
+    - ``sort_within``: sorts rows inside each file by this column —
+      parquet row-group min/max stats then prune within the partition
+      (the poor man's clustering; see ``write_zordered`` for 2-D).
+    - ``max_records_per_file``: hard cap via Spark's own option,
+      protecting against a skewed partition producing one huge file.
+    - ``overwrite_partitions``: dynamic partition overwrite — ONLY
+      the partitions present in ``df`` are replaced (the late-data
+      re-materialization mode `incremental_rollup` uses); default is
+      error-if-exists to protect against accidental full truncation.
+    """
+    parts = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        out = df.repartition(*parts, salt)
+    else:
+        out = df.repartition(*parts)
+    if sort_within is not None:
+        out = out.sortWithinPartitions(*partition_cols, sort_within)
+    writer = out.write.partitionBy(*partition_cols)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if overwrite_partitions:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.parquet(path)

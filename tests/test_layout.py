@@ -128,3 +128,41 @@ def test_compact_table_sorted_restores_clustering(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_write_partitioned_file_counts_and_pruning(spark, sf_dir, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.layout import write_partitioned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"], sort_within="n_chars")
+    # exactly one file per lang partition
+    for d in glob.glob(f"{path}/lang=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+    # partition pruning visible in the scan
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.layout import write_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "part string, v int"
+    )
+    write_partitioned(base, path, ["part"])
+    # overwrite ONLY partition b with new data
+    patch = spark.createDataFrame([("b", 99)], "part string, v int")
+    write_partitioned(patch, path, ["part"], overwrite_partitions=True)
+    out = {r["part"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out == {"a": 1, "b": 99}  # a untouched, b replaced
