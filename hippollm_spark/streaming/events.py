@@ -273,3 +273,47 @@ def incremental_rollup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def ohlc_stream(
+    events: DataFrame,
+    *,
+    bucket: str = "1 hour",
+    watermark: str = "10 minutes",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of `temporal.ohlc_bars`: per tumbling bucket —
+    open/high/low/close/n/mean over the value column, watermarked for
+    late data. min_by/max_by over the padded µs‖id key are plain
+    aggregates, so the state per open window is five scalars — this
+    runs in update or append mode with bounded state, no sort.
+
+    Accepts a static frame too (parity testing: same plan minus the
+    watermark); batch results match `ohlc_bars` exactly.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    order = F.lpad(
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"
+    )
+    if id_col:
+        order = F.concat(order, F.lpad(F.col(id_col).cast("string"), 12, "0"))
+    v = F.col(value_col)
+    return (
+        events.filter(v.isNotNull())
+        .groupBy(F.window("ts", bucket).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.round(
+                F.sum(v.cast("decimal(18,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n", "open", "high", "low",
+                "close", "mean_value")
+    )

@@ -307,3 +307,33 @@ def test_incremental_rollup_matches_batch(spark, event_dir, tmp_path):
     import glob
 
     assert glob.glob(rollup + "/date=*"), "rollup must be date-partitioned"
+
+
+def test_ohlc_stream_matches_batch_and_temporal(spark, event_dir):
+    from hippollm_spark.operators.temporal import ohlc_bars
+
+    stream = SE.read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    bars = SE.ohlc_stream(stream, bucket="1 hour")
+    SE.run_to_memory(bars, "ohlc_out", output_mode="complete")
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT bucket, n, open, high, low, close, mean_value FROM ohlc_out"
+        ).collect())
+    )
+
+    static = spark.read.parquet(event_dir)
+    want_stream_twin = sorted(
+        map(tuple, SE.ohlc_stream(static).select(
+            "bucket", "n", "open", "high", "low", "close", "mean_value"
+        ).collect())
+    )
+    assert got == want_stream_twin and len(got) > 0
+
+    # and both agree with the batch temporal operator
+    want_batch = sorted(
+        map(tuple, ohlc_bars(
+            static, "ts", "value", bucket="hour", id_col="event_id"
+        ).select("bucket", "n", "open", "high", "low", "close", "mean_value")
+        .collect())
+    )
+    assert got == want_batch
