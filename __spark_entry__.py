@@ -2631,6 +2631,43 @@ def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy(ev, "event_type", "day").orderBy("day")
 
 
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (quote/subset detection the
+    symmetric Jaccard join misses by construction): same lossless
+    shared-shingle blocking, directed output, containment =
+    inter/|inner|."""
+    from hippollm_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, n=3
+    ).orderBy("doc_inner", "doc_outer")
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: event-time-bounded touch-to-
+    conversion self-join per user (fanout = touches within the 60-min
+    window, never full history); per-conversion credit is one exact
+    division, channel rollup sums rounded credits as DECIMAL."""
+    from hippollm_spark.operators.behavior import linear_attribution
+
+    return linear_attribution(_events(spark, sf_dir))
+
+
+def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (auto-labeling): majority label among 5
+    exact-cosine neighbours per query with (count desc, label asc)
+    tie-break — broadcast queries, one winner-rows label join, one
+    two-stage argmax."""
+    from hippollm_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_classify(emb, queries, k=5).orderBy("query_id")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2788,6 +2825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "session_paths": q_session_paths,
         "type_entropy": q_type_entropy,
+        "doc_containment": q_doc_containment,
+        "attribution_linear": q_attribution_linear,
+        "knn_labels": q_knn_labels,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -5825,5 +5865,85 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(h::DOUBLE / ln(n_distinct::DOUBLE), 6)
                         ELSE 0.0 END AS entropy_norm
             FROM agg ORDER BY day
+        """,
+        "doc_containment": f"""
+            {_SHINGLES},
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            p AS (
+                SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_inner, doc_outer,
+                   CAST(na.n AS INT) AS n_inner, inter,
+                   round(inter::DOUBLE / na.n, 6) AS containment
+            FROM p JOIN sizes na ON na.doc_id = doc_inner
+            WHERE round(inter::DOUBLE / na.n, 6) >= 0.5 AND na.n > 0
+            ORDER BY doc_inner, doc_outer
+        """,
+        "attribution_linear": """
+            WITH touches AS (
+                SELECT user_id AS u, event_type AS channel, ts AS t_ts
+                FROM events WHERE event_type IN ('view', 'click')
+            ),
+            convs AS (
+                SELECT user_id AS u, ts AS c_ts, event_id AS c_id,
+                       value AS c_value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            pairs AS (
+                SELECT t.channel, t.u, c.c_id, c.c_value
+                FROM touches t JOIN convs c
+                  ON t.u = c.u AND t.t_ts <= c.c_ts
+                 AND t.t_ts >= c.c_ts - INTERVAL 60 MINUTES
+            ),
+            credited AS (
+                SELECT channel, u, c_id,
+                       round(c_value / (count(*) OVER (PARTITION BY u, c_id)),
+                             6)::DECIMAL(18,6) AS credit
+                FROM pairs
+            )
+            SELECT channel,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(count(DISTINCT (u, c_id)) AS BIGINT) AS n_conversions,
+                   round(sum(credit)::DOUBLE, 6) AS credit
+            FROM credited GROUP BY channel ORDER BY channel
+        """,
+        "knn_labels": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 20
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS raw
+                FROM embeddings e CROSS JOIN q
+            ),
+            top AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY raw DESC, vec_id ASC) AS rank
+                    FROM scored
+                ) WHERE rank <= 5
+            ),
+            votes AS (
+                SELECT t.query_id, e.label AS lbl,
+                       CAST(count(*) AS BIGINT) AS votes
+                FROM top t JOIN embeddings e USING (vec_id)
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, lbl, votes,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY votes DESC, lbl ASC) AS rn,
+                       CAST(sum(votes) OVER (PARTITION BY query_id) AS BIGINT)
+                           AS n_neighbors
+                FROM votes
+            )
+            SELECT query_id, lbl AS pred_label, votes, n_neighbors
+            FROM ranked WHERE rn = 1 ORDER BY query_id
         """,
     }

@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "readability",
     "session_paths",
     "type_entropy",
+    "doc_containment",
+    "attribution_linear",
+    "knn_labels",
 ]
 
 

@@ -416,3 +416,67 @@ def session_paths(
         counted.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    value_col: str = "value",
+    window_minutes: int = 60,
+) -> DataFrame:
+    """Multi-touch (linear) attribution: each conversion's value is
+    split equally across the user's touch events in the preceding
+    ``window_minutes``; per-channel credit = Σ value/n_touches.
+
+    Shape: the touches↔conversions pairing is an event-time-bounded
+    self-join per user key (the `click_attribution` state-expiry
+    shape) — fanout is touches-within-window per conversion, never the
+    full history; credit division round(value/n, 6) is a single exact
+    division replayable by any engine; the channel rollup sums the
+    rounded credits as exact DECIMAL (order-independent).
+
+    Output: (channel, n_touches, n_conversions, credit).
+    """
+    touches = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("t_ts"),
+        F.col(id_col).alias("t_id"),
+    )
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("c_ts"),
+        F.col(id_col).alias("c_id"),
+        F.col(value_col).alias("c_value"),
+    )
+    bound = F.expr(f"INTERVAL {window_minutes} MINUTES")
+    pairs = touches.join(
+        convs,
+        on=(
+            (touches["u"] == convs["u"])
+            & (F.col("t_ts") <= F.col("c_ts"))
+            & (F.col("t_ts") >= F.col("c_ts") - bound)
+        ),
+    ).drop(convs["u"])
+    w_conv = Window.partitionBy("u", "c_id")
+    credited = pairs.withColumn(
+        "__n__", F.count("*").over(w_conv)
+    ).withColumn(
+        "credit",
+        F.round(F.col("c_value") / F.col("__n__"), 6).cast("decimal(18,6)"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.countDistinct("u", "c_id").alias("n_conversions"),
+            F.round(F.sum("credit").cast("double"), 6).alias("credit"),
+        )
+        .orderBy("channel")
+    )

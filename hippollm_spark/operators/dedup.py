@@ -1170,3 +1170,60 @@ def golden_record(
     for c in fill_cols or []:
         out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w_all))
     return out.filter(F.col("__rn__") == 1).drop("__rn__")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: containment(a in b) =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| — catches the cases
+    symmetric Jaccard misses by construction (a short document quoted
+    or embedded inside a long one has J ≈ |a|/|b| ≈ 0 but containment
+    ≈ 1; the standard de-quotation / subset-removal signal in corpus
+    curation, cf. Broder's containment coefficient).
+
+    Same lossless shared-shingle blocking as `jaccard_dup_pairs`
+    (containment > 0 ⟹ a shared shingle exists; `max_shingle_df`
+    caps stop-shingle blow-up identically). Output one row per
+    DIRECTED pair with containment ≥ threshold:
+    (doc_inner, doc_outer, n_inner, inter, containment) — doc_inner
+    is the (near-)contained document.
+    """
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+        )
+        ex = ex.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
+    a = ex.select(F.col("doc_id").alias("doc_inner"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_outer"), "s")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_inner"), F.col("n_sh").alias("n_inner")
+    )
+    return (
+        inter.join(na, "doc_inner")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.col("n_inner"), 6),
+        )
+        .filter(
+            (F.col("containment") >= threshold) & (F.col("n_inner") > 0)
+        )
+        .select("doc_inner", "doc_outer", "n_inner", "inter", "containment")
+    )

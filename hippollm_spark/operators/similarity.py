@@ -623,3 +623,64 @@ def pca_project(
         return pd.Series(list(out))
 
     return vecs.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    method: str = "sql",
+) -> DataFrame:
+    """kNN label propagation (weak supervision / auto-labeling): each
+    query vector takes the majority label among its k exact-cosine
+    nearest labeled neighbours; ties break by (count desc, label asc)
+    — fully deterministic, so the whole classifier is
+    oracle-replayable when the `sql` scoring path is used.
+
+    Shape: `topk_per_query` (broadcast queries, one (query, vec, score)
+    shuffle) → broadcast-join the labels onto the k·|queries| winner
+    rows (never onto the corpus) → one two-stage argmax per query.
+    Output: (query_id, pred_label, votes, n_neighbors).
+    """
+    top = topk_per_query(
+        labeled,
+        queries,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        metric="cosine",
+        method=method,
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("__lbl__")
+    )
+    votes = (
+        top.join(lab, "vec_id")
+        .groupBy(query_id_col, "__lbl__")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("votes"), F.asc("__lbl__")
+    )
+    return (
+        votes.withColumn("__rn__", F.row_number().over(w))
+        .withColumn(
+            "n_neighbors",
+            F.sum("votes").over(Window.partitionBy(query_id_col)),
+        )
+        .filter(F.col("__rn__") == 1)
+        .select(
+            query_id_col,
+            F.col("__lbl__").alias("pred_label"),
+            "votes",
+            "n_neighbors",
+        )
+    )
