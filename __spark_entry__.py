@@ -2668,6 +2668,49 @@ def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(emb, queries, k=5).orderBy("query_id")
 
 
+def q_lang_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's language mix vs the
+    corpus — the conventional drift score (PSI > 0.25 = significant)
+    beside the JS-divergence monitor; epsilon-floored ratios of exact
+    integer counts, terms 6dp-rounded then DECIMAL-summed."""
+    from hippollm_spark.operators.stats import psi_drift
+
+    return psi_drift(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    ).orderBy("slice")
+
+
+def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation closing the loop on the lexical stack:
+    NDCG@20 of the BM25 ranking for {hash, join, vector} against
+    term-coverage graded judgments (rel = #query terms present) —
+    judgments join is a broadcast; IDCG windows over judgments only."""
+    from hippollm_spark.operators.dedup import normalized_text
+    from hippollm_spark.operators.ranking import bm25_topk, ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "vector"]
+    res = bm25_topk(docs, terms, k=20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    results = res.select(
+        F.lit(1).alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).alias("rank"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalized_text("text"), " ")).alias("t"),
+    )
+    rel = toks.select(
+        F.lit(1).alias("query_id"),
+        "doc_id",
+        F.size(
+            F.array_intersect("t", F.array(*[F.lit(t) for t in terms]))
+        ).alias("rel"),
+    ).filter(F.col("rel") > 0)
+    return ndcg_at_k(results, rel, k=20).orderBy("query_id")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2828,6 +2871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": q_doc_containment,
         "attribution_linear": q_attribution_linear,
         "knn_labels": q_knn_labels,
+        "lang_psi": q_lang_psi,
+        "bm25_ndcg": q_bm25_ndcg,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -3135,6 +3180,32 @@ _SHINGLES = f"""
         FROM w
     )
 """
+
+
+BM25_ORACLE_BODY = f"""
+            WITH dl AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks,
+                       len(string_split({_NORM}, ' ')) AS dl
+                FROM documents
+            ),
+            stats AS (SELECT count(*) AS n, sum(dl) AS sd FROM dl),
+            tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+                WHERE term IN ('hash', 'join', 'vector')
+                GROUP BY doc_id, dl, term
+            ),
+            dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+            SELECT doc_id,
+                   round(sum(CAST(round(
+                       round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+                       * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sd / n))))
+                   , 6) AS DECIMAL(38,10)))::DOUBLE, 6) AS score
+            FROM tf JOIN dft USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4470,30 +4541,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY df DESC, ngram ASC
             LIMIT 20
         """,
-        "bm25_topk": f"""
-            WITH dl AS (
-                SELECT doc_id, string_split({_NORM}, ' ') AS toks,
-                       len(string_split({_NORM}, ' ')) AS dl
-                FROM documents
-            ),
-            stats AS (SELECT count(*) AS n, sum(dl) AS sd FROM dl),
-            tf AS (
-                SELECT doc_id, dl, term, count(*) AS tf
-                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
-                WHERE term IN ('hash', 'join', 'vector')
-                GROUP BY doc_id, dl, term
-            ),
-            dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
-            SELECT doc_id,
-                   round(sum(CAST(round(
-                       round(ln((n - df + 0.5) / (df + 0.5) + 1.0), 6)
-                       * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sd / n))))
-                   , 6) AS DECIMAL(38,10)))::DOUBLE, 6) AS score
-            FROM tf JOIN dft USING (term) CROSS JOIN stats
-            GROUP BY doc_id
-            ORDER BY score DESC, doc_id ASC
-            LIMIT 20
-        """,
+        "bm25_topk": BM25_ORACLE_BODY,
         "hybrid_rrf": f"""
             WITH dl AS (
                 SELECT doc_id, string_split({_NORM}, ' ') AS toks,
@@ -5945,5 +5993,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, lbl AS pred_label, votes, n_neighbors
             FROM ranked WHERE rn = 1 ORDER BY query_id
+        """,
+        "lang_psi": """
+            WITH cells AS (
+                SELECT source AS slice, lang AS cat,
+                       CAST(count(*) AS BIGINT) AS n_pc
+                FROM documents GROUP BY 1, 2
+            ),
+            st AS (SELECT slice, CAST(sum(n_pc) AS BIGINT) AS n_p
+                   FROM cells GROUP BY slice),
+            gl AS (SELECT cat, CAST(sum(n_pc) AS BIGINT) AS n_qc
+                   FROM cells GROUP BY cat),
+            nq AS (SELECT count(*) AS n FROM documents),
+            grid AS (
+                SELECT st.slice, gl.cat, st.n_p, gl.n_qc,
+                       coalesce(c.n_pc, 0) AS n_pc
+                FROM st CROSS JOIN gl
+                LEFT JOIN cells c ON c.slice = st.slice AND c.cat = gl.cat
+            ),
+            terms AS (
+                SELECT slice, n_p,
+                       (greatest(n_pc / n_p::DOUBLE, 1::DOUBLE / 10000::DOUBLE)
+                        - greatest(n_qc / (SELECT n FROM nq)::DOUBLE,
+                                   1::DOUBLE / 10000::DOUBLE))
+                       * ln(greatest(n_pc / n_p::DOUBLE,
+                                     1::DOUBLE / 10000::DOUBLE)
+                            / greatest(n_qc / (SELECT n FROM nq)::DOUBLE,
+                                       1::DOUBLE / 10000::DOUBLE)) AS term
+                FROM grid
+            )
+            SELECT slice, max(n_p) AS n_rows,
+                   round(sum(round(term, 6)::DECIMAL(28,6))::DOUBLE, 6) AS psi
+            FROM terms GROUP BY slice ORDER BY slice
+        """,
+        "bm25_ndcg": f"""
+            WITH res AS (
+                SELECT 1 AS query_id, doc_id,
+                       CAST(row_number() OVER (
+                            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                FROM ({BM25_ORACLE_BODY})
+            ),
+            rel AS (
+                SELECT 1 AS query_id, doc_id,
+                       len(list_intersect(
+                           list_distinct(string_split({_NORM}, ' ')),
+                           ['hash', 'join', 'vector'])) AS rel
+                FROM documents
+                WHERE len(list_intersect(
+                          list_distinct(string_split({_NORM}, ' ')),
+                          ['hash', 'join', 'vector'])) > 0
+            ),
+            dcg AS (
+                SELECT r.query_id,
+                       sum(round((pow(2.0, coalesce(j.rel, 0)::DOUBLE) - 1.0)
+                                 / log2(r.rank::DOUBLE + 1.0), 6)
+                           ::DECIMAL(28,6)) AS dcg_d
+                FROM res r LEFT JOIN rel j
+                  ON r.query_id = j.query_id AND r.doc_id = j.doc_id
+                GROUP BY r.query_id
+            ),
+            ideal AS (
+                SELECT query_id,
+                       sum(round((pow(2.0, rel::DOUBLE) - 1.0)
+                                 / log2(irank::DOUBLE + 1.0), 6)
+                           ::DECIMAL(28,6)) AS idcg_d
+                FROM (
+                    SELECT query_id, rel,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, doc_id ASC) AS irank
+                    FROM rel WHERE rel > 0
+                ) WHERE irank <= 20
+                GROUP BY query_id
+            )
+            SELECT d.query_id,
+                   round(d.dcg_d::DOUBLE, 6) AS dcg,
+                   round(i.idcg_d::DOUBLE, 6) AS idcg,
+                   round(CASE WHEN i.idcg_d > 0
+                         THEN d.dcg_d::DOUBLE / i.idcg_d::DOUBLE END, 6)
+                       AS ndcg
+            FROM dcg d LEFT JOIN ideal i USING (query_id)
+            ORDER BY query_id
         """,
     }

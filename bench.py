@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "doc_containment",
     "attribution_linear",
     "knn_labels",
+    "lang_psi",
+    "bm25_ndcg",
 ]
 
 

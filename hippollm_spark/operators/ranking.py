@@ -493,3 +493,86 @@ def mmr_rerank(
         _mmr,
         f"query_id {qid_type}, vec_id {id_type}, mmr_rank int, mmr_score double",
     )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_to: int = 6,
+) -> DataFrame:
+    """NDCG@k per query — the standard graded-relevance evaluation for
+    any ranking this module produces (BM25, RRF, MMR): DCG = Σ
+    (2^rel − 1)/log2(rank+1) over the top-k, normalized by the ideal
+    DCG of the query's relevance set.
+
+    Numeric discipline: each gain term is 6dp-rounded then summed as
+    exact DECIMAL (order-independent); the ideal ranking orders by
+    (rel desc, doc asc) — a deterministic total order, so IDCG is
+    engine-replayable. Unjudged result rows score rel 0; queries with
+    no judged-relevant documents yield NULL ndcg.
+
+    Shape: results⋈relevance on (query, doc) — a broadcast when the
+    judgment set is small, which it always is; IDCG is a window over
+    the judgments only. Output: (query_id, dcg, idcg, ndcg).
+    """
+    from pyspark.sql import Window
+
+    res = results.filter(F.col(rank_col) <= k).select(
+        query_col,
+        doc_col,
+        F.col(rank_col).alias("__rank__"),
+    )
+    rel = relevance.select(
+        query_col, doc_col, F.col(rel_col).alias("__rel__")
+    )
+    gain = F.round(
+        (F.pow(F.lit(2.0), F.col("__rel__").cast("double")) - 1.0)
+        / F.log2(F.col("__rank__").cast("double") + 1.0),
+        round_to,
+    ).cast("decimal(28,6)")
+    dcg = (
+        res.join(F.broadcast(rel), [query_col, doc_col], "left")
+        .fillna(0, subset=["__rel__"])
+        .groupBy(query_col)
+        .agg(F.sum(gain).alias("__dcg__"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("__rel__"), F.asc(doc_col)
+    )
+    ideal = (
+        rel.filter(F.col("__rel__") > 0)
+        .withColumn("__irank__", F.row_number().over(w))
+        .filter(F.col("__irank__") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                F.round(
+                    (F.pow(F.lit(2.0), F.col("__rel__").cast("double")) - 1.0)
+                    / F.log2(F.col("__irank__").cast("double") + 1.0),
+                    round_to,
+                ).cast("decimal(28,6)")
+            ).alias("__idcg__")
+        )
+    )
+    return (
+        dcg.join(ideal, query_col, "left")
+        .select(
+            query_col,
+            F.round(F.col("__dcg__").cast("double"), round_to).alias("dcg"),
+            F.round(F.col("__idcg__").cast("double"), round_to).alias("idcg"),
+            F.round(
+                F.when(
+                    F.col("__idcg__") > 0,
+                    F.col("__dcg__").cast("double")
+                    / F.col("__idcg__").cast("double"),
+                ),
+                round_to,
+            ).alias("ndcg"),
+        )
+    )

@@ -1115,3 +1115,59 @@ def entropy(
         F.round(h, round_to).alias("entropy"),
         norm.alias("entropy_norm"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    category_col: str,
+    slice_col: str,
+    *,
+    epsilon_ratio: tuple[int, int] = (1, 10_000),
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index per slice vs the global distribution
+    — the industry-standard drift score next to `distribution_drift`'s
+    JS divergence (PSI > 0.25 ≈ "significant shift" rule of thumb):
+
+        PSI = Σ_cat (p − q) · ln(p/q)
+
+    Zero cells are floored at ε = epsilon_ratio (default 1/10000) on
+    BOTH sides — the conventional PSI smoothing, and it keeps ln
+    finite; ε enters as an exact rational so both engines compute the
+    identical doubles. Terms are 6dp-rounded then DECIMAL-summed (the
+    `distribution_drift` discipline).
+
+    Same physical shape as distribution_drift: one (slice, category)
+    aggregate + a category-cardinality broadcast grid.
+    """
+    by_cell = (
+        df.groupBy(
+            F.col(slice_col).alias("slice"), F.col(category_col).alias("cat")
+        )
+        .agg(F.count("*").alias("n_pc"))
+    )
+    slice_tot = by_cell.groupBy("slice").agg(F.sum("n_pc").alias("n_p"))
+    glob = by_cell.groupBy("cat").agg(F.sum("n_pc").alias("n_qc"))
+    n_q = df.count()
+    grid = (
+        slice_tot.crossJoin(F.broadcast(glob))
+        .join(by_cell, ["slice", "cat"], "left")
+        .fillna(0, subset=["n_pc"])
+    )
+    e_num, e_den = epsilon_ratio
+    eps = F.lit(e_num).cast("double") / F.lit(e_den).cast("double")
+    p = F.greatest(F.col("n_pc") / F.col("n_p").cast("double"), eps)
+    q = F.greatest(F.col("n_qc") / F.lit(float(n_q)), eps)
+    term = (p - q) * F.log(p / q)
+    return (
+        grid.groupBy("slice")
+        .agg(
+            F.max("n_p").alias("n_rows"),
+            F.round(
+                F.sum(F.round(term, round_to).cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("psi"),
+        )
+    )
