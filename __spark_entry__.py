@@ -2711,6 +2711,26 @@ def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_at_k(results, rel, k=20).orderBy("query_id")
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the customer->supplier purchase graph (hubs = broad
+    buyers, authorities = widely-bought-from suppliers) in exact
+    scaled-integer arithmetic — 3 rounds, max-normalized; the DuckDB
+    oracle unrolls the identical integer recurrence."""
+    from hippollm_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(e, iterations=3).orderBy("vertex")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2873,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_labels": q_knn_labels,
         "lang_psi": q_lang_psi,
         "bm25_ndcg": q_bm25_ndcg,
+        "graph_hits": q_graph_hits,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -6073,5 +6094,96 @@ def oracle_sql() -> dict[str, str]:
                        AS ndcg
             FROM dcg d LEFT JOIN ideal i USING (query_id)
             ORDER BY query_id
+        """,
+        "graph_hits": """
+            WITH e AS (
+                SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+                       's' || l_suppkey::VARCHAR AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+            h0 AS (SELECT vertex, 1000000000000::HUGEINT AS h FROM v),
+            a1r AS (
+                SELECT v.vertex, coalesce(sum(h0.h), 0)::HUGEINT AS a
+                FROM v LEFT JOIN e ON e.dst = v.vertex
+                LEFT JOIN h0 ON h0.vertex = e.src
+                GROUP BY v.vertex
+            ),
+            a1m AS (SELECT max(a) AS m FROM a1r),
+            a1 AS (
+                SELECT vertex,
+                       CASE WHEN m > 0 THEN (a * 1000000000000::HUGEINT) // m
+                            ELSE 0::HUGEINT END AS a
+                FROM a1r, a1m
+            ),
+            h1r AS (
+                SELECT v.vertex, coalesce(sum(a1.a), 0)::HUGEINT AS h
+                FROM v LEFT JOIN e ON e.src = v.vertex
+                LEFT JOIN a1 ON a1.vertex = e.dst
+                GROUP BY v.vertex
+            ),
+            h1m AS (SELECT max(h) AS m FROM h1r),
+            h1 AS (
+                SELECT vertex,
+                       CASE WHEN m > 0 THEN (h * 1000000000000::HUGEINT) // m
+                            ELSE 0::HUGEINT END AS h
+                FROM h1r, h1m
+            ),            a2r AS (
+                SELECT v.vertex, coalesce(sum(h1.h), 0)::HUGEINT AS a
+                FROM v LEFT JOIN e ON e.dst = v.vertex
+                LEFT JOIN h1 ON h1.vertex = e.src
+                GROUP BY v.vertex
+            ),
+            a2m AS (SELECT max(a) AS m FROM a2r),
+            a2 AS (
+                SELECT vertex,
+                       CASE WHEN m > 0 THEN (a * 1000000000000::HUGEINT) // m
+                            ELSE 0::HUGEINT END AS a
+                FROM a2r, a2m
+            ),
+            h2r AS (
+                SELECT v.vertex, coalesce(sum(a2.a), 0)::HUGEINT AS h
+                FROM v LEFT JOIN e ON e.src = v.vertex
+                LEFT JOIN a2 ON a2.vertex = e.dst
+                GROUP BY v.vertex
+            ),
+            h2m AS (SELECT max(h) AS m FROM h2r),
+            h2 AS (
+                SELECT vertex,
+                       CASE WHEN m > 0 THEN (h * 1000000000000::HUGEINT) // m
+                            ELSE 0::HUGEINT END AS h
+                FROM h2r, h2m
+            ),            a3r AS (
+                SELECT v.vertex, coalesce(sum(h2.h), 0)::HUGEINT AS a
+                FROM v LEFT JOIN e ON e.dst = v.vertex
+                LEFT JOIN h2 ON h2.vertex = e.src
+                GROUP BY v.vertex
+            ),
+            a3m AS (SELECT max(a) AS m FROM a3r),
+            a3 AS (
+                SELECT vertex,
+                       CASE WHEN m > 0 THEN (a * 1000000000000::HUGEINT) // m
+                            ELSE 0::HUGEINT END AS a
+                FROM a3r, a3m
+            ),
+            h3r AS (
+                SELECT v.vertex, coalesce(sum(a3.a), 0)::HUGEINT AS h
+                FROM v LEFT JOIN e ON e.src = v.vertex
+                LEFT JOIN a3 ON a3.vertex = e.dst
+                GROUP BY v.vertex
+            ),
+            h3m AS (SELECT max(h) AS m FROM h3r),
+            h3 AS (
+                SELECT vertex,
+                       CASE WHEN m > 0 THEN (h * 1000000000000::HUGEINT) // m
+                            ELSE 0::HUGEINT END AS h
+                FROM h3r, h3m
+            )
+            SELECT v.vertex,
+                   CAST(h3.h AS BIGINT) AS hub_scaled,
+                   CAST(a3.a AS BIGINT) AS auth_scaled
+            FROM v JOIN h3 ON h3.vertex = v.vertex
+            JOIN a3 ON a3.vertex = v.vertex
+            ORDER BY v.vertex
         """,
     }

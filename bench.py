@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "knn_labels",
     "lang_psi",
     "bm25_ndcg",
+    "graph_hits",
 ]
 
 

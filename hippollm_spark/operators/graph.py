@@ -698,3 +698,117 @@ def k_core(
         .filter(F.col("degree") >= k)
         .select(F.col("src").alias("vertex"), "degree")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    *,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities in exact scaled-integer arithmetic
+    (the `pagerank` determinism discipline): per round, auth(v) =
+    Σ hub(u) over u→v then max-normalized back to ``scale``, hub(v) =
+    Σ auth(w) over v→w likewise. Every step is integer add / integer
+    divide, so the fixpoint is bit-identical on any engine and an
+    oracle can unroll the identical recurrence.
+
+    Normalization is by the MAX (the classic power-iteration variant):
+    ``new = (raw · scale) div max_raw`` — the multiply runs in
+    DECIMAL(38,0) (raw ≤ indeg_max·scale can exceed 2^63 after the
+    ·scale) and the integral divide truncates identically to DuckDB's
+    HUGEINT ``//`` for the non-negative values here.
+
+    Shape per round: two join+agg passes over the edge list (one per
+    direction), each a narrow-key hash shuffle; one 1-row max
+    broadcast per normalization. Lineage is cut EVERY half-round (the
+    mid-round auth feeds two consumers and each round nests 4 joins —
+    with the default every-3 cut cadence Catalyst re-analysis alone
+    cost 200s at sf0.01; per-half-round checkpoints bring the same
+    run to seconds, the `dedup_canonicalize` lesson).
+    Output: (vertex, hub_scaled BIGINT, auth_scaled BIGINT).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .cache()
+    )
+    if verts.count() == 0:
+        return verts.select(
+            "vertex",
+            F.lit(0).cast("long").alias("hub_scaled"),
+            F.lit(0).cast("long").alias("auth_scaled"),
+        )
+    state = verts.select(
+        "vertex",
+        F.lit(scale).cast("long").alias("hub_scaled"),
+        F.lit(scale).cast("long").alias("auth_scaled"),
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("__mx__"))
+        return (
+            df.crossJoin(F.broadcast(mx))
+            .withColumn(
+                col,
+                F.when(
+                    F.col("__mx__") > 0,
+                    F.expr(
+                        f"CAST((CAST({col} AS DECIMAL(38,0)) * {scale}) "
+                        f"div __mx__ AS BIGINT)"
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .drop("__mx__")
+        )
+
+    for it in range(iterations):
+        # authority pass: sum hubs over in-edges. Checkpoint the RAW
+        # sums BEFORE _norm: the max aggregate and the normalization
+        # both read them, and without the cut each would recompute the
+        # join+agg (and nest the plan another level).
+        auth_raw = (
+            e.join(
+                state.select(F.col("vertex").alias("src"), "hub_scaled"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub_scaled").alias("__a__"))
+        )
+        auth_pre = (
+            verts.join(auth_raw, verts.vertex == auth_raw.dst, "left")
+            .select(
+                "vertex",
+                F.coalesce("__a__", F.lit(0)).cast("long").alias("__a__"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        auth = _norm(auth_pre, "__a__")  # projection over a leaf
+        # hub pass: sum NEW authorities over out-edges
+        hub_raw = (
+            e.join(
+                auth.select(F.col("vertex").alias("dst"), "__a__"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("__a__").alias("__h__"))
+        )
+        hub_pre = (
+            verts.join(hub_raw, verts.vertex == hub_raw.src, "left")
+            .select(
+                "vertex",
+                F.coalesce("__h__", F.lit(0)).cast("long").alias("__h__"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hub = _norm(hub_pre, "__h__")
+        state = hub.withColumnRenamed("__h__", "hub_scaled").join(
+            auth.withColumnRenamed("__a__", "auth_scaled"), "vertex"
+        )
+    return state.select("vertex", "hub_scaled", "auth_scaled")

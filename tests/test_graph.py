@@ -197,3 +197,59 @@ def test_weighted_pagerank_matches_pure_python(spark):
     assert got == r
     # A-B carry 3x the weight of A-C: B must outrank C
     assert got["B"] > got["C"]
+
+
+def _hits_python(edges, iterations=3, scale=10**12):
+    verts = sorted({v for e in edges for v in e})
+    hub = {v: scale for v in verts}
+    auth = {v: scale for v in verts}
+    eset = sorted(set(edges))
+    for _ in range(iterations):
+        a_raw = {v: 0 for v in verts}
+        for s, d in eset:
+            a_raw[d] += hub[s]
+        mx = max(a_raw.values())
+        auth = {v: (a_raw[v] * scale) // mx if mx > 0 else 0 for v in verts}
+        h_raw = {v: 0 for v in verts}
+        for s, d in eset:
+            h_raw[s] += auth[d]
+        mx = max(h_raw.values())
+        hub = {v: (h_raw[v] * scale) // mx if mx > 0 else 0 for v in verts}
+    return hub, auth
+
+
+def test_hits_matches_python_replica(spark):
+    from hippollm_spark.operators.graph import hits
+
+    edges = [
+        ("h1", "a1"), ("h1", "a2"), ("h1", "a3"),  # h1: strong hub
+        ("h2", "a1"), ("h2", "a2"),
+        ("x", "a1"),                                # a1: strong authority
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["vertex"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits(df, iterations=3).collect()
+    }
+    hub, auth = _hits_python(edges)
+    for v in hub:
+        assert got[v] == (hub[v], auth[v]), v
+    # structural sanity: h1 is the top hub, a1 the top authority
+    assert got["h1"][0] == max(h for h, _ in got.values())
+    assert got["a1"][1] == max(a for _, a in got.values())
+
+
+def test_hits_partition_invariant(spark):
+    from hippollm_spark.operators.graph import hits
+
+    import random
+
+    rng = random.Random(5)
+    edges = [
+        (f"v{rng.randrange(30)}", f"v{rng.randrange(30)}") for _ in range(150)
+    ]
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, hits(df, 2).collect()))
+    b = sorted(map(tuple, hits(df.repartition(13), 2).collect()))
+    assert a == b
