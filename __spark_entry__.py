@@ -2731,6 +2731,27 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(e, iterations=3).orderBy("vertex")
 
 
+def q_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM mean-shift score per event type — exact
+    fixed-point prefix-sum statistic (max |S_t|) with the first
+    attaining index as change location; one window pass, hash-grade
+    across engines."""
+    from hippollm_spark.operators.temporal import cusum_changepoint
+
+    return cusum_changepoint(
+        _events(spark, sf_dir), "value", by="event_type"
+    ).orderBy("event_type")
+
+
+def q_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between language and source domain —
+    the R×C chi-square generalization over two margin-table cross
+    joins; per-cell terms 6dp-rounded then DECIMAL-summed."""
+    from hippollm_spark.operators.stats import association_chi2
+
+    return association_chi2(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2894,6 +2915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_psi": q_lang_psi,
         "bm25_ndcg": q_bm25_ndcg,
         "graph_hits": q_graph_hits,
+        "value_cusum": q_value_cusum,
+        "lang_source_assoc": q_lang_source_assoc,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -6185,5 +6208,85 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN h3 ON h3.vertex = v.vertex
             JOIN a3 ON a3.vertex = v.vertex
             ORDER BY v.vertex
+        """,
+        "value_cusum": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(round(value * 1000000) AS BIGINT) AS v,
+                       CAST(row_number() OVER w AS BIGINT) AS i,
+                       sum(CAST(round(value * 1000000) AS BIGINT))
+                           OVER (w ROWS UNBOUNDED PRECEDING) AS pre,
+                       CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                           OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+                       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                           AS n
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            dev AS (
+                SELECT event_type, i, n,
+                       abs(pre - i * (CASE WHEN tot < 0
+                           THEN -((abs(tot) - abs(tot) % n) // n)
+                           ELSE (abs(tot) - abs(tot) % n) // n END)) AS a
+                FROM base
+            ),
+            mx AS (
+                SELECT event_type, max(a) AS m, max(n) AS n_obs FROM dev
+                GROUP BY event_type
+            )
+            SELECT d.event_type, CAST(m.n_obs AS BIGINT) AS n_obs,
+                   round(m.m::DOUBLE / 1000000.0, 6) AS cusum_max,
+                   CAST(min(d.i) AS INT) AS change_pos
+            FROM dev d JOIN mx m
+              ON d.event_type = m.event_type AND d.a = m.m
+            GROUP BY d.event_type, m.n_obs, m.m
+            ORDER BY d.event_type
+        """,
+        "lang_source_assoc": """
+            WITH cells AS (
+                SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+                FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY a),
+            cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY b),
+            nn AS (SELECT count(*) AS n FROM documents
+                   WHERE lang IS NOT NULL AND source IS NOT NULL),
+            grid AS (
+                SELECT rm.a, cm.b, rm.rt, cm.ct, coalesce(c.o, 0) AS o
+                FROM rm CROSS JOIN cm
+                LEFT JOIN cells c ON c.a = rm.a AND c.b = cm.b
+            ),
+            terms AS (
+                SELECT a, b,
+                       CASE WHEN rt::DOUBLE * ct::DOUBLE
+                                 / (SELECT n FROM nn)::DOUBLE > 0
+                            THEN (o::DOUBLE - rt::DOUBLE * ct::DOUBLE
+                                  / (SELECT n FROM nn)::DOUBLE)
+                                 * (o::DOUBLE - rt::DOUBLE * ct::DOUBLE
+                                    / (SELECT n FROM nn)::DOUBLE)
+                                 / (rt::DOUBLE * ct::DOUBLE
+                                    / (SELECT n FROM nn)::DOUBLE)
+                       END AS term
+                FROM grid
+            ),
+            agg AS (
+                SELECT CAST(count(DISTINCT a) AS BIGINT) AS n_rows_cat,
+                       CAST(count(DISTINCT b) AS BIGINT) AS n_cols_cat,
+                       count(*) AS cells_n, count(term) AS ok_n,
+                       sum(round(term, 6)::DECIMAL(28,6)) AS chi2_d
+                FROM terms
+            )
+            SELECT (SELECT n FROM nn) AS n, n_rows_cat, n_cols_cat,
+                   CASE WHEN ok_n = cells_n THEN chi2_d::DOUBLE END AS chi2,
+                   (n_rows_cat - 1) * (n_cols_cat - 1) AS dof,
+                   round(CASE WHEN ok_n = cells_n
+                              AND least(n_rows_cat - 1, n_cols_cat - 1) > 0
+                         THEN sqrt(chi2_d::DOUBLE
+                              / ((SELECT n FROM nn)::DOUBLE
+                                 * least(n_rows_cat - 1,
+                                         n_cols_cat - 1)::DOUBLE))
+                         END, 6) AS cramers_v
+            FROM agg
         """,
     }

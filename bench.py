@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "lang_psi",
     "bm25_ndcg",
     "graph_hits",
+    "value_cusum",
+    "lang_source_assoc",
 ]
 
 

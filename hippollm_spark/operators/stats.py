@@ -1171,3 +1171,73 @@ def psi_drift(
             ).alias("psi"),
         )
     )
+
+
+def association_chi2(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """R×C chi-square test of independence between two categorical
+    columns plus Cramér's V effect size (the `conversion_chi2`
+    generalization for non-boolean outcomes — e.g. language × source,
+    segment × event type):
+
+        χ² = Σ_cells (O − E)²/E,  E = row_tot·col_tot/N
+        V  = sqrt(χ² / (N · min(R−1, C−1)))
+
+    The full R×C grid (including zero-observed cells, which still
+    contribute E) is a cross join of the two margin tables — both
+    category-cardinality-sized, so the grid is tiny; per-cell terms
+    are 6dp-rounded then DECIMAL-summed (order-independent).
+
+    Output: one row — (n, n_rows_cat, n_cols_cat, chi2, dof,
+    cramers_v); NULL chi2 when any margin is empty.
+    """
+    ok = F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    cells = (
+        df.filter(ok)
+        .groupBy(F.col(col_a).alias("__a__"), F.col(col_b).alias("__b__"))
+        .agg(F.count("*").alias("__o__"))
+    )
+    row_m = cells.groupBy("__a__").agg(F.sum("__o__").alias("__rt__"))
+    col_m = cells.groupBy("__b__").agg(F.sum("__o__").alias("__ct__"))
+    n = df.filter(ok).count()
+    grid = (
+        row_m.crossJoin(F.broadcast(col_m))
+        .join(cells, ["__a__", "__b__"], "left")
+        .fillna(0, subset=["__o__"])
+    )
+    o = F.col("__o__").cast("double")
+    e = F.col("__rt__").cast("double") * F.col("__ct__").cast("double") / F.lit(
+        float(n)
+    )
+    term = F.when(e > 0, (o - e) * (o - e) / e)
+    agg = grid.agg(
+        F.countDistinct("__a__").alias("n_rows_cat"),
+        F.countDistinct("__b__").alias("n_cols_cat"),
+        F.count("*").alias("__cells__"),
+        F.sum(F.when(term.isNotNull(), 1).otherwise(0)).alias("__okc__"),
+        F.sum(F.round(term, round_to).cast("decimal(28,6)")).alias("__chi2__"),
+    )
+    chi2 = F.when(
+        F.col("__okc__") == F.col("__cells__"),
+        F.col("__chi2__").cast("double"),
+    )
+    minrc = F.least(
+        F.col("n_rows_cat") - 1, F.col("n_cols_cat") - 1
+    ).cast("double")
+    v = F.when(
+        chi2.isNotNull() & (minrc > 0),
+        F.sqrt(chi2 / (F.lit(float(n)) * minrc)),
+    )
+    return agg.select(
+        F.lit(n).alias("n"),
+        "n_rows_cat",
+        "n_cols_cat",
+        chi2.alias("chi2"),
+        ((F.col("n_rows_cat") - 1) * (F.col("n_cols_cat") - 1)).alias("dof"),
+        F.round(v, round_to).alias("cramers_v"),
+    )

@@ -477,3 +477,69 @@ def ohlc_bars(
             ).alias("mean_value"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str] = "user_id",
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Offline mean-shift changepoint score per key: the classic CUSUM
+    statistic max_t |S_t| with S_t = Σ_{i≤t}(x_i − μ) over the key's
+    time-ordered series, plus the first index attaining it (the most
+    likely change location).
+
+    Exact fixed-point: values quantize to µ-units; μ is a sign-wrapped
+    truncating division (identical on Spark and DuckDB's `//` through
+    the positive-domain wrap); S_t = prefix_sum − i·μ is then pure
+    integer arithmetic in ONE window pass — no per-row fold, no float
+    drift, hash-grade across engines.
+
+    Shape: one window (prefix sum + row index) over the key sort + one
+    aggregate; the same single shuffle `exact_percentiles` pays.
+    Output: (by…, n_obs, cusum_max 6dp, change_pos INT 1-based).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    v_e6 = F.round(F.col(value_col) * 1_000_000.0, 0).cast("long")
+    w_ord = Window.partitionBy(*keys).orderBy(order_col, tiebreak_col)
+    w_all = Window.partitionBy(*keys)
+    rows = df.select(
+        *keys,
+        v_e6.alias("__v__"),
+        F.row_number().over(w_ord).alias("__i__"),
+        F.sum(v_e6).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__pre__"),
+        F.sum(v_e6).over(w_all).alias("__tot__"),
+        F.count("*").over(w_all).alias("__n__"),
+    )
+    tot, n = F.col("__tot__"), F.col("__n__")
+    abs_tot = F.abs(tot)
+    mu_q = ((abs_tot - F.pmod(abs_tot, n)) / n).cast("long")
+    mu = F.when(tot < 0, -mu_q).otherwise(mu_q)
+    s = F.col("__pre__") - F.col("__i__") * mu
+    scored = rows.select(*keys, "__i__", "__n__", F.abs(s).alias("__abs__"))
+    w_key = Window.partitionBy(*keys)
+    flagged = scored.withColumn("__mxw__", F.max("__abs__").over(w_key))
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.max("__n__").alias("n_obs"),
+            F.max("__abs__").alias("__mx__"),
+            F.min(
+                F.when(F.col("__abs__") == F.col("__mxw__"), F.col("__i__"))
+            ).alias("change_pos"),
+        )
+        .select(
+            *keys,
+            "n_obs",
+            F.round(F.col("__mx__") / 1_000_000.0, round_to).alias(
+                "cusum_max"
+            ),
+            F.col("change_pos").cast("int").alias("change_pos"),
+        )
+    )
