@@ -2756,6 +2756,27 @@ def q_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_chi2(_t(spark, sf_dir, "documents"), "lang", "source")
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU: rolling distinct actives via (user, day) dedup —
+    the only row-sized shuffle — then constant-fanout range joins onto
+    the broadcast day grid (HLL sketch swap documented for petabyte
+    scale)."""
+    from hippollm_spark.operators.behavior import active_users
+
+    return active_users(_events(spark, sf_dir)).orderBy("day")
+
+
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of event value (bucket mean /
+    overall mean, exact DECIMAL sums, overall derived from bucket sums
+    — one aggregate, no second scan)."""
+    from hippollm_spark.operators.temporal import seasonal_profile
+
+    return seasonal_profile(
+        _events(spark, sf_dir), "ts", "value", period="dow"
+    ).orderBy("bucket")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2921,6 +2942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "value_cusum": q_value_cusum,
         "lang_source_assoc": q_lang_source_assoc,
+        "active_users": q_active_users,
+        "dow_profile": q_dow_profile,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -6292,5 +6315,48 @@ def oracle_sql() -> dict[str, str]:
                                          n_cols_cat - 1)::DOUBLE))
                          END, 6) AS cramers_v
             FROM agg
+        """,
+        "active_users": """
+            WITH ud AS (
+                SELECT DISTINCT user_id AS u,
+                       date_diff('day', DATE '1970-01-01', ts::DATE) AS d
+                FROM events
+            ),
+            days AS (SELECT DISTINCT d AS day_idx FROM ud),
+            dau AS (
+                SELECT d AS day_idx,
+                       CAST(count(DISTINCT u) AS BIGINT) AS dau
+                FROM ud GROUP BY d
+            ),
+            wau AS (
+                SELECT day_idx, CAST(count(DISTINCT u) AS BIGINT) AS wau
+                FROM ud JOIN days ON d <= day_idx AND d > day_idx - 7
+                GROUP BY day_idx
+            ),
+            mau AS (
+                SELECT day_idx, CAST(count(DISTINCT u) AS BIGINT) AS mau
+                FROM ud JOIN days ON d <= day_idx AND d > day_idx - 28
+                GROUP BY day_idx
+            )
+            SELECT (DATE '1970-01-01' + CAST(day_idx AS INT))::TIMESTAMP AS day,
+                   dau, wau, mau
+            FROM dau JOIN wau USING (day_idx) JOIN mau USING (day_idx)
+            ORDER BY day
+        """,
+        "dow_profile": """
+            WITH per AS (
+                SELECT CAST(dayofweek(ts) + 1 AS INT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(value AS DECIMAL(19,6))) AS s
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            tot AS (
+                SELECT sum(s) AS st, CAST(sum(n) AS BIGINT) AS nt FROM per
+            )
+            SELECT bucket, n,
+                   round(s::DOUBLE / n::DOUBLE, 6) AS mean_value,
+                   round((s::DOUBLE / n::DOUBLE)
+                         / (st::DOUBLE / nt::DOUBLE), 6) AS seasonal_index
+            FROM per, tot ORDER BY bucket
         """,
     }

@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "graph_hits",
     "value_cusum",
     "lang_source_assoc",
+    "active_users",
+    "dow_profile",
 ]
 
 

@@ -480,3 +480,67 @@ def linear_attribution(
         )
         .orderBy("channel")
     )
+
+
+def active_users(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 28,
+) -> DataFrame:
+    """DAU / WAU / MAU: distinct active users per day plus trailing
+    7- and 28-day distinct actives — the product-health triptych.
+
+    Rolling DISTINCT counts do not decompose into window sums (a user
+    active twice in a week counts once), so the exact shape is: dedup
+    to (user, day) pairs — the only row-count-sized shuffle — then
+    range-join each pair onto the day grid it contributes to
+    (fanout = wau/mau window width, a constant) and count distinct per
+    day. The day grid is tiny and broadcast. At petabyte scale swap
+    the exact distinct for mergeable HLL sketches per (user-bucket,
+    day) — `approx_stats` documents that path; this operator is the
+    exact, oracle-checkable form.
+
+    Output: (day DATE, dau, wau, mau) for every day present.
+    """
+    ud = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.datediff(
+                F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    days = ud.select(F.col("d").alias("day_idx")).distinct()
+    dau = ud.groupBy(F.col("d").alias("day_idx")).agg(
+        F.countDistinct("u").alias("dau")
+    )
+    joined_w = ud.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day_idx"))
+        & (F.col("d") > F.col("day_idx") - wau_days),
+    )
+    wau = joined_w.groupBy("day_idx").agg(F.countDistinct("u").alias("wau"))
+    joined_m = ud.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day_idx"))
+        & (F.col("d") > F.col("day_idx") - mau_days),
+    )
+    mau = joined_m.groupBy("day_idx").agg(F.countDistinct("u").alias("mau"))
+    return (
+        dau.join(wau, "day_idx")
+        .join(mau, "day_idx")
+        .select(
+            # TIMESTAMP, not DATE: pandas reads parquet/duckdb DATEs as
+            # Timestamps, so a DATE here would canon-hash differently
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_idx"))
+            .cast("timestamp")
+            .alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+    )

@@ -543,3 +543,53 @@ def cusum_changepoint(
             F.col("change_pos").cast("int").alias("change_pos"),
         )
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    period: str = "dow",
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal index per calendar bucket (day-of-week or hour-of-day):
+    index = bucket mean / overall mean — the multiplicative
+    seasonality estimate behind baselining and anomaly thresholds
+    ("Sundays run at 0.7x").
+
+    Means are exact DECIMAL sums over the same 6dp value grid divided
+    once at the end; the overall mean comes from summing the bucket
+    sums (no second scan). One map-side-combinable aggregate.
+
+    Output: (bucket INT, n, mean_value, seasonal_index) — bucket is
+    1-7 for dow (ISO-style via dayofweek: 1=Sunday) or 0-23 for hour.
+    """
+    if period == "dow":
+        b = F.dayofweek(F.col(ts_col))
+    elif period == "hour":
+        b = F.hour(F.col(ts_col))
+    else:
+        raise ValueError(f"unknown period {period!r}")
+    dec = F.col(value_col).cast("decimal(18,6)")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum(dec).alias("__s__"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    tot = per.select(
+        "bucket",
+        "n",
+        "__s__",
+        F.sum("__s__").over(w).alias("__st__"),
+        F.sum("n").over(w).alias("__nt__"),
+    )
+    mean_b = F.col("__s__").cast("double") / F.col("n").cast("double")
+    mean_all = F.col("__st__").cast("double") / F.col("__nt__").cast("double")
+    return tot.select(
+        "bucket",
+        "n",
+        F.round(mean_b, round_to).alias("mean_value"),
+        F.round(mean_b / mean_all, round_to).alias("seasonal_index"),
+    )
