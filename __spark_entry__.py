@@ -2777,6 +2777,47 @@ def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def q_bm25_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based eval of the BM25 ranking (recall/precision/MRR@20
+    against term-coverage judgments) — single exact divisions of
+    integer counts, the ungraded companion to `bm25_ndcg`."""
+    from hippollm_spark.operators.dedup import normalized_text
+    from hippollm_spark.operators.ranking import bm25_topk, retrieval_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "vector"]
+    res = bm25_topk(docs, terms, k=20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    results = res.select(
+        F.lit(1).alias("query_id"),
+        "doc_id",
+        F.row_number().over(w).alias("rank"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalized_text("text"), " ")).alias("t"),
+    )
+    rel = toks.select(
+        F.lit(1).alias("query_id"),
+        "doc_id",
+        F.size(
+            F.array_intersect("t", F.array(*[F.lit(t) for t in terms]))
+        ).alias("rel"),
+    ).filter(F.col("rel") > 0)
+    return retrieval_metrics(results, rel, k=20).orderBy("query_id")
+
+
+def q_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit chi-square per event type (fabricated-
+    numbers screen) — decimal-canonical digit extraction, exact
+    counts, rounded terms DECIMAL-summed."""
+    from hippollm_spark.operators.stats import benford_test
+
+    return benford_test(
+        _events(spark, sf_dir), "value", by="event_type"
+    ).orderBy("event_type")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2944,6 +2985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_source_assoc": q_lang_source_assoc,
         "active_users": q_active_users,
         "dow_profile": q_dow_profile,
+        "bm25_recall": q_bm25_recall,
+        "value_benford": q_value_benford,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -6358,5 +6401,82 @@ def oracle_sql() -> dict[str, str]:
                    round((s::DOUBLE / n::DOUBLE)
                          / (st::DOUBLE / nt::DOUBLE), 6) AS seasonal_index
             FROM per, tot ORDER BY bucket
+        """,
+        "bm25_recall": f"""
+            WITH res AS (
+                SELECT 1 AS query_id, doc_id,
+                       CAST(row_number() OVER (
+                            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                FROM ({BM25_ORACLE_BODY})
+            ),
+            rel AS (
+                SELECT 1 AS query_id, doc_id
+                FROM documents
+                WHERE len(list_intersect(
+                          list_distinct(string_split({_NORM}, ' ')),
+                          ['hash', 'join', 'vector'])) > 0
+            ),
+            nrel AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS nr FROM rel
+                GROUP BY query_id
+            ),
+            j AS (
+                SELECT r.query_id, r.rank,
+                       CASE WHEN jr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS h
+                FROM res r LEFT JOIN rel jr
+                  ON r.query_id = jr.query_id AND r.doc_id = jr.doc_id
+                WHERE r.rank <= 20
+            ),
+            agg AS (
+                SELECT query_id,
+                       CAST(count(*) AS BIGINT) AS n_retrieved,
+                       CAST(sum(h) AS BIGINT) AS n_hits,
+                       min(CASE WHEN h = 1 THEN rank END) AS frank
+                FROM j GROUP BY query_id
+            )
+            SELECT a.query_id, a.n_retrieved, a.n_hits,
+                   round(a.n_hits::DOUBLE / a.n_retrieved::DOUBLE, 6)
+                       AS precision_at_k,
+                   round(CASE WHEN n.nr > 0
+                         THEN a.n_hits::DOUBLE / n.nr::DOUBLE END, 6)
+                       AS recall_at_k,
+                   round(CASE WHEN a.frank IS NOT NULL
+                         THEN 1.0 / a.frank::DOUBLE
+                         WHEN n.nr > 0 THEN 0.0 END, 6) AS mrr_at_k
+            FROM agg a LEFT JOIN nrel n USING (query_id)
+            ORDER BY a.query_id
+        """,
+        "value_benford": """
+            WITH base AS (
+                SELECT event_type,
+                       CAST(substr(
+                           regexp_replace(
+                               regexp_replace(
+                                   CAST(CAST(abs(value) AS DECIMAL(19,6))
+                                        AS VARCHAR),
+                                   '[.]', '', 'g'),
+                               '^0+', ''),
+                           1, 1) AS INT) AS d
+                FROM events
+                WHERE value IS NOT NULL
+                  AND CAST(abs(value) AS DECIMAL(19,6)) > 0
+            ),
+            cells AS (
+                SELECT event_type, d, CAST(count(*) AS BIGINT) AS o
+                FROM base GROUP BY 1, 2
+            ),
+            with_n AS (
+                SELECT event_type, d, o,
+                       CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
+                           AS n
+                FROM cells
+            )
+            SELECT event_type, max(n) AS n,
+                   round(sum(round(
+                       (o::DOUBLE - n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE))
+                       * (o::DOUBLE - n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE))
+                       / (n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE)), 6)
+                       ::DECIMAL(28,6))::DOUBLE, 6) AS chi2_benford
+            FROM with_n GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "lang_source_assoc",
     "active_users",
     "dow_profile",
+    "bm25_recall",
+    "value_benford",
 ]
 
 

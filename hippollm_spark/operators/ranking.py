@@ -576,3 +576,70 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_to: int = 6,
+) -> DataFrame:
+    """Set-based retrieval evaluation per query — recall@k,
+    precision@k, and MRR@k — completing the eval pair with `ndcg_at_k`
+    (graded) for any ranking this module emits.
+
+    All three are single exact divisions of integer counts (hits/k,
+    hits/|relevant|, 1/first_relevant_rank) — no accumulation, so
+    hash-grade by construction. Relevance = rel > 0. Queries with no
+    relevant documents yield NULL recall and MRR; queries absent from
+    `results` are not emitted (evaluate the union upstream if missing
+    queries should score 0).
+
+    Shape: one broadcast join of the judgments onto the top-k rows,
+    one aggregate.
+    """
+    res = results.filter(F.col(rank_col) <= k).select(
+        query_col, doc_col, F.col(rank_col).alias("__rank__")
+    )
+    rel = relevance.filter(F.col(rel_col) > 0).select(
+        query_col, doc_col, F.lit(1).alias("__isrel__")
+    )
+    n_rel = rel.groupBy(query_col).agg(F.count("*").alias("__nrel__"))
+    joined = res.join(F.broadcast(rel), [query_col, doc_col], "left")
+    agg = joined.groupBy(query_col).agg(
+        F.count("*").alias("n_retrieved"),
+        F.sum(F.coalesce("__isrel__", F.lit(0))).alias("__hits__"),
+        F.min(
+            F.when(F.col("__isrel__").isNotNull(), F.col("__rank__"))
+        ).alias("__frank__"),
+    )
+    out = agg.join(F.broadcast(n_rel), query_col, "left")
+    hits = F.col("__hits__").cast("double")
+    return out.select(
+        query_col,
+        "n_retrieved",
+        F.col("__hits__").alias("n_hits"),
+        F.round(hits / F.col("n_retrieved").cast("double"), round_to).alias(
+            "precision_at_k"
+        ),
+        F.round(
+            F.when(
+                F.col("__nrel__") > 0, hits / F.col("__nrel__").cast("double")
+            ),
+            round_to,
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(
+                F.col("__frank__").isNotNull(),
+                F.lit(1.0) / F.col("__frank__").cast("double"),
+            ).otherwise(
+                F.when(F.col("__nrel__") > 0, F.lit(0.0))
+            ),
+            round_to,
+        ).alias("mrr_at_k"),
+    )

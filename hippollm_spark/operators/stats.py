@@ -1241,3 +1241,59 @@ def association_chi2(
         ((F.col("n_rows_cat") - 1) * (F.col("n_cols_cat") - 1)).alias("dof"),
         F.round(v, round_to).alias("cramers_v"),
     )
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str] | None = None,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law with a
+    chi-square misfit statistic — the classic fabricated-numbers /
+    data-quality screen for value columns.
+
+    Expected share of digit d is log10(1 + 1/d); observed counts are
+    exact integers. The first digit is extracted from the DECIMAL(18,6)
+    string form — positional notation in every engine, whereas a raw
+    double→string cast goes scientific for small values and a
+    floor(log10) extraction hits libm's off-by-an-ulp at powers of ten
+    — so the digit is engine-stable with no float log anywhere.
+    Per-digit χ² terms are 6dp-rounded then DECIMAL-summed. Rows with
+    |value| rounding to 0 at 6dp, or NULL, are excluded.
+
+    Output: group keys + (n, chi2_benford) one row per group — join
+    `digit_shares` form if per-digit detail is wanted.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    v = F.col(value_col)
+    dec = F.abs(v).cast("decimal(18,6)")
+    digits = F.regexp_replace(
+        F.regexp_replace(dec.cast("string"), r"[.]", ""), r"^0+", ""
+    )
+    d1 = F.substring(digits, 1, 1).cast("int")
+    base = df.filter(v.isNotNull() & (dec > 0)).select(
+        *keys, d1.alias("__d__")
+    )
+    cells = base.groupBy(*keys, "__d__").agg(F.count("*").alias("__o__"))
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    with_n = cells.withColumn("__n__", F.sum("__o__").over(w))
+    expected = F.col("__n__").cast("double") * F.log10(
+        1.0 + 1.0 / F.col("__d__").cast("double")
+    )
+    term = (F.col("__o__").cast("double") - expected) * (
+        F.col("__o__").cast("double") - expected
+    ) / expected
+    return (
+        with_n.groupBy(*keys)
+        .agg(
+            F.max("__n__").alias("n"),
+            F.round(
+                F.sum(F.round(term, round_to).cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("chi2_benford"),
+        )
+    )
