@@ -181,3 +181,43 @@ def read_docs_jsonl(
         "_corrupt_record"
     )
     return good, bad
+
+
+def read_docs_csv(
+    spark,
+    path: str,
+    *,
+    schema: str = "doc_id long, title string, url string, content string",
+    header: bool = True,
+    sep: str = ",",
+    quarantine: bool = True,
+):
+    """CSV twin of `read_docs_jsonl`: explicit schema (no inference
+    pass), PERMISSIVE parse, malformed lines captured for a quarantine
+    sink instead of silently dropped — plus `multiLine` off by default
+    so the file splits by newline and stays parallel (multiline CSV
+    forces one task per file; if content embeds newlines, prefer
+    JSONL).
+
+    Returns (good, bad) like the JSONL reader; ``bad`` carries the raw
+    malformed line.
+    """
+    full_schema = schema + ", _corrupt_record string"
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    if not quarantine:
+        return good
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad

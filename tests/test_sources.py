@@ -111,3 +111,20 @@ def test_read_docs_jsonl_quarantine(spark, tmp_path):
     assert good.columns == ["doc_id", "title", "url", "content"]
     brows = bad.collect()
     assert len(brows) == 1 and "NOT JSON" in brows[0]["_corrupt_record"]
+
+
+def test_read_docs_csv_quarantines_malformed(spark, tmp_path):
+    from hippollm_spark.sources.loaders import read_docs_csv
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,title,url,content\n"
+        "1,alpha,http://a,hello world\n"
+        "not_a_number,beta,http://b,bad id row\n"
+        "2,gamma,http://c,fine again\n"
+    )
+    good, bad = read_docs_csv(spark, str(p))
+    ids = sorted(r["doc_id"] for r in good.collect())
+    assert ids == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0][0]
