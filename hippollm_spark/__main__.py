@@ -7,6 +7,7 @@ retrieval.py) on the Spark engine:
     python -m hippollm_spark import-json <ref_db_dir> <db_dir>
     python -m hippollm_spark export-json <db_dir> <out_dir>
     python -m hippollm_spark integrity <db_dir>
+    python -m hippollm_spark curate <docs.parquet|.jsonl> <out_dir> [--near-dup minhash]
 
 Model backends default to the deterministic fakes (no model runtimes in
 this environment); real deployments plug in `pipelines.backends`
@@ -73,6 +74,15 @@ def main(argv: list[str] | None = None) -> int:
     ic = sub.add_parser("integrity")
     ic.add_argument("db_dir")
 
+    cu = sub.add_parser("curate")
+    cu.add_argument("docs_path", help="parquet (or .jsonl) documents table")
+    cu.add_argument("out_dir", help="directory for the curation summary")
+    cu.add_argument("--near-dup", default="jaccard",
+                    choices=["jaccard", "minhash"])
+    cu.add_argument("--min-quality-e8", type=int, default=55_000_000)
+    cu.add_argument("--max-shingle-df", type=int, default=None)
+    cu.add_argument("--ctx", type=int, default=2048)
+
     args = p.parse_args(argv)
     spark = get_spark("hippollm_spark_cli")
 
@@ -121,6 +131,31 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "integrity":
         store = _open_store(spark, args.db_dir)
         print(store.check_integrity())
+    elif args.cmd == "curate":
+        from hippollm_spark.pipelines.curate import curate_corpus
+
+        if args.docs_path.endswith(".jsonl"):
+            from hippollm_spark.sources.loaders import read_docs_jsonl
+
+            docs, bad = read_docs_jsonl(
+                spark, args.docs_path,
+                schema="doc_id long, text string, lang string, source string",
+            )
+            n_bad = bad.count()
+            if n_bad:
+                print(f"quarantined {n_bad} malformed lines")
+        else:
+            docs = spark.read.parquet(args.docs_path)
+        summary = curate_corpus(
+            docs,
+            min_quality_e8=args.min_quality_e8,
+            near_dup_method=args.near_dup,
+            max_shingle_df=args.max_shingle_df,
+            ctx=args.ctx,
+        )
+        summary.write.mode("overwrite").parquet(args.out_dir)
+        for r in spark.read.parquet(args.out_dir).orderBy("lang").collect():
+            print(dict(r.asDict()))
     return 0
 
 

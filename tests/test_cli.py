@@ -51,3 +51,13 @@ def test_cli_annotate_is_incremental(spark, tmp_path, capsys):
     cli.main(["annotate-text", str(d2), db])
     out = capsys.readouterr().out
     assert "annotated: 2 facts" in out  # second run appended to the saved store
+
+
+def test_cli_curate(tmp_path, capsys):
+    from hippollm_spark.__main__ import main
+
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "/root/testdata/sf0.001/documents.parquet", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "lang" in printed and "n_docs" in printed
