@@ -339,31 +339,21 @@ def _batch_minhash(hs_list, a, b, num_hashes: int) -> np.ndarray:
     return out
 
 
-def minhash_lsh_pairs(
+def _band_rows(
     docs: DataFrame,
-    threshold: float = 0.5,
-    num_hashes: int = 128,
-    bands: int = 32,
-    n: int = 3,
+    num_hashes: int,
+    bands: int,
+    n: int,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    verify: bool = True,
     shingle_hash: str = "xxhash64",
     partitions: int | None = None,
-) -> DataFrame:
-    """Banded LSH: split the signature into ``bands`` bands of
-    num_hashes/bands rows; docs colliding on any full band become
-    candidate pairs; candidates verified with exact Jaccard (one
-    array_intersect on the shingle sets — no re-shuffle of text).
-
-    Scale shape: the only wide exchange is on (band_idx, band_hash) —
-    a pair of longs — and candidate verification touches candidate rows
-    only. This is the operator to run at 100 TB; `jaccard_dup_pairs`
-    is its correctness oracle at test scale.
-    Output: (doc_a, doc_b, jaccard) like jaccard_dup_pairs (when
-    verify=True), else raw candidate pairs.
-    """
+):
+    """Shared LSH front-end: returns (sh, banded) where sh is the
+    cached (doc_id, shingles) frame and banded the
+    (doc_id, band_idx, band_hash) rows — used by the one-shot
+    similarity join and by the persisted incremental index."""
     rows = num_hashes // bands
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
     hexpr = _shingle_hash_expr(shingle_hash)
@@ -399,7 +389,42 @@ def minhash_lsh_pairs(
             )
 
     banded = packed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
+    banded = packed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
+    return sh, banded
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+    shingle_hash: str = "xxhash64",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    num_hashes/bands rows; docs colliding on any full band become
+    candidate pairs; candidates verified with exact Jaccard (one
+    array_intersect on the shingle sets — no re-shuffle of text).
+
+    Scale shape: the only wide exchange is on (band_idx, band_hash) —
+    a pair of longs — and candidate verification touches candidate rows
+    only. This is the operator to run at 100 TB; `jaccard_dup_pairs`
+    is its correctness oracle at test scale.
+    Output: (doc_a, doc_b, jaccard) like jaccard_dup_pairs (when
+    verify=True), else raw candidate pairs.
+    """
+    sh, banded = _band_rows(
+        docs, num_hashes, bands, n,
+        id_col=id_col, text_col=text_col,
+        shingle_hash=shingle_hash, partitions=partitions,
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     cands = (
         a.join(b, on=["band_idx", "band_hash"])
@@ -1227,3 +1252,143 @@ def containment_pairs(
         )
         .select("doc_inner", "doc_outer", "n_inner", "inter", "containment")
     )
+
+
+def save_dedup_index(
+    spark,
+    docs: DataFrame,
+    table_prefix: str,
+    *,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_hash: str = "xxhash64",
+    partitions: int | None = None,
+) -> None:
+    """Persist the near-dup LSH index so ARRIVING data dedups against
+    the corpus without ever re-shingling it — the operational form of
+    `minhash_lsh_pairs` for a continuously-ingesting 100-TB pipeline
+    (one-shot pair joins re-pay the whole corpus every batch; the
+    index pays it once).
+
+    Two tables: ``<prefix>_bands`` (doc_id, band_idx, band_hash)
+    BUCKETED BY band_hash — the candidate join against new batches is
+    then co-located on the index side (no index shuffle) — and
+    ``<prefix>_shingles`` (doc_id, shingles) bucketed by doc_id for
+    the exact-Jaccard verify join.
+    """
+    sh, banded = _band_rows(
+        docs, num_hashes, bands, n,
+        id_col=id_col, text_col=text_col,
+        shingle_hash=shingle_hash, partitions=partitions,
+    )
+    (
+        banded.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_hash")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        sh.write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .saveAsTable(f"{table_prefix}_shingles")
+    )
+
+
+def incremental_dedup(
+    spark,
+    new_docs: DataFrame,
+    table_prefix: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_hash: str = "xxhash64",
+    partitions: int | None = None,
+    update_index: bool = False,
+) -> DataFrame:
+    """Dedup an arriving batch against the persisted index: band the
+    batch (batch-sized work only), candidate-join on (band_idx,
+    band_hash) — the bucketed index side never shuffles — and verify
+    candidates with exact Jaccard against the indexed shingle sets.
+    Within-batch near-dups are caught too (the batch self-join is
+    batch×batch, negligible).
+
+    Returns (doc_id, dup_of, jaccard): one row per detected duplicate,
+    ``dup_of`` = the matched (indexed or earlier-in-batch) document.
+    With ``update_index=True``, the band/shingle rows of NON-duplicate
+    batch docs are appended to the index tables, so the next batch
+    dedups against them — the steady-state ingest loop.
+    """
+    sh_new, banded_new = _band_rows(
+        new_docs, num_hashes, bands, n,
+        id_col=id_col, text_col=text_col,
+        shingle_hash=shingle_hash, partitions=partitions,
+    )
+    banded_new = banded_new.localCheckpoint(eager=True)
+    idx = spark.table(f"{table_prefix}_bands")
+    nb = banded_new.select(
+        F.col("doc_id").alias("doc_new"), "band_idx", "band_hash"
+    )
+    cands_idx = (
+        nb.join(
+            idx.select(F.col("doc_id").alias("doc_old"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_new", "doc_old")
+    )
+    cands_batch = (
+        nb.join(
+            banded_new.select(
+                F.col("doc_id").alias("doc_old"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("doc_old") < F.col("doc_new"))
+        .select("doc_new", "doc_old")
+    )
+    cands = cands_idx.unionByName(cands_batch).distinct()
+    sh_old = spark.table(f"{table_prefix}_shingles").unionByName(sh_new)
+    verified = (
+        cands.join(
+            sh_new.select(
+                F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_n")
+            ),
+            "doc_new",
+        )
+        .join(
+            sh_old.select(
+                F.col("doc_id").alias("doc_old"), F.col("shingles").alias("sh_o")
+            ),
+            "doc_old",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_o")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_n") + F.size("sh_o") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_new").alias("doc_id"),
+            F.col("doc_old").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    if update_index:
+        verified = verified.localCheckpoint(eager=True)
+        dups = verified.select("doc_id").distinct()
+        keep_bands = banded_new.join(dups, "doc_id", "left_anti")
+        keep_sh = sh_new.join(dups, "doc_id", "left_anti")
+        keep_bands.write.mode("append").insertInto(f"{table_prefix}_bands")
+        keep_sh.write.mode("append").insertInto(f"{table_prefix}_shingles")
+    return verified
