@@ -684,3 +684,73 @@ def knn_classify(
             "n_neighbors",
         )
     )
+
+
+def save_ivf_index(
+    spark,
+    vecs: DataFrame,
+    table_prefix: str,
+    nlist: int = 16,
+    *,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    distributed: bool = False,
+) -> np.ndarray:
+    """Persist the IVF index: the assigned vector table BUCKETED BY
+    list_id (a probe's literal ``list_id IN (...)`` filter then reads
+    only the matching buckets — `SelectedBucketsCount` pruning, the
+    `save_postings` discipline applied to ANN) plus a tiny
+    ``<prefix>_centroids`` table (list_id, centroid) so a later
+    session can probe without retraining. Returns the centroids.
+    """
+    assigned, cents = ivf_build(
+        vecs, nlist, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col, distributed=distributed,
+    )
+    (
+        assigned.write.mode("overwrite")
+        .bucketBy(max(nlist, 1), "list_id")
+        .sortBy("list_id")
+        .saveAsTable(f"{table_prefix}_ivf")
+    )
+    cent_rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(cents)
+    ]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_centroids")
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    table_prefix: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: centroids load from the tiny side
+    table (driver-side argsort picks the nprobe lists), and the scan
+    carries a LITERAL isin on list_id so bucket pruning reads
+    |index|·nprobe/nlist — the repeat-query operating point where the
+    per-query cost no longer includes assignment or training."""
+    cents_rows = (
+        spark.table(f"{table_prefix}_centroids").orderBy("list_id").collect()
+    )
+    cents = np.array([r["centroid"] for r in cents_rows], dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    d = ((cents - q) ** 2).sum(1)
+    probe = [int(i) for i in d.argsort()[:nprobe]]
+    pruned = spark.table(f"{table_prefix}_ivf").filter(
+        F.col("list_id").isin(probe)
+    )
+    return (
+        pruned.withColumn("distance", V.l2_distance(F.col(vec_col), list(q)))
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+    )

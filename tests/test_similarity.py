@@ -189,3 +189,28 @@ def test_ivf_distributed_trainer_recall(spark, embeddings):
         for r in topk_per_query(embeddings, queries, k=10).collect()
     }
     assert got == want
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes(spark, embeddings):
+    from hippollm_spark.operators.similarity import (
+        ivf_build,
+        ivf_topk,
+        ivf_topk_indexed,
+        save_ivf_index,
+    )
+
+    q = [r["embedding"] for r in embeddings.filter("vec_id = 7").collect()][0]
+    cents = save_ivf_index(spark, embeddings, "ivf_t1", nlist=8, seed=42)
+    got = ivf_topk_indexed(spark, "ivf_t1", q, k=5, nprobe=3).collect()
+
+    assigned, cents2 = ivf_build(embeddings, nlist=8, seed=42)
+    want = ivf_topk(assigned, cents2, q, k=5, nprobe=3).collect()
+    assert [(r["vec_id"], r["distance"]) for r in got] == [
+        (r["vec_id"], r["distance"]) for r in want
+    ]
+    # the probe plan prunes buckets
+    plan = (
+        ivf_topk_indexed(spark, "ivf_t1", q, k=5, nprobe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SelectedBucketsCount" in plan, plan[:2000]
