@@ -105,3 +105,61 @@ def curate_stream(
     if out.isStreaming:
         out = dedup_docs_stream(out.select("doc_id", "text", "ts"), shards=shards)
     return out
+
+
+def curate_stream_with_index(
+    docs: DataFrame,
+    index_prefix: str,
+    *,
+    min_quality_e8: int = 55_000_000,
+    shards: int = 64,
+    scrub: bool = True,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    out_path: str | None = None,
+):
+    """The full ingestion loop: `curate_stream`'s stateless gates +
+    stateful exact dedup, THEN per-micro-batch NEAR-dup dedup against
+    the persisted LSH index (`dedup.incremental_dedup`) inside
+    ``foreachBatch`` — survivors append to both the output sink and
+    the index, so batch N+1 dedups against everything batch N kept.
+
+    This closes the gap the module docstring leaves open: near-dup
+    suppression no longer waits for the periodic batch job; the batch
+    job is still the canonicalization/decontamination authority, but
+    arriving near-exact copies die at ingestion, batch-sized work per
+    trigger.
+
+    Returns the StreamingQuery. The index tables must exist
+    (`dedup.save_dedup_index`, possibly on an empty corpus).
+    """
+    from hippollm_spark.operators.dedup import incremental_dedup
+
+    gated = curate_stream(
+        docs,
+        min_quality_e8=min_quality_e8,
+        shards=shards,
+        scrub=scrub,
+    )
+
+    def _process(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        dups = incremental_dedup(
+            spark,
+            batch.select("doc_id", "text"),
+            index_prefix,
+            threshold=threshold,
+            update_index=True,
+        )
+        survivors = batch.join(
+            dups.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        if out_path is not None:
+            survivors.write.mode("append").parquet(out_path)
+
+    writer = gated.writeStream.foreachBatch(_process).outputMode("append")
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

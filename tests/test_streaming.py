@@ -337,3 +337,59 @@ def test_ohlc_stream_matches_batch_and_temporal(spark, event_dir):
         .collect())
     )
     assert got == want_batch
+
+
+def test_curate_stream_with_index_kills_near_dups_across_batches(spark, tmp_path):
+    """Full ingestion loop: micro-batch near-dup dedup against the
+    persisted LSH index; survivors append to the index so later
+    micro-batches dedup against them."""
+    import datetime as dt
+
+    from hippollm_spark.operators.dedup import save_dedup_index
+    from hippollm_spark.streaming.curate_stream import curate_stream_with_index
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests with the dog in the warm sun of the meadow"
+    )
+    other = (
+        "completely different readable content about spark catalyst "
+        "plans and the shuffle exchanges they produce for wide joins"
+    )
+    # seed index with an EMPTY corpus
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    save_dedup_index(spark, empty, "stream_idx")
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    drop = str(tmp_path / "docs")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(1, base, t0), (2, other, t0)], "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(drop)
+    spark.createDataFrame(
+        [(10, base + " tail", t0), (11, other + " and more", t0)],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    out_path = str(tmp_path / "survivors")
+    q = curate_stream_with_index(
+        stream,
+        "stream_idx",
+        min_quality_e8=40_000_000,
+        shards=4,
+        out_path=out_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out_path).collect())
+    # near-dups of earlier survivors are gone regardless of which
+    # micro-batch they arrived in
+    assert 1 in ids and 2 in ids
+    assert 10 not in ids and 11 not in ids
