@@ -2818,6 +2818,33 @@ def q_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3:1:1:1 language interleave of the corpus into a
+    single training order — exact-rational position keys (rank·LCM/w),
+    salted md5 rank inside each corpus; rerun- and
+    partitioning-identical."""
+    from hippollm_spark.operators.sampling import interleave_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    out = interleave_corpora(
+        docs, "lang", {"en": 3, "de": 1, "fr": 1, "es": 1}
+    )
+    return out.select("doc_id", "lang", "mix_rank", "mix_key").orderBy(
+        "mix_key", "lang", "mix_rank"
+    )
+
+
+def q_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of event values per type — one
+    lag-window pass, exact DECIMAL sufficient statistics per (key,
+    lag), the `linear_fit` recipe applied to the series' own past."""
+    from hippollm_spark.operators.temporal import autocorrelation
+
+    return autocorrelation(
+        _events(spark, sf_dir), "value", [1, 7], by="event_type"
+    ).orderBy("event_type", "lag")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2987,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_profile": q_dow_profile,
         "bm25_recall": q_bm25_recall,
         "value_benford": q_value_benford,
+        "corpus_interleave": q_corpus_interleave,
+        "value_acf": q_value_acf,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -6478,5 +6507,59 @@ def oracle_sql() -> dict[str, str]:
                        / (n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE)), 6)
                        ::DECIMAL(28,6))::DOUBLE, 6) AS chi2_benford
             FROM with_n GROUP BY event_type ORDER BY event_type
+        """,
+        "corpus_interleave": """
+            WITH kept AS (
+                SELECT doc_id, lang FROM documents
+                WHERE lang IN ('en', 'de', 'fr', 'es')
+            ),
+            r AS (
+                SELECT doc_id, lang,
+                       CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('interleave|' || doc_id::VARCHAR),
+                                     doc_id) AS INT) AS mix_rank
+                FROM kept
+            )
+            SELECT doc_id, lang, mix_rank,
+                   CAST(mix_rank * (CASE lang WHEN 'en' THEN 1 ELSE 3 END)
+                        AS BIGINT) AS mix_key
+            FROM r ORDER BY mix_key, lang, mix_rank
+        """,
+        "value_acf": """
+            WITH lagged AS (
+                SELECT event_type,
+                       CAST(value AS DECIMAL(19,6)) AS x,
+                       lag(CAST(value AS DECIMAL(19,6)), 1) OVER w AS l1,
+                       lag(CAST(value AS DECIMAL(19,6)), 7) OVER w AS l7
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            s1 AS (
+                SELECT event_type, 1 AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                       sum(x) AS sx, sum(l1) AS sy, sum(x * l1) AS sxy,
+                       sum(x * x) AS sxx, sum(l1 * l1) AS syy
+                FROM lagged WHERE l1 IS NOT NULL GROUP BY event_type
+            ),
+            s7 AS (
+                SELECT event_type, 7 AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                       sum(x) AS sx, sum(l7) AS sy, sum(x * l7) AS sxy,
+                       sum(x * x) AS sxx, sum(l7 * l7) AS syy
+                FROM lagged WHERE l7 IS NOT NULL GROUP BY event_type
+            ),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s7)
+            SELECT event_type, lag, n_pairs,
+                   round(CASE WHEN (n_pairs::DOUBLE * sxx::DOUBLE
+                                    - sx::DOUBLE * sx::DOUBLE) > 0
+                              AND (n_pairs::DOUBLE * syy::DOUBLE
+                                   - sy::DOUBLE * sy::DOUBLE) > 0
+                              AND n_pairs > 1
+                         THEN (n_pairs::DOUBLE * sxy::DOUBLE
+                               - sx::DOUBLE * sy::DOUBLE)
+                              / sqrt((n_pairs::DOUBLE * sxx::DOUBLE
+                                      - sx::DOUBLE * sx::DOUBLE)
+                                     * (n_pairs::DOUBLE * syy::DOUBLE
+                                        - sy::DOUBLE * sy::DOUBLE))
+                         END, 6) AS acf
+            FROM u ORDER BY event_type, lag
         """,
     }

@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "dow_profile",
     "bm25_recall",
     "value_benford",
+    "corpus_interleave",
+    "value_acf",
 ]
 
 

@@ -421,3 +421,50 @@ def global_shuffle(
             "shuffle_key"
         )
     return out.orderBy("shuffle_key", id_col)
+
+
+def interleave_corpora(
+    df: DataFrame,
+    corpus_col: str,
+    weights: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    salt: str = "interleave",
+) -> DataFrame:
+    """Deterministic weighted interleave of multiple corpora into ONE
+    training order: corpus c with weight w contributes ~w of every
+    Σweights consecutive documents, evenly spread (the data-mixing
+    step after per-corpus sampling, before sharded writes).
+
+    Each document's global position key is the exact rational
+    rank/weight, carried as the integer rank·LCM/w (weights are small
+    integers, LCM is tiny) — no float division, so the total order
+    (key, corpus, rank) is engine-exact. Within a corpus, rank is the
+    salted md5 order (`global_shuffle`'s key), so the interleave is
+    also a shuffle and re-salts per epoch.
+
+    Output: input columns + (mix_rank, mix_key BIGINT); order by
+    (mix_key, corpus, mix_rank) — or feed `repartitionByRange` on
+    those keys for the sharded write. Corpora absent from ``weights``
+    are dropped (explicit mixing decisions only).
+    """
+    from functools import reduce
+    from math import gcd
+
+    ws = {k: int(v) for k, v in weights.items()}
+    if not ws or any(v <= 0 for v in ws.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = reduce(lambda a, b: a * b // gcd(a, b), ws.values())
+    kept = df.filter(F.col(corpus_col).isin(list(ws)))
+    w_rank = Window.partitionBy(corpus_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    mult = F.create_map(
+        *[x for k, v in sorted(ws.items()) for x in (F.lit(k), F.lit(lcm // v))]
+    )
+    out = kept.withColumn("mix_rank", F.row_number().over(w_rank))
+    return out.withColumn(
+        "mix_key",
+        (F.col("mix_rank").cast("long") * mult[F.col(corpus_col)]).cast("long"),
+    )

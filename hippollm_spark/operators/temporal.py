@@ -593,3 +593,75 @@ def seasonal_profile(
         F.round(mean_b, round_to).alias("mean_value"),
         F.round(mean_b / mean_all, round_to).alias("seasonal_index"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    lags: list[int],
+    *,
+    by: str | list[str] = "user_id",
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Lag-k autocorrelation per series (the ACF values behind
+    seasonality detection and AR-order picking): for each requested
+    lag, the Pearson correlation of (x_t, x_{t−k}) pairs over the
+    key's time-ordered values.
+
+    One window pass produces every lagged column; the sufficient
+    statistics per (key, lag) accumulate as exact DECIMAL sums — the
+    `linear_fit` recipe — so results are order-independent and
+    engine-replayable. Pair population is the overlap (n−k rows),
+    pairwise-complete like statsmodels' acf(adjusted=False) numerator
+    convention but computed as a plain correlation over the pairs.
+
+    Output: (by…, lag, n_pairs, acf 6dp); NULL when either margin is
+    constant or n_pairs < 2.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*keys).orderBy(order_col, tiebreak_col)
+    cur = F.col(value_col).cast("decimal(18,6)")
+    cols = [cur.alias("__x__")]
+    for k in lags:
+        cols.append(F.lag(cur, k).over(w).alias(f"__l{k}__"))
+    base = df.select(*keys, *cols)
+    outs = []
+    for k in lags:
+        x = F.col("__x__")
+        y = F.col(f"__l{k}__")
+        ok = y.isNotNull()
+        agg = base.filter(ok).groupBy(*keys).agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(x).alias("__sx__"),
+            F.sum(y).alias("__sy__"),
+            F.sum(x * y).alias("__sxy__"),
+            F.sum(x * x).alias("__sxx__"),
+            F.sum(y * y).alias("__syy__"),
+        )
+        n = F.col("n_pairs").cast("double")
+        sx = F.col("__sx__").cast("double")
+        sy = F.col("__sy__").cast("double")
+        sxy = F.col("__sxy__").cast("double")
+        sxx = F.col("__sxx__").cast("double")
+        syy = F.col("__syy__").cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        acf = F.when(
+            (vx > 0) & (vy > 0) & (F.col("n_pairs") > 1),
+            cov / F.sqrt(vx * vy),
+        )
+        outs.append(
+            agg.select(
+                *keys,
+                F.lit(k).alias("lag"),
+                "n_pairs",
+                F.round(acf, round_to).alias("acf"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

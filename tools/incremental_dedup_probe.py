@@ -24,56 +24,42 @@ def main() -> None:
 
     spark = get_spark("incremental_dedup_probe")
 
-    def synth(n, offset, dup_every=None):
-        words = F.transform(
-            F.sequence(F.lit(0), F.lit(39)),
-            lambda i: F.concat(
-                F.lit("w"),
-                F.pmod(F.xxhash64((F.col("id") + offset), i), F.lit(5000)),
-            ),
-        )
-        df = spark.range(n).select(
-            (F.col("id") + offset).alias("doc_id"),
-            F.array_join(words, " ").alias("text"),
-        )
-        if dup_every:
-            # every dup_every-th batch doc copies a corpus doc's text
-            dup_words = F.transform(
-                F.sequence(F.lit(0), F.lit(39)),
-                lambda i: F.concat(
-                    F.lit("w"),
-                    F.pmod(
-                        F.xxhash64(F.pmod(F.col("id"), F.lit(1000)), i),
-                        F.lit(5000),
-                    ),
-                ),
-            )
-            df = df.withColumn(
-                "text",
-                F.when(
-                    F.pmod(F.col("doc_id"), F.lit(dup_every)) == 0,
-                    F.array_join(dup_words, " "),
-                ).otherwise(F.col("text")),
-            )
-        return df
-
-    corpus = synth(n_corpus, 0)
-    # plant: corpus docs 0..999 reuse 1000 shared texts via dup_every path
-    batch = synth(n_batch, 10_000_000, dup_every=10)
-    corpus_dups = synth(1000, 0).select(
-        F.col("doc_id"),
-        F.array_join(
+    def _words(seed_col):
+        return F.array_join(
             F.transform(
                 F.sequence(F.lit(0), F.lit(39)),
                 lambda i: F.concat(
-                    F.lit("w"),
-                    F.pmod(F.xxhash64(F.pmod(F.col("doc_id"), F.lit(1000)), i), F.lit(5000)),
+                    F.lit("w"), F.pmod(F.xxhash64(seed_col, i), F.lit(5000))
                 ),
             ),
             " ",
-        ).alias("text"),
+        )
+
+    def synth(n, offset, dup_every=None):
+        # text seeded by the raw range id (+offset) so every doc is
+        # unique; with dup_every, every dup_every-th doc instead takes
+        # the text of shared seed (id % 1000) — a planted near/exact
+        # dup of the corpus docs built from the same shared seeds.
+        base = spark.range(n)
+        text = _words(F.col("id") + offset)
+        if dup_every:
+            text = F.when(
+                F.pmod(F.col("id"), F.lit(dup_every)) == 0,
+                _words(F.pmod(F.col("id"), F.lit(1000))),
+            ).otherwise(text)
+        return base.select(
+            (F.col("id") + offset).alias("doc_id"), text.alias("text")
+        )
+
+    corpus = synth(n_corpus, 0)
+    # corpus side of the plant: 1000 docs built from the shared seeds
+    shared = spark.range(1000).select(
+        (F.col("id") + n_corpus).alias("doc_id"),
+        _words(F.pmod(F.col("id"), F.lit(1000))).alias("text"),
     )
-    corpus = corpus.unionByName(corpus_dups.withColumn("doc_id", F.col("doc_id") + n_corpus))
+    corpus = corpus.unionByName(shared)
+    # batch: every 10th doc duplicates a shared-seed text
+    batch = synth(n_batch, 10_000_000, dup_every=10)
 
     from hippollm_spark.operators.dedup import (
         incremental_dedup,
