@@ -1,0 +1,48 @@
+"""Driver-contract self-checks: the bench list, queries(), and
+oracle_sql() stay mutually consistent, and every query builds a plan
+at sf0.001 (no analysis errors hiding until the driver runs)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from bench import BENCH_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# rows-only by design: approximate / float-matmul paths with no SQL twin
+EXPECTED_NO_ORACLE = {
+    "approx_stats",
+    "ann_pq_topk",
+    "mmr_rerank",
+    "pca_embeddings",
+}
+
+
+def test_bench_queries_all_registered():
+    qs = entry.queries()
+    missing = [q for q in BENCH_QUERIES if q not in qs]
+    assert not missing, f"bench names not in queries(): {missing}"
+
+
+def test_every_query_is_benched():
+    unbenched = [q for q in entry.queries() if q not in set(BENCH_QUERIES)]
+    assert not unbenched, f"queries missing from bench.py: {unbenched}"
+
+
+def test_oracle_coverage_is_exactly_the_declared_set():
+    qs = set(entry.queries())
+    os_ = set(entry.oracle_sql())
+    assert os_ <= qs, f"oracle keys without a query: {sorted(os_ - qs)}"
+    assert qs - os_ == EXPECTED_NO_ORACLE, (
+        "rows-only set drifted: " f"{sorted(qs - os_)}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_query_analyzes(spark, name):
+    """Catalyst analysis (schema resolution) succeeds for every query —
+    cheap (no execution) and catches column typos immediately."""
+    df = entry.queries()[name](spark, SF)
+    assert len(df.schema.fields) > 0
