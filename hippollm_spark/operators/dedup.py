@@ -1280,6 +1280,10 @@ def save_dedup_index(
     ``<prefix>_shingles`` (doc_id, shingles) bucketed by doc_id for
     the exact-Jaccard verify join.
     """
+    from hippollm_spark.session import drop_table
+
+    drop_table(spark, f"{table_prefix}_bands")
+    drop_table(spark, f"{table_prefix}_shingles")
     sh, banded = _band_rows(
         docs, num_hashes, bands, n,
         id_col=id_col, text_col=text_col,

@@ -203,6 +203,10 @@ def save_postings(
     (Spark bucket pruning — `SelectedBucketsCount` in the scan node),
     so per-query I/O is |index|/n_buckets·|terms| instead of the full
     postings table. term_stats/corpus_stats are tiny side tables."""
+    from hippollm_spark.session import drop_table
+
+    for suffix in ("postings", "term_stats", "corpus_stats"):
+        drop_table(spark, f"{table_prefix}_{suffix}")
     postings, term_stats, corpus_stats = build_postings(
         docs, id_col=id_col, text_col=text_col
     )

@@ -705,6 +705,10 @@ def save_ivf_index(
     ``<prefix>_centroids`` table (list_id, centroid) so a later
     session can probe without retraining. Returns the centroids.
     """
+    from hippollm_spark.session import drop_table
+
+    drop_table(spark, f"{table_prefix}_ivf")
+    drop_table(spark, f"{table_prefix}_centroids")
     assigned, cents = ivf_build(
         vecs, nlist, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col, distributed=distributed,

@@ -46,3 +46,24 @@ def get_spark(app_name: str = "hippollm_spark", **overrides: str) -> SparkSessio
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def drop_table(spark, name: str) -> None:
+    """Drop a managed table AND its orphaned warehouse directory.
+
+    With an in-memory catalog (no Hive metastore) the warehouse dir
+    outlives the session: a rerun's ``saveAsTable(mode="overwrite")``
+    then fails with LOCATION_ALREADY_EXISTS because the new catalog
+    has never heard of the table but its files are on disk. Every
+    index saver calls this first — idempotent re-builds are part of
+    the operator contract.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, name.lower())
+    fs = path.getFileSystem(conf)
+    if fs.exists(path):
+        fs.delete(path, True)
