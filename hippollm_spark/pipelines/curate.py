@@ -269,3 +269,63 @@ def domain_filter(
         F.col("domain").alias(domain_col)
     )
     return docs.join(F.broadcast(keep), domain_col, "left_semi")
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    shards_per_lang: int = 4,
+    ctx: int = 2048,
+    salt: str = "epoch0",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The LAST stage of the curation pipeline: turn the curated corpus
+    into training shard files — deterministic salted shuffle order
+    (`global_shuffle`), concat-and-chunk packing offsets
+    (`pack_sequences` over the shuffled order), and a Hive-partitioned
+    write with controlled file counts (`write_partitioned`).
+
+    Within each language partition, rows are sorted by shuffle_key, so
+    reading a shard's files in order replays the exact packed token
+    stream; a different ``salt`` re-permutes everything for the next
+    epoch without touching upstream stages. Returns the per-language
+    row/chunk summary dict.
+    """
+    from hippollm_spark.operators.sampling import global_shuffle, pack_sequences
+    from hippollm_spark.operators.layout import write_partitioned
+    from hippollm_spark.operators.textstats import token_count
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+    ).withColumn("n_tokens", token_count(F.col("text")))
+    shuffled = global_shuffle(base, "doc_id", salt=salt)
+    packed = pack_sequences(
+        shuffled,
+        ctx=ctx,
+        shard_col="lang",
+        id_col="shuffle_key",  # pack in SHUFFLED order, not id order
+        token_count_col="n_tokens",
+    )
+    write_partitioned(
+        packed,
+        path,
+        ["lang"],
+        files_per_partition=shards_per_lang,
+        sort_within="shuffle_key",
+    )
+    out = packed.sparkSession.read.parquet(path)
+    summary = {
+        r["lang"]: (r["n_docs"], r["n_chunks"])
+        for r in out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("chunk_id") + 1).alias("n_chunks"),
+        )
+        .collect()
+    }
+    return summary
