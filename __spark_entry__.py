@@ -2845,6 +2845,39 @@ def q_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "lag")
 
 
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks over the entity
+    co-occurrence graph (1 walk x 3 steps per vertex) — the node2vec/
+    DeepWalk corpus generator with an md5 picker, so the DuckDB
+    oracle unrolls the identical walk step by step."""
+    from hippollm_spark.operators.graph import cooccurrence, random_walks
+
+    pairs = cooccurrence(_edges(spark, sf_dir)).select("entity_a", "entity_b")
+    sym = pairs.select(
+        F.col("entity_a").alias("src"), F.col("entity_b").alias("dst")
+    ).union(
+        pairs.select(F.col("entity_b").alias("src"), F.col("entity_a").alias("dst"))
+    )
+    return random_walks(sym, walks_per_vertex=1, walk_length=3).orderBy(
+        "walk_id", "step"
+    )
+
+
+def q_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under
+    the (nation, segment) quasi-identifier with account-balance sign
+    as the sensitive value — one exact hash aggregate, the
+    release-gate report."""
+    from hippollm_spark.operators.stats import privacy_risk
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_sign", F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos")
+    )
+    return privacy_risk(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_sign", k=5, l=2
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3016,6 +3049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_benford": q_value_benford,
         "corpus_interleave": q_corpus_interleave,
         "value_acf": q_value_acf,
+        "graph_walks": q_graph_walks,
+        "privacy_audit": q_privacy_audit,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -6561,5 +6596,58 @@ def oracle_sql() -> dict[str, str]:
                                         - sy::DOUBLE * sy::DOUBLE))
                          END, 6) AS acf
             FROM u ORDER BY event_type, lag
+        """,
+        "graph_walks": f"""
+            WITH ed AS ({_EDGES_SQL}),
+            p AS (
+                SELECT DISTINCT a.entity AS a, b.entity AS b
+                FROM ed a JOIN ed b
+                  ON a.fact_id = b.fact_id AND a.entity < b.entity
+            ),
+            e AS (SELECT a AS v, b AS n FROM p UNION SELECT b, a FROM p),
+            adj AS (
+                SELECT v, n,
+                       row_number() OVER (PARTITION BY v ORDER BY n) - 1 AS i,
+                       count(*) OVER (PARTITION BY v) AS deg
+                FROM e
+            ),
+            verts AS (SELECT v FROM e UNION SELECT n FROM e),
+            f0 AS (SELECT v || '#0' AS walk_id, v AS vertex FROM verts),
+            f1 AS (
+                SELECT f0.walk_id, adj.n AS vertex
+                FROM f0 JOIN adj ON adj.v = f0.vertex
+                 AND adj.i = ('0x' || substr(md5('walk|0|' || f0.vertex
+                              || '|1'), 1, 15))::BIGINT % adj.deg
+            ),
+            f2 AS (
+                SELECT f1.walk_id, adj.n AS vertex
+                FROM f1 JOIN adj ON adj.v = f1.vertex
+                 AND adj.i = ('0x' || substr(md5('walk|0|' || f1.vertex
+                              || '|2'), 1, 15))::BIGINT % adj.deg
+            ),
+            f3 AS (
+                SELECT f2.walk_id, adj.n AS vertex
+                FROM f2 JOIN adj ON adj.v = f2.vertex
+                 AND adj.i = ('0x' || substr(md5('walk|0|' || f2.vertex
+                              || '|3'), 1, 15))::BIGINT % adj.deg
+            )
+            SELECT walk_id, CAST(step AS INT) AS step, vertex FROM (
+                SELECT walk_id, 0 AS step, vertex FROM f0
+                UNION ALL SELECT walk_id, 1, vertex FROM f1
+                UNION ALL SELECT walk_id, 2, vertex FROM f2
+                UNION ALL SELECT walk_id, 3, vertex FROM f3
+            ) ORDER BY walk_id, step
+        """,
+        "privacy_audit": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS group_size,
+                   CAST(count(DISTINCT CASE WHEN c_acctbal < 0
+                        THEN 'neg' ELSE 'pos' END) AS BIGINT) AS n_sensitive,
+                   (count(*) < 5) AS k_violation,
+                   (count(DISTINCT CASE WHEN c_acctbal < 0
+                        THEN 'neg' ELSE 'pos' END) < 2) AS l_violation
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            ORDER BY c_nationkey, c_mktsegment
         """,
     }

@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "value_benford",
     "corpus_interleave",
     "value_acf",
+    "graph_walks",
+    "privacy_audit",
 ]
 
 

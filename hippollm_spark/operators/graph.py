@@ -812,3 +812,92 @@ def hits(
             auth.withColumnRenamed("__a__", "auth_scaled"), "vertex"
         )
     return state.select("vertex", "hub_scaled", "auth_scaled")
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 2,
+    walk_length: int = 4,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "walk",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Deterministic uniform random walks (the node2vec/DeepWalk
+    corpus generator): ``walks_per_vertex`` walks of ``walk_length``
+    steps from every vertex, where step t of walk w at vertex v picks
+    neighbour index ``md5_15(salt|w|v|t) mod degree(v)`` (the
+    `sampling.rank_hash` 15-hex-digit construction — engine-portable,
+    so an oracle can unroll the walk) — fully
+    reproducible (rerun-, partition- and engine-stable), re-saltable
+    for fresh walk sets, no RNG state anywhere.
+
+    Implementation: neighbours are pre-ranked once per vertex
+    (dense_rank-free: one row_number window over the deduped edge
+    list); each step is then ONE join of frontiers against the ranked
+    adjacency on (vertex, picked_index) — never a neighbour explosion.
+    Walks that reach a sink vertex stop early (shorter path emitted).
+
+    Output: (walk_id STRING, step INT, vertex STRING) — one row per
+    visited vertex, step 0 = origin; group by walk_id + collect to get
+    sentence-like sequences for an embedding trainer.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("n"))
+        .distinct()
+    )
+    w_rank = Window.partitionBy("v").orderBy("n")
+    adj = (
+        e.withColumn("__i__", F.row_number().over(w_rank) - 1)
+        .withColumn("__deg__", F.count("*").over(Window.partitionBy("v")))
+        .localCheckpoint(eager=True)
+    )
+    # origins = ALL vertices (src ∪ dst): sinks still yield their
+    # single-node walk, like DeepWalk starting from every node
+    verts = (
+        e.select("v").union(e.select(F.col("n").alias("v"))).distinct()
+    )
+    frontier = verts.crossJoin(
+        adj.sparkSession.range(walks_per_vertex).select(
+            F.col("id").cast("int").alias("__w__")
+        )
+    ).select(
+        F.concat_ws("#", F.col("v"), F.col("__w__")).alias("walk_id"),
+        F.col("__w__"),
+        F.col("v").alias("vertex"),
+    )
+    results = frontier.select(
+        "walk_id", F.lit(0).alias("step"), "vertex"
+    ).localCheckpoint(eager=True)
+    cur = frontier
+    for t in range(1, walk_length + 1):
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("__w__").cast("string"),
+                F.col("vertex"),
+                F.lit(str(t)),
+            )
+        )
+        pick = F.pmod(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+            F.col("__deg__"),
+        )
+        nxt = (
+            cur.join(adj, cur.vertex == adj.v)
+            .filter(F.col("__i__") == pick)
+            .select(
+                "walk_id", "__w__", F.col("n").alias("vertex")
+            )
+        )
+        if t % checkpoint_every == checkpoint_every - 1 or t == walk_length:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+        results = results.unionByName(
+            nxt.select("walk_id", F.lit(t).alias("step"), "vertex")
+        )
+        cur = nxt
+    return results

@@ -1297,3 +1297,45 @@ def benford_test(
             ).alias("chi2_benford"),
         )
     )
+
+
+def privacy_risk(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str | None = None,
+    *,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Re-identification risk audit before releasing/sharing a table:
+    per quasi-identifier combination — group size (k-anonymity),
+    distinct sensitive values (l-diversity when ``sensitive_col`` is
+    given), and the violation flags.
+
+    A table is k-anonymous iff NO group is smaller than k, and
+    l-diverse iff no group carries fewer than l distinct sensitive
+    values. One exact hash aggregate over the QI columns — the
+    risky-groups output is the thing to inspect/suppress before
+    export; at 100 TB swap countDistinct for an HLL sketch if the
+    sensitive domain is huge (exact here: the audit must not
+    under-count a violation).
+
+    Output: QI cols + (group_size, n_sensitive, k_violation,
+    l_violation), one row per QI combination.
+    """
+    qi = list(quasi_identifiers)
+    aggs = [F.count("*").alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("n_sensitive"))
+    out = df.groupBy(*qi).agg(*aggs)
+    if sensitive_col is None:
+        out = out.withColumn("n_sensitive", F.lit(None).cast("long"))
+    return out.select(
+        *qi,
+        "group_size",
+        "n_sensitive",
+        (F.col("group_size") < k).alias("k_violation"),
+        F.when(
+            F.col("n_sensitive").isNotNull(), F.col("n_sensitive") < l
+        ).alias("l_violation"),
+    )

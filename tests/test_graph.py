@@ -253,3 +253,35 @@ def test_hits_partition_invariant(spark):
     a = sorted(map(tuple, hits(df, 2).collect()))
     b = sorted(map(tuple, hits(df.repartition(13), 2).collect()))
     assert a == b
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from collections import defaultdict
+
+    from hippollm_spark.operators.graph import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = random_walks(df, walks_per_vertex=2, walk_length=3).collect()
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    walks = defaultdict(dict)
+    for r in out:
+        walks[r["walk_id"]][r["step"]] = r["vertex"]
+    assert len(walks) == 8  # 4 vertices x 2 walks
+    for wid, steps in walks.items():
+        seq = [steps[i] for i in sorted(steps)]
+        assert seq[0] == wid.split("#")[0]
+        for u, v in zip(seq, seq[1:]):
+            assert v in adj[u], (wid, seq)  # every hop is a real edge
+        # sink 'd' has no out-edges: walks stop there
+        if "d" in seq:
+            assert seq.index("d") == len(seq) - 1
+
+    # deterministic under repartition; re-salt changes the walks
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, random_walks(df.repartition(5), 2, 3).collect()))
+    assert a == b
+    c = sorted(map(tuple, random_walks(df, 2, 3, salt="other").collect()))
+    assert c != a

@@ -142,3 +142,29 @@ def test_grouped_auc_column_expression_label(spark):
     )
     row = grouped_auc(df, "value", F.col("event_type") == "purchase").first()
     assert row["auc"] == 1.0
+
+
+def test_privacy_risk_k_and_l(spark):
+    from hippollm_spark.operators.stats import privacy_risk
+
+    rows = [
+        # (zip, age_band, diagnosis)
+        ("100", "30s", "flu"), ("100", "30s", "flu"), ("100", "30s", "cold"),
+        ("100", "30s", "flu"), ("100", "30s", "ok"),
+        ("999", "40s", "rare"),  # singleton group -> k violation
+        ("200", "20s", "flu"), ("200", "20s", "flu"),  # l violation (1 value)
+        ("200", "20s", "flu"), ("200", "20s", "flu"), ("200", "20s", "flu"),
+    ]
+    df = spark.createDataFrame(rows, "zip string, age string, dx string")
+    out = {
+        (r["zip"], r["age"]): r
+        for r in privacy_risk(df, ["zip", "age"], "dx", k=5, l=2).collect()
+    }
+    assert not out[("100", "30s")]["k_violation"]
+    assert not out[("100", "30s")]["l_violation"]
+    assert out[("999", "40s")]["k_violation"]
+    assert out[("200", "20s")]["l_violation"]  # 5 rows but 1 dx value
+    assert not out[("200", "20s")]["k_violation"]
+    # without a sensitive column, l flag is null
+    r = privacy_risk(df, ["zip"], k=3).filter("zip = '999'").first()
+    assert r["l_violation"] is None and r["k_violation"]
