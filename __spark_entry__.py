@@ -10,8 +10,11 @@ driver's synthetic tables per FIXTURES.md §6:
 - events             ↔ the stream table
 
 Every ``queries()`` entry has a matching ``oracle_sql()`` DuckDB query
-unless the op is approximate-by-design (MinHash/SimHash LSH), which the
-driver checks rows-only and pytest checks by recall vs the exact op.
+unless the op is approximate/float-matmul by design (approx_stats,
+ann_pq_topk, mmr_rerank, pca_embeddings), which the driver checks
+rows-only and pytest checks by recall/parity vs the exact op — even
+MinHash/SimHash are oracle-hashed via their deterministic md5
+variants (tests/test_contract.py pins the rows-only set).
 
 Float discipline for cross-engine hash-matching: money aggregates are
 summed as DECIMAL (exact, order-independent) then cast back to DOUBLE
