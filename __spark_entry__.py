@@ -2881,6 +2881,18 @@ def q_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_nationkey", "c_mktsegment")
 
 
+def q_ppmi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free distributional word vectors: PPMI over +/-2-window
+    co-occurrences of the top-50 vocabulary — map-side offset explode
+    + one (doc, pos) equi-join, exact integer counts; rows feed
+    `ppmi_vectors` and then PCA for SVD-style embeddings."""
+    from hippollm_spark.operators.textstats import ppmi_pairs
+
+    return ppmi_pairs(
+        _t(spark, sf_dir, "documents"), vocab_size=50, window=2
+    ).orderBy("term_a", "term_b")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3054,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_acf": q_value_acf,
         "graph_walks": q_graph_walks,
         "privacy_audit": q_privacy_audit,
+        "ppmi_terms": q_ppmi_terms,
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
@@ -6652,5 +6665,51 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             ORDER BY c_nationkey, c_mktsegment
+        """,
+        "ppmi_terms": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS pos
+                FROM t
+            ),
+            toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+            vocab AS (
+                SELECT term FROM toks_ne GROUP BY term
+                ORDER BY count(*) DESC, term ASC LIMIT 50
+            ),
+            vt AS (
+                SELECT tk.doc_id, tk.term, tk.pos
+                FROM toks_ne tk JOIN vocab v USING (term)
+            ),
+            ctx AS (
+                SELECT vt.doc_id, vt.term AS term_a,
+                       vt.pos + o.o AS pos
+                FROM vt CROSS JOIN (
+                    SELECT unnest([-2, -1, 1, 2]) AS o
+                ) o
+            ),
+            pairs AS (
+                SELECT c.term_a, v2.term AS term_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM ctx c JOIN vt v2
+                  ON v2.doc_id = c.doc_id AND v2.pos = c.pos
+                GROUP BY 1, 2
+            ),
+            ma AS (SELECT term_a, CAST(sum(n_ab) AS BIGINT) AS na
+                   FROM pairs GROUP BY term_a),
+            mb AS (SELECT term_b, CAST(sum(n_ab) AS BIGINT) AS nb
+                   FROM pairs GROUP BY term_b),
+            tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM pairs)
+            SELECT p.term_a, p.term_b, p.n_ab,
+                   round(greatest(
+                       ln(p.n_ab::DOUBLE * (SELECT t FROM tt)::DOUBLE
+                          / (ma.na::DOUBLE * mb.nb::DOUBLE)), 0.0), 6)
+                       AS ppmi
+            FROM pairs p JOIN ma USING (term_a) JOIN mb USING (term_b)
+            ORDER BY term_a, term_b
         """,
     }

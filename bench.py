@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "value_acf",
     "graph_walks",
     "privacy_audit",
+    "ppmi_terms",
 ]
 
 

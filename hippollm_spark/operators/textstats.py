@@ -900,3 +900,116 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), round_to
         ).alias("fk_grade"),
     )
+
+
+def ppmi_pairs(
+    docs: DataFrame,
+    vocab_size: int = 200,
+    window: int = 2,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Count-based distributional semantics WITHOUT a model: positive
+    PMI over symmetric ±``window`` co-occurrences of the top
+    ``vocab_size`` terms — the classic PPMI matrix whose rows are
+    usable word vectors (Levy & Goldberg 2014 showed SGNS implicitly
+    factorizes it). `ppmi_vectors` assembles dense rows; feed those to
+    `similarity.pca_fit` for the SVD-style compression.
+
+    Shape: tokenize once → (doc, pos, term) → map-side offset
+    explode (each token emits its ±window context POSITIONS) →
+    ONE equi-join back on (doc, pos) — fanout is 2·window per token,
+    never a doc-length self-join — → exact integer pair counts.
+    PPMI = max(0, ln(n_ab·T / (n_a·n_b))) over exact integer counts
+    (margins from the PAIR table, so the identity Σ_b n_ab = n_a holds
+    by construction), rounded at 6dp; vocabulary selection is
+    deterministic (count desc, term asc).
+
+    Output: (term_a, term_b, n_ab, ppmi) for co-occurring vocab pairs.
+    """
+    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    toks = t.select(
+        F.col("doc_id"),
+        F.posexplode(F.col("__toks__")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("__cnt__"))
+        .orderBy(F.desc("__cnt__"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term")
+    )
+    vt = toks.join(F.broadcast(vocab), "term")
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+    ctx = vt.select(
+        "doc_id",
+        F.col("term").alias("term_a"),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(o) for o in offsets])
+        ).alias("pos"),
+    )
+    pairs = (
+        ctx.join(
+            vt.select("doc_id", "pos", F.col("term").alias("term_b")),
+            ["doc_id", "pos"],
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    marg_a = pairs.groupBy("term_a").agg(F.sum("n_ab").alias("__na__"))
+    marg_b = pairs.groupBy("term_b").agg(F.sum("n_ab").alias("__nb__"))
+    total = pairs.agg(F.sum("n_ab").alias("__t__"))
+    scored = (
+        pairs.join(F.broadcast(marg_a), "term_a")
+        .join(F.broadcast(marg_b), "term_b")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("__t__").cast("double")
+        / (F.col("__na__").cast("double") * F.col("__nb__").cast("double"))
+    )
+    return scored.select(
+        "term_a",
+        "term_b",
+        "n_ab",
+        F.round(F.greatest(pmi, F.lit(0.0)), round_to).alias("ppmi"),
+    )
+
+
+def ppmi_vectors(
+    pairs: DataFrame,
+    *,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Assemble dense PPMI row vectors from `ppmi_pairs` output: the
+    context vocabulary (distinct term_b, sorted) defines the
+    dimensions; each term_a's row is the vocab-length array with its
+    PPMI weights (0 where the pair never co-occurred). Pure JVM
+    (map_from_entries + a sequence transform) — no UDF; rows are
+    vocab-sized, so this stays small even when the corpus is not.
+    """
+    dims = [
+        r["term_b"]
+        for r in pairs.select("term_b").distinct().orderBy("term_b").collect()
+    ]
+    idx = F.create_map(
+        *[x for i, d in enumerate(dims) for x in (F.lit(d), F.lit(i))]
+    )
+    entries = pairs.select(
+        "term_a", idx[F.col("term_b")].alias("__i__"), "ppmi"
+    )
+    grouped = entries.groupBy("term_a").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__i__", "ppmi"))
+        ).alias("__m__")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(len(dims) - 1)),
+        lambda i: F.coalesce(F.col("__m__")[i], F.lit(0.0)),
+    )
+    return grouped.select(
+        F.col("term_a").alias("term"), vec.alias(out_col)
+    )
