@@ -489,6 +489,8 @@ def active_users(
     ts_col: str = "ts",
     wau_days: int = 7,
     mau_days: int = 28,
+    approx: bool = False,
+    approx_rsd: float = 0.02,
 ) -> DataFrame:
     """DAU / WAU / MAU: distinct active users per day plus trailing
     7- and 28-day distinct actives — the product-health triptych.
@@ -500,10 +502,12 @@ def active_users(
     (fanout = wau/mau window width, a constant) and count distinct per
     day. The day grid is tiny and broadcast. At petabyte scale swap
     the exact distinct for mergeable HLL sketches per (user-bucket,
-    day) — `approx_stats` documents that path; this operator is the
-    exact, oracle-checkable form.
+    day) — ``approx=True`` IS that swap (approx_count_distinct over
+    the identical join shape, rsd=`approx_rsd`): the shuffle carries
+    KB-sized sketches instead of user ids, at bounded relative error.
+    The default stays exact and oracle-checkable.
 
-    Output: (day DATE, dau, wau, mau) for every day present.
+    Output: (day TIMESTAMP, dau, wau, mau) for every day present.
     """
     ud = (
         events.select(
@@ -515,21 +519,24 @@ def active_users(
         .distinct()
     )
     days = ud.select(F.col("d").alias("day_idx")).distinct()
-    dau = ud.groupBy(F.col("d").alias("day_idx")).agg(
-        F.countDistinct("u").alias("dau")
+    cd = (
+        (lambda c: F.approx_count_distinct(c, rsd=approx_rsd))
+        if approx
+        else F.countDistinct
     )
+    dau = ud.groupBy(F.col("d").alias("day_idx")).agg(cd("u").alias("dau"))
     joined_w = ud.join(
         F.broadcast(days),
         (F.col("d") <= F.col("day_idx"))
         & (F.col("d") > F.col("day_idx") - wau_days),
     )
-    wau = joined_w.groupBy("day_idx").agg(F.countDistinct("u").alias("wau"))
+    wau = joined_w.groupBy("day_idx").agg(cd("u").alias("wau"))
     joined_m = ud.join(
         F.broadcast(days),
         (F.col("d") <= F.col("day_idx"))
         & (F.col("d") > F.col("day_idx") - mau_days),
     )
-    mau = joined_m.groupBy("day_idx").agg(F.countDistinct("u").alias("mau"))
+    mau = joined_m.groupBy("day_idx").agg(cd("u").alias("mau"))
     return (
         dau.join(wau, "day_idx")
         .join(mau, "day_idx")

@@ -69,3 +69,23 @@ def test_seasonal_profile_hour_and_bad_period(spark):
     assert out[5]["n"] == 2 and abs(out[5]["mean_value"] - 2.0) < 1e-9
     with pytest.raises(ValueError):
         seasonal_profile(df, "ts", "value", period="month")
+
+
+def test_active_users_approx_within_rsd(spark):
+    rng = __import__("numpy").random.RandomState(2)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, int(rng.randint(0, 2000)), t0 + timedelta(days=int(rng.randint(0, 14))))
+        for i in range(8000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    exact = {r["day"]: (r["dau"], r["wau"], r["mau"]) for r in active_users(df).collect()}
+    approx = {
+        r["day"]: (r["dau"], r["wau"], r["mau"])
+        for r in active_users(df, approx=True, approx_rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, (d, w, m) in exact.items():
+        ad, aw, am = approx[day]
+        for e, a in ((d, ad), (w, aw), (m, am)):
+            assert abs(a - e) <= max(5, 0.1 * e), (day, e, a)
