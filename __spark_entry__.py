@@ -5651,7 +5651,8 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY value ASC) AS r,
                        count(*) OVER (PARTITION BY date_trunc('day', ts),
                                       value) AS c
-                FROM events WHERE value IS NOT NULL
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
             ),
             a AS (
                 SELECT day, count(*) AS n,
@@ -5909,12 +5910,18 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_hourly": """
             SELECT date_trunc('hour', ts) AS bucket,
                    CAST(count(*) AS BIGINT) AS n,
-                   min_by(value, lpad(epoch_us(ts)::VARCHAR, 20, '0')
-                          || lpad(event_id::VARCHAR, 12, '0')) AS open,
+                   min_by(value,
+                          lpad((epoch_us(ts) + 4611686018427387904)::VARCHAR,
+                               20, '0')
+                          || lpad((event_id + 4611686018427387904)::VARCHAR,
+                                  20, '0')) AS open,
                    max(value) AS high,
                    min(value) AS low,
-                   max_by(value, lpad(epoch_us(ts)::VARCHAR, 20, '0')
-                          || lpad(event_id::VARCHAR, 12, '0')) AS close,
+                   max_by(value,
+                          lpad((epoch_us(ts) + 4611686018427387904)::VARCHAR,
+                               20, '0')
+                          || lpad((event_id + 4611686018427387904)::VARCHAR,
+                                  20, '0')) AS close,
                    round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE / count(*), 6)
                        AS mean_value
             FROM events
@@ -6541,15 +6548,26 @@ def oracle_sql() -> dict[str, str]:
                 WHERE value IS NOT NULL
                   AND CAST(abs(value) AS DECIMAL(19,6)) > 0
             ),
+            totals AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY 1
+            ),
+            grid AS (
+                SELECT t.event_type, t.n, g.d
+                FROM totals t CROSS JOIN
+                     (SELECT unnest(range(1, 10)) AS d) g
+            ),
             cells AS (
                 SELECT event_type, d, CAST(count(*) AS BIGINT) AS o
                 FROM base GROUP BY 1, 2
             ),
-            with_n AS (
-                SELECT event_type, d, o,
-                       CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT)
-                           AS n
-                FROM cells
+            filled AS (
+                -- zero-cell-complete: every (group, digit 1..9) cell,
+                -- absent digits contribute the full (0-E)^2/E = E term
+                SELECT g.event_type, g.n, g.d, coalesce(c.o, 0) AS o
+                FROM grid g LEFT JOIN cells c
+                  ON g.event_type IS NOT DISTINCT FROM c.event_type
+                 AND g.d = c.d
             )
             SELECT event_type, max(n) AS n,
                    round(sum(round(
@@ -6557,7 +6575,7 @@ def oracle_sql() -> dict[str, str]:
                        * (o::DOUBLE - n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE))
                        / (n::DOUBLE * log10(1.0 + 1.0 / d::DOUBLE)), 6)
                        ::DECIMAL(28,6))::DOUBLE, 6) AS chi2_benford
-            FROM with_n GROUP BY event_type ORDER BY event_type
+            FROM filled GROUP BY event_type ORDER BY event_type
         """,
         "corpus_interleave": """
             WITH kept AS (

@@ -192,6 +192,16 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # The driver json-parses stdout. Anything else that writes to fd 1
+    # (JVM startup warnings, py4j, native logs — the JVM inherits our
+    # file descriptors) corrupts the parse (BENCH_r01 came back
+    # "parsed": null). Shield: duplicate the real stdout, point fd 1 at
+    # stderr for the whole run, and write the single JSON line to the
+    # saved descriptor at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("hippollm_spark_bench")
@@ -224,17 +234,16 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_bench_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    os.write(real_stdout, (payload + "\n").encode())
 
 
 if __name__ == "__main__":

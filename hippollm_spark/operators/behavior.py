@@ -411,10 +411,25 @@ def session_paths(
     counted = paths.groupBy("path", "n_steps").agg(
         F.count("*").alias("n_sessions")
     )
-    w_rank = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    # Top-k via orderBy+limit compiles to TakeOrderedAndProject —
+    # per-partition heaps, never a single-partition sort of the whole
+    # path domain (rank-then-filter would window ALL paths through one
+    # task). `path` is unique per row (it determines n_steps), so the
+    # (n_sessions DESC, path ASC) order is total. Rank over the ≤k
+    # surviving rows is a broadcast self-join count (rank = 1 + #rows
+    # strictly better) — k² comparisons on k≤hundreds, and the plan
+    # stays entirely window-free.
+    topk = counted.orderBy(F.desc("n_sessions"), F.asc("path")).limit(k)
+    better = topk.select(
+        F.col("n_sessions").alias("__ns__"), F.col("path").alias("__p__")
+    )
+    is_better = (F.col("__ns__") > F.col("n_sessions")) | (
+        (F.col("__ns__") == F.col("n_sessions")) & (F.col("__p__") < F.col("path"))
+    )
     return (
-        counted.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
+        topk.join(F.broadcast(better), is_better, "left")
+        .groupBy("path", "n_steps", "n_sessions")
+        .agg((F.count("__p__") + 1).cast("int").alias("rank"))
     )
 
 

@@ -389,7 +389,6 @@ def _band_rows(
             )
 
     banded = packed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
-    banded = packed.mapInPandas(_bands, "doc_id long, band_idx int, band_hash long")
     return sh, banded
 
 
@@ -1340,11 +1339,17 @@ def incremental_dedup(
     nb = banded_new.select(
         F.col("doc_id").alias("doc_new"), "band_idx", "band_hash"
     )
+    # doc_new != doc_old: a batch doc whose id is ALREADY in the index
+    # (foreachBatch retry after a crash — at-least-once semantics mean
+    # the first attempt may have appended the batch before dying — or
+    # any deliberate re-ingest) would otherwise match itself at
+    # jaccard 1.0 and be silently dropped from the survivors sink.
     cands_idx = (
         nb.join(
             idx.select(F.col("doc_id").alias("doc_old"), "band_idx", "band_hash"),
             ["band_idx", "band_hash"],
         )
+        .filter(F.col("doc_new") != F.col("doc_old"))
         .select("doc_new", "doc_old")
     )
     cands_batch = (
@@ -1358,7 +1363,14 @@ def incremental_dedup(
         .select("doc_new", "doc_old")
     )
     cands = cands_idx.unionByName(cands_batch).distinct()
-    sh_old = spark.table(f"{table_prefix}_shingles").unionByName(sh_new)
+    # One shingle row per doc_old even when a doc id sits in BOTH the
+    # index and the batch (the retry/re-ingest case above) — duplicate
+    # verify-join rows would double-report the pair.
+    sh_old = (
+        spark.table(f"{table_prefix}_shingles")
+        .unionByName(sh_new)
+        .dropDuplicates(["doc_id"])
+    )
     verified = (
         cands.join(
             sh_new.select(

@@ -763,7 +763,12 @@ def grouped_auc(
     ).cast("boolean")
     w_rank = Window.partitionBy(*keys).orderBy(F.col(score_col).asc())
     w_tie = Window.partitionBy(*keys, F.col(score_col))
-    ranked = df.filter(F.col(score_col).isNotNull()).select(
+    # NULL labels are excluded from the test population (not counted
+    # as negatives): a NULL-labeled row would otherwise occupy a rank
+    # and inflate neg = n − n_pos, biasing the AUC.
+    ranked = df.filter(
+        F.col(score_col).isNotNull() & lbl.isNotNull()
+    ).select(
         *keys,
         lbl.alias("__y__"),
         F.rank().over(w_rank).alias("__r__"),
@@ -1263,6 +1268,12 @@ def benford_test(
     Per-digit χ² terms are 6dp-rounded then DECIMAL-summed. Rows with
     |value| rounding to 0 at 6dp, or NULL, are excluded.
 
+    Every group is materialized against the full 1-9 digit grid
+    (the association_chi2 zero-cell pattern): a digit with zero
+    observed count still contributes its (0−E)²/E = E term — omitting
+    it understates misfit exactly when the distribution is most
+    degenerate (e.g. all values share one leading digit).
+
     Output: group keys + (n, chi2_benford) one row per group — join
     `digit_shares` form if per-digit detail is wanted.
     """
@@ -1276,26 +1287,29 @@ def benford_test(
     base = df.filter(v.isNotNull() & (dec > 0)).select(
         *keys, d1.alias("__d__")
     )
-    cells = base.groupBy(*keys, "__d__").agg(F.count("*").alias("__o__"))
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    with_n = cells.withColumn("__n__", F.sum("__o__").over(w))
-    expected = F.col("__n__").cast("double") * F.log10(
-        1.0 + 1.0 / F.col("__d__").cast("double")
-    )
-    term = (F.col("__o__").cast("double") - expected) * (
-        F.col("__o__").cast("double") - expected
-    ) / expected
-    return (
-        with_n.groupBy(*keys)
-        .agg(
-            F.max("__n__").alias("n"),
-            F.round(
-                F.sum(F.round(term, round_to).cast("decimal(28,6)")).cast(
-                    "double"
-                ),
-                round_to,
-            ).alias("chi2_benford"),
-        )
+    # The digit domain is the fixed grid 1..9, so the zero cells pivot
+    # into ONE conditional aggregation — no grid join (whose equi-keys
+    # would drop NULL group keys), no window, one map-side-combinable
+    # shuffle of 9 counters per group.
+    counters = [
+        F.sum(F.when(F.col("__d__") == d, 1).otherwise(0)).alias(f"__o{d}__")
+        for d in range(1, 10)
+    ]
+    agg = base.groupBy(*keys).agg(F.count("*").alias("n"), *counters)
+    n_d = F.col("n").cast("double")
+    chi2 = None
+    for d in range(1, 10):
+        # log10 stays engine-side: JVM and DuckDB agree on these nine
+        # inputs (round-1 verified), python's math.log10 might not.
+        expected = n_d * F.log10(F.lit(1.0 + 1.0 / d))
+        o = F.col(f"__o{d}__").cast("double")
+        term = F.round((o - expected) * (o - expected) / expected, round_to)
+        term = term.cast("decimal(28,6)")
+        chi2 = term if chi2 is None else chi2 + term
+    return agg.select(
+        *keys,
+        "n",
+        F.round(chi2.cast("double"), round_to).alias("chi2_benford"),
     )
 
 

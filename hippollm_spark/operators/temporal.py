@@ -427,6 +427,37 @@ def ewma_latest(
     )
 
 
+#: 2^62 — added to µs epochs and numeric ids before zero-padding so
+#: negative values order by magnitude inside the string key (see
+#: ohlc_bars docstring). Covers |µs| up to year ±146k and any id
+#: above −2^62; the biased value is ≤19 digits, within the 20-pad.
+ORDER_KEY_BIAS = 4_611_686_018_427_387_904
+
+
+def _padded_order_key(ts, id_col: str | None, id_type: str | None):
+    """Zero-padded, sign-safe "µs-epoch‖id" string key shared by
+    `ohlc_bars` and `streaming.ohlc_stream` (and the DuckDB oracle,
+    which mirrors the same bias + pad)."""
+    order = F.lpad(
+        (F.unix_micros(ts.cast("timestamp")) + F.lit(ORDER_KEY_BIAS))
+        .cast("string"),
+        20,
+        "0",
+    )
+    if id_col:
+        if id_type == "string":
+            id_part = F.col(id_col)
+        else:
+            id_part = F.lpad(
+                (F.col(id_col).cast("long") + F.lit(ORDER_KEY_BIAS))
+                .cast("string"),
+                20,
+                "0",
+            )
+        order = F.concat(order, id_part)
+    return order
+
+
 def ohlc_bars(
     df: DataFrame,
     ts_col: str,
@@ -450,17 +481,21 @@ def ohlc_bars(
     engines) — one hash aggregate, no window and no sort, so the
     shuffle carries one row per bar regardless of input size (the
     windowed first/last alternative sorts every group).
+
+    Sign safety: both key parts are biased by +2^62 before padding, so
+    pre-1970 timestamps and negative numeric ids still order by value
+    (a raw '-'-prefixed string would sort before all digits), and the
+    pad width 20 covers the full biased long domain — lpad TRUNCATES
+    overlong strings, so a 12-wide pad silently collapsed ids above
+    ~1e12. String-typed ids are appended raw (lexicographic order,
+    byte-identical across engines).
     """
     keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
     # NTZ-safe: session TZ is pinned UTC, so the cast keeps the instant
-    order = F.lpad(
-        F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"), 20, "0"
+    order = _padded_order_key(
+        F.col(ts_col), id_col, dict(df.dtypes).get(id_col) if id_col else None
     )
-    if id_col:
-        order = F.concat(
-            order, F.lpad(F.col(id_col).cast("string"), 12, "0")
-        )
     v = F.col(value_col)
     dec = v.cast("decimal(18,6)")
     return (

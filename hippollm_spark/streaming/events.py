@@ -292,13 +292,13 @@ def ohlc_stream(
     Accepts a static frame too (parity testing: same plan minus the
     watermark); batch results match `ohlc_bars` exactly.
     """
+    from hippollm_spark.operators.temporal import _padded_order_key
+
     if events.isStreaming:
         events = events.withWatermark("ts", watermark)
-    order = F.lpad(
-        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"
+    order = _padded_order_key(
+        F.col("ts"), id_col, dict(events.dtypes).get(id_col) if id_col else None
     )
-    if id_col:
-        order = F.concat(order, F.lpad(F.col(id_col).cast("string"), 12, "0"))
     v = F.col(value_col)
     return (
         events.filter(v.isNotNull())

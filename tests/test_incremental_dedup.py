@@ -72,6 +72,34 @@ def test_incremental_dedup_update_index_steady_state(spark):
     assert {r["dup_of"] for r in out3.collect()} == {20}
 
 
+def test_incremental_dedup_retry_is_idempotent(spark):
+    """foreachBatch retry / re-ingest: a batch whose doc_ids were
+    ALREADY appended to the index (at-least-once semantics) must not
+    match itself at jaccard 1.0 and vanish from the survivors sink."""
+    corpus = _docs(spark, [(1, BASE)])
+    save_dedup_index(spark, corpus, "dd_idx4")
+
+    batch = _docs(
+        spark,
+        [(50, "unique retry survivor text with many fresh tokens appearing once")],
+    )
+    out1 = incremental_dedup(spark, batch, "dd_idx4", update_index=True)
+    assert out1.count() == 0  # survivor appended to the index
+
+    # the crash-retry replays the SAME batch against the index that now
+    # contains it: no self-match, the doc survives again
+    out_retry = incremental_dedup(spark, batch, "dd_idx4")
+    assert out_retry.count() == 0
+
+    # and a genuine near-dup of it is still caught exactly once
+    b2 = _docs(
+        spark,
+        [(60, "unique retry survivor text with many fresh tokens appearing once!")],
+    )
+    rows = incremental_dedup(spark, b2, "dd_idx4").collect()
+    assert len(rows) == 1 and rows[0]["dup_of"] == 50
+
+
 def test_incremental_matches_oneshot_pairs(spark):
     """Index path finds the same dups the one-shot similarity join
     finds on the union corpus."""

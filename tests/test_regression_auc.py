@@ -144,6 +144,22 @@ def test_grouped_auc_column_expression_label(spark):
     assert row["auc"] == 1.0
 
 
+def test_grouped_auc_excludes_null_labels(spark):
+    """NULL-labeled rows are outside the test population: they must
+    not occupy ranks or count as negatives."""
+    base = [("g", 1.0, False), ("g", 2.0, True), ("g", 3.0, False),
+            ("g", 4.0, True)]
+    with_nulls = base + [("g", 0.5, None), ("g", 5.0, None)]
+    df_a = spark.createDataFrame(base, "g string, score double, label boolean")
+    df_b = spark.createDataFrame(
+        with_nulls, "g string, score double, label boolean"
+    )
+    ra = grouped_auc(df_a, "score", "label", "g").first()
+    rb = grouped_auc(df_b, "score", "label", "g").first()
+    assert rb["n"] == ra["n"] == 4
+    assert rb["auc"] == ra["auc"]
+
+
 def test_privacy_risk_k_and_l(spark):
     from hippollm_spark.operators.stats import privacy_risk
 

@@ -54,9 +54,11 @@ def _benford_reference(values):
     n = len(digs)
     obs = Counter(digs)
     chi2 = 0.0
-    for d in sorted(obs):
+    # standard definition: ALL nine digits contribute, absent digits
+    # add the full (0-E)^2/E = E term
+    for d in range(1, 10):
         e = n * math.log10(1 + 1 / d)
-        chi2 += round((obs[d] - e) ** 2 / e, 6)
+        chi2 += round((obs.get(d, 0) - e) ** 2 / e, 6)
     return n, round(chi2, 6)
 
 
@@ -85,3 +87,18 @@ def test_benford_excludes_zero_and_null(spark):
     )
     r = benford_test(df, "v", "g").first()
     assert r["n"] == 2  # 123.45 -> 1, -0.002 -> 2
+
+
+def test_benford_degenerate_single_digit(spark):
+    """All values share one leading digit — the case zero-cell omission
+    used to understate: the other eight digits' E terms must appear."""
+    df = spark.createDataFrame(
+        [("g", 1.0 + i / 100) for i in range(50)], "g string, v double"
+    )
+    r = benford_test(df, "v", "g").first()
+    n = 50
+    e1 = n * math.log10(2)
+    want = round((n - e1) ** 2 / e1, 6) + sum(
+        round(n * math.log10(1 + 1 / d), 6) for d in range(2, 10)
+    )
+    assert abs(r["chi2_benford"] - round(want, 6)) < 1e-4

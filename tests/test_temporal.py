@@ -218,3 +218,36 @@ def test_ohlc_bars_tie_broken_by_id(spark):
     )
     bar = ohlc_bars(df, "ts", "value", id_col="event_id").first()
     assert bar["open"] == 11.0 and bar["close"] == 99.0
+
+
+def test_ohlc_bars_wide_and_negative_ids(spark):
+    """Ids beyond 1e12 used to truncate in the 12-wide pad; negative
+    ids/pre-1970 timestamps used to order by the '-' sign."""
+    from datetime import datetime
+
+    from hippollm_spark.operators.temporal import ohlc_bars
+
+    t = datetime(2024, 1, 1, 9, 0, 0)
+    # 13-digit ids sharing a 12-char prefix: truncation made them tie
+    df = spark.createDataFrame(
+        [(9_999_999_999_991, t, 1.0), (9_999_999_999_990, t, 2.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    bar = ohlc_bars(df, "ts", "value", id_col="event_id").first()
+    assert bar["open"] == 2.0 and bar["close"] == 1.0
+
+    # negative vs positive id on the same timestamp
+    df2 = spark.createDataFrame(
+        [(-5, t, 7.0), (3, t, 8.0)], "event_id long, ts timestamp, value double"
+    )
+    bar2 = ohlc_bars(df2, "ts", "value", id_col="event_id").first()
+    assert bar2["open"] == 7.0 and bar2["close"] == 8.0
+
+    # pre-1970 timestamps order by instant, not by the '-' sign
+    df3 = spark.createDataFrame(
+        [(1, datetime(1969, 6, 1, 0, 0, 30), 4.0),
+         (2, datetime(1969, 6, 1, 0, 0, 10), 6.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    bar3 = ohlc_bars(df3, "ts", "value", bucket="minute", id_col="event_id").first()
+    assert bar3["open"] == 6.0 and bar3["close"] == 4.0
