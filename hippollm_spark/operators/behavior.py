@@ -309,18 +309,31 @@ def rfm_segments(
     value_col: str = "value",
     ref_date: str = "2024-02-01",
     n_bins: int = 5,
+    method: str = "threshold",
 ) -> DataFrame:
     """RFM customer segmentation: per user — Recency (days from last
     event to ``ref_date``), Frequency (event count), Monetary (exact
-    DECIMAL value sum) — each scored into ``n_bins`` quantile bins by
-    deterministic NTILE (unique ``user_col`` tie-break, so the binning
-    is total-ordered and engine-replayable), concatenated into the
-    classic segment code ("555" = recent, frequent, big spender).
+    DECIMAL value sum) — each scored into ``n_bins`` quantile bins,
+    concatenated into the classic segment code ("555" = recent,
+    frequent, big spender). Higher is better on every axis.
+
+    ``method='threshold'`` (default, the 100-TB path): bin boundaries
+    are the exact interpolated percentiles computed windowlessly
+    (`stats.global_percentile_values` — distributed rank + driver
+    interpolation of the ≤2(n_bins−1) boundary rows), and each score
+    is 1 + #boundaries strictly below the metric — a broadcast-free
+    comparison expression, so the users table is aggregated once and
+    never globally sorted. Ties all land in one bin (boundary-exact,
+    engine-replayable). ``method='ntile'`` keeps the strict
+    equal-population NTILE form (user_id tie-break) as the small-data
+    twin — it funnels all users through one window task three times,
+    so it exists for parity testing and modest tables only.
 
     Shape: one per-user aggregate (map-side combinable) shrinks the
-    data to one row per user; the three NTILEs are windows over that
-    users-sized table, not the raw events. ``ref_date`` is an explicit
-    literal — never now() — so reruns are identical.
+    data to one row per user; threshold scoring adds three range
+    exchanges of that users-sized table (boundary ranking) and zero
+    shuffles for assignment. ``ref_date`` is an explicit literal —
+    never now() — so reruns are identical.
     """
     per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
         F.datediff(
@@ -332,18 +345,50 @@ def rfm_segments(
             F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double"), 2
         ).alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id").asc())
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
-    scored = per_user.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(n_bins).over(w_r).alias("r_score"),
-        F.ntile(n_bins).over(w_f).alias("f_score"),
-        F.ntile(n_bins).over(w_m).alias("m_score"),
-    )
+    if method == "ntile":
+        w_r = Window.orderBy(
+            F.col("recency_days").desc(), F.col("user_id").asc()
+        )
+        w_f = Window.orderBy(F.col("frequency").asc(), F.col("user_id").asc())
+        w_m = Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+        scored = per_user.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(n_bins).over(w_r).alias("r_score"),
+            F.ntile(n_bins).over(w_f).alias("f_score"),
+            F.ntile(n_bins).over(w_m).alias("m_score"),
+        )
+    else:
+        from hippollm_spark.operators.stats import global_percentile_values
+
+        per_user = per_user.localCheckpoint(eager=True)
+        ps = [i / n_bins for i in range(1, n_bins)]
+
+        def _score(col: str, ascending_is_good: bool):
+            bvals = global_percentile_values(per_user, col, ps)
+            bucket = F.lit(1)
+            for bv in bvals:
+                if bv is not None:
+                    bucket = bucket + F.when(
+                        F.col(col) > F.lit(bv), 1
+                    ).otherwise(0)
+            # ascending bucket 1..n_bins; recency inverts (recent=low
+            # days=bucket 1 → best score n_bins)
+            return (
+                bucket if ascending_is_good else F.lit(n_bins + 1) - bucket
+            ).cast("int")
+
+        scored = per_user.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            _score("recency_days", False).alias("r_score"),
+            _score("frequency", True).alias("f_score"),
+            _score("monetary", True).alias("m_score"),
+        )
     return scored.withColumn(
         "segment",
         F.concat_ws(

@@ -1,0 +1,124 @@
+"""Distributed exact ranking — the windowless replacement for global /
+near-global row_number.
+
+An unpartitioned ``row_number()`` window (or one partitioned by a
+handful of huge groups, e.g. per-corpus ranks over 3-10 corpora) sorts
+every row of the table through ONE task per partition-key value — the
+single worst scale hazard in a 100-TB plan. The standard scalable
+replacement, implemented here once and reused by
+`stats.threshold_buckets` / `behavior.rfm_segments` /
+`sampling.interleave_corpora`:
+
+1. ``repartitionByRange`` on (group keys, order keys): a sampled range
+   exchange — every output partition holds a contiguous key slice, all
+   partitions sort in parallel (Tungsten spillable sort, never one
+   task).
+2. ``localCheckpoint`` pins the partitioning: the per-partition counts
+   (job 1) and the final rank stamping (job 2) MUST see identical
+   partitions — without the pin, AQE's runtime coalescing may replan
+   between the two evaluations and corrupt the offsets (the
+   `with_dense_ids` double-evaluation hazard).
+3. One tiny count-per-(partition, group) job → driver-side cumulative
+   offsets (#partitions × #groups rows — broadcast-sized by
+   construction).
+4. rank = offset + per-partition ``row_number`` — a window PARTITIONED
+   by the physical partition id, so every task ranks only its own
+   slice.
+
+The result is identical to ``row_number() OVER (PARTITION BY group
+ORDER BY order_cols)`` whenever (group, order) is a total order (pass a
+unique tie-break column), because range partitioning sends equal keys
+to one partition and the offsets are computed from actual counts — the
+sampled boundaries affect balance, never correctness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    *,
+    by: str | Sequence[str] | None = None,
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Input columns + ``rank_col`` (1-based BIGINT, row_number
+    semantics per ``by`` group, ordered by ``order_cols``) — without
+    any whole-group window. See module docstring for the shape.
+
+    ``order_cols`` entries may be strings or Column expressions; pass
+    expressions (e.g. a salted md5) directly and they are materialized
+    as hidden sort columns for the range exchange.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    ocols = []
+    work = df
+    for i, oc in enumerate(order_cols):
+        if isinstance(oc, str):
+            ocols.append(F.col(oc))
+        else:
+            name = f"__ord{i}__"
+            work = work.withColumn(name, oc)
+            ocols.append(F.col(name))
+    hidden = [c for c in work.columns if c.startswith("__ord")]
+    sort_cols = [F.col(k) for k in keys] + ocols
+
+    if partitions:
+        work = work.repartitionByRange(partitions, *sort_cols)
+    else:
+        work = work.repartitionByRange(*sort_cols)
+    # Pin the partitioning across the two consuming jobs (counts, then
+    # rank stamping) — see module docstring step 2.
+    work = work.localCheckpoint(eager=True)
+    part = work.withColumn("__pid__", F.spark_partition_id())
+
+    counts = (
+        part.groupBy("__pid__", *keys)
+        .agg(F.count("*").alias("__cnt__"))
+        .collect()
+    )
+    if not counts:
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
+
+    # cumulative offsets per group, in range-partition (= key) order
+    offsets: list[tuple] = []
+    acc: dict[tuple, int] = {}
+    for r in sorted(counts, key=lambda r: r["__pid__"]):
+        g = tuple(r[k] for k in keys)
+        offsets.append((r["__pid__"], *g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + r["__cnt__"]
+
+    spark = df.sparkSession
+    key_fields = part.select(*keys).schema.fields if keys else []
+    off_schema = (
+        "__opid__ int, "
+        + "".join(
+            f"__k{i}__ {f.dataType.simpleString()}, "
+            for i, f in enumerate(key_fields)
+        )
+        + "__off__ long"
+    )
+    off_df = spark.createDataFrame(offsets, schema=off_schema)
+
+    # null-safe equi-join on (physical partition, group keys): group
+    # keys may legitimately be NULL
+    cond = F.col("__pid__") == F.col("__opid__")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__k{i}__"))
+    w = Window.partitionBy("__pid__", *keys).orderBy(*ocols)
+    return (
+        part.withColumn("__rn__", F.row_number().over(w))
+        .join(F.broadcast(off_df), cond, "inner")
+        .withColumn(rank_col, (F.col("__off__") + F.col("__rn__")).cast("long"))
+        .drop(
+            "__pid__", "__rn__", "__opid__", "__off__",
+            *[f"__k{i}__" for i in range(len(keys))],
+            *hidden,
+        )
+    )

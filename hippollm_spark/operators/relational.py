@@ -136,7 +136,13 @@ def with_dense_ids(df: DataFrame, offset: int = 0, id_col: str = "id") -> DataFr
     offsets (one tiny count-per-partition job), the standard scalable
     zip-with-index. Order = current partition order (stable for a just-
     shuffled/written batch; callers needing a semantic order sort first).
+
+    The ``localCheckpoint`` pins one partitioning across the two
+    evaluations (counts job, then id stamping): an upstream shuffle
+    under AQE may otherwise runtime-coalesce differently per run and
+    the stamped ids would collide or leave gaps.
     """
+    df = df.localCheckpoint(eager=True)
     part = df.withColumn("__pid__", F.spark_partition_id())
     counts = dict(
         (r["__pid__"], r["cnt"])

@@ -443,6 +443,13 @@ def interleave_corpora(
     salted md5 order (`global_shuffle`'s key), so the interleave is
     also a shuffle and re-salts per epoch.
 
+    Scale shape: per-corpus rank via `ranks.distributed_rank` — a
+    ``Window.partitionBy(corpus)`` would funnel each ENTIRE corpus
+    (1/3-1/10 of 100 TB) through one task; the distributed form range-
+    partitions on (corpus, md5 key), sorts all slices in parallel, and
+    stamps ranks from broadcast per-partition offsets. Identical
+    output (unique md5‖id order), no whole-corpus sort anywhere.
+
     Output: input columns + (mix_rank, mix_key BIGINT); order by
     (mix_key, corpus, mix_rank) — or feed `repartitionByRange` on
     those keys for the sharded write. Corpora absent from ``weights``
@@ -451,19 +458,20 @@ def interleave_corpora(
     from functools import reduce
     from math import gcd
 
+    from hippollm_spark.operators.ranks import distributed_rank
+
     ws = {k: int(v) for k, v in weights.items()}
     if not ws or any(v <= 0 for v in ws.values()):
         raise ValueError("weights must be positive integers")
     lcm = reduce(lambda a, b: a * b // gcd(a, b), ws.values())
     kept = df.filter(F.col(corpus_col).isin(list(ws)))
-    w_rank = Window.partitionBy(corpus_col).orderBy(
-        F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
-        F.col(id_col),
-    )
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
     mult = F.create_map(
         *[x for k, v in sorted(ws.items()) for x in (F.lit(k), F.lit(lcm // v))]
     )
-    out = kept.withColumn("mix_rank", F.row_number().over(w_rank))
+    out = distributed_rank(
+        kept, [key, F.col(id_col)], by=corpus_col, rank_col="mix_rank"
+    ).withColumn("mix_rank", F.col("mix_rank").cast("int"))
     return out.withColumn(
         "mix_key",
         (F.col("mix_rank").cast("long") * mult[F.col(corpus_col)]).cast("long"),

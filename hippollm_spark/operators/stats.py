@@ -403,6 +403,56 @@ def ntile_buckets(
     return df.withColumn("bucket", F.ntile(n).over(w))
 
 
+def global_percentile_values(
+    df: DataFrame,
+    value_col: str,
+    percentiles: Sequence[float],
+) -> list[float]:
+    """Exact interpolated percentiles of one ungrouped column, without
+    any whole-table window: `ranks.distributed_rank` range-partitions
+    and ranks in parallel, then only the ≤2·len(percentiles) boundary-
+    rank rows are fetched and interpolated driver-side with the same
+    v_lo + (v_hi − v_lo)·frac, frac = (1+(n−1)p) − floor(…) formula as
+    `exact_percentiles` (IEEE binary64 op-for-op, so results are
+    bit-identical to the window form and to DuckDB's quantile_cont).
+
+    This is the 100-TB boundary path for `threshold_buckets` /
+    `rfm_segments`: the grouped `exact_percentiles` window is fine
+    when ``by`` splits the data, but its ungrouped form funnels every
+    row through one task.
+    """
+    from hippollm_spark.operators.ranks import distributed_rank
+
+    ranked = distributed_rank(
+        df.filter(F.col(value_col).isNotNull()).select(
+            F.col(value_col).alias("__v__")
+        ),
+        ["__v__"],
+        rank_col="__rk__",
+    )
+    n = ranked.count()
+    if n == 0:
+        return [None for _ in percentiles]
+    targets: set[int] = set()
+    marks = []
+    for p in percentiles:
+        r = 1 + (n - 1) * float(p)
+        lo = int(r // 1)
+        frac = r - float(lo)
+        marks.append((lo, frac))
+        targets.update((lo, lo + 1))
+    vals = {
+        row["__rk__"]: row["__v__"]
+        for row in ranked.filter(F.col("__rk__").isin(list(targets))).collect()
+    }
+    out = []
+    for lo, frac in marks:
+        v_lo = vals[lo]
+        v_hi = vals.get(lo + 1, v_lo)
+        out.append(v_lo + (v_hi - v_lo) * frac)
+    return out
+
+
 def threshold_buckets(
     df: DataFrame,
     value_col: str,
@@ -429,20 +479,31 @@ def threshold_buckets(
     Output: input columns + bucket INT (1-based, ascending by value).
     """
     by_list = [] if by is None else ([by] if isinstance(by, str) else list(by))
-    probe = df if by_list else df.withColumn("__g__", F.lit(1))
-    group_cols = by_list or ["__g__"]
     ps = [i / n for i in range(1, n)]
+    if not by_list:
+        # ungrouped: windowless distributed boundaries, assignment is a
+        # pure comparison expression — the table never shuffles at all
+        bvals = global_percentile_values(df, value_col, ps)
+        bucket = F.lit(1)
+        for bv in bvals:
+            bucket = bucket + (
+                F.when(F.col(value_col) > F.lit(bv), 1).otherwise(0)
+                if bv is not None
+                else F.lit(0)
+            )
+        return df.withColumn("bucket", bucket.cast("int"))
+    probe = df
+    group_cols = by_list
     bounds = exact_percentiles(probe, value_col, group_cols, ps)
     bcols = bounds.columns[len(group_cols):]
     bucket = F.lit(1)
     for c in bcols:
         bucket = bucket + F.when(F.col(value_col) > F.col(c), 1).otherwise(0)
-    out = (
+    return (
         probe.join(F.broadcast(bounds), on=group_cols)
         .withColumn("bucket", bucket.cast("int"))
         .drop(*bcols)
     )
-    return out.drop("__g__") if not by_list else out
 
 
 def grouped_mode(

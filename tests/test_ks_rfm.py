@@ -102,3 +102,39 @@ def test_rfm_deterministic_under_repartition(spark):
         for r in rfm_segments(df.repartition(11)).collect()
     )
     assert a == b
+
+
+def test_rfm_threshold_plan_has_no_whole_table_window(spark):
+    """The 100-TB default must not funnel the users table through an
+    unpartitioned (or constant-partitioned) NTILE window."""
+    rows = [
+        (int(i % 11), datetime(2024, 1, 1 + int(i % 28)), float(i % 7))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    plan = (
+        rfm_segments(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid__" in line, line
+
+
+def test_rfm_threshold_vs_ntile_twin(spark):
+    """Away from boundary ties the two methods agree; with ties the
+    threshold form keeps equal values in one bin."""
+    # distinct metric values per user -> no boundary ties
+    rows = []
+    for u in range(10):
+        for j in range(u + 1):  # frequency strictly increasing in u
+            rows.append((u, datetime(2024, 1, 1 + u), 10.0 + u))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    thr = {
+        r["user_id"]: r["segment"]
+        for r in rfm_segments(df, n_bins=5).collect()
+    }
+    nt = {
+        r["user_id"]: r["segment"]
+        for r in rfm_segments(df, n_bins=5, method="ntile").collect()
+    }
+    assert thr == nt

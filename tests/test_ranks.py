@@ -1,0 +1,96 @@
+"""distributed_rank: windowless row_number parity, null groups, AQE
+upstream shuffles, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hippollm_spark.operators.ranks import distributed_rank
+
+
+def test_distributed_rank_matches_window_global(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+    got = {
+        r["id"]: r["rk"]
+        for r in distributed_rank(
+            df, ["v", "id"], rank_col="rk", partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_distributed_rank_matches_window_grouped_with_nulls(spark):
+    rows = [
+        (i, ["a", "b", None][i % 3], float((i * 13) % 50)) for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        (r["g"], r["id"]): r["rk"]
+        for r in distributed_rank(
+            df, ["v", "id"], by="g", rank_col="rk", partitions=6
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_distributed_rank_expression_order_col(spark):
+    df = spark.range(0, 300).select(F.col("id"))
+    key = F.md5(F.concat_ws("|", F.lit("s"), F.col("id").cast("string")))
+    out = distributed_rank(df, [key, "id"], rank_col="rk", partitions=4)
+    assert set(out.columns) == {"id", "rk"}
+    w = Window.orderBy(
+        F.md5(F.concat_ws("|", F.lit("s"), F.col("id").cast("string"))), "id"
+    )
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {r["id"]: r["rk"] for r in out.collect()}
+    assert got == want
+
+
+def test_distributed_rank_survives_aqe_upstream_shuffle(spark):
+    """An upstream groupBy shuffle under AQE (runtime-coalesced
+    partitions) must not corrupt offsets — the localCheckpoint pins one
+    partitioning across the count job and the stamp job."""
+    df = (
+        spark.range(0, 4000)
+        .select((F.col("id") % 777).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+    )
+    out = distributed_rank(df, ["k"], rank_col="rk", partitions=5)
+    rows = out.collect()
+    ranks = sorted(r["rk"] for r in rows)
+    assert ranks == list(range(1, 778))
+    by_rank = sorted(rows, key=lambda r: r["rk"])
+    assert [r["k"] for r in by_rank] == sorted(r["k"] for r in rows)
+
+
+def test_distributed_rank_empty_input(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    out = distributed_rank(df, ["v"], rank_col="rk")
+    assert out.count() == 0
+
+
+def test_distributed_rank_plan_has_no_unpartitioned_window(spark):
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = distributed_rank(df, ["v", "id"], rank_col="rk", partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Window in the plan is partitioned by the physical pid
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid__" in line, line

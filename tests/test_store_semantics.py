@@ -113,3 +113,23 @@ def test_prune_lone_entities(store_tables, spark):
     assert pruned.count() == 4
     lone = relational.lone_entities(with_lone, edges)
     assert [r["name"] for r in lone.collect()] == ["Atlantis"]
+
+
+def test_with_dense_ids_contiguous_under_aqe_shuffle(spark):
+    """Regression: an upstream groupBy shuffle (AQE runtime-coalesced)
+    must yield contiguous collision-free ids — the localCheckpoint pins
+    one partitioning across the count job and the stamp job."""
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.relational import with_dense_ids
+
+    for trial in range(5):
+        df = (
+            spark.range(0, 3000)
+            .select((F.col("id") % (501 + trial)).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+        )
+        out = with_dense_ids(df, offset=10)
+        ids = sorted(r["id"] for r in out.collect())
+        assert ids == list(range(10, 10 + 501 + trial))
