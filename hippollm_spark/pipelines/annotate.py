@@ -208,55 +208,101 @@ def dedup_facts(
 ) -> DataFrame:
     """C3 — mark each candidate fact redundant or fresh.
 
-    Per new fact: k nearest existing-store facts + all earlier-ordinal
-    batch facts → NLI entailment gate → LLM confrontation (yes/no
-    grammar, reference annotator.py:126-145) → redundant facts merge
+    Per new fact: the k nearest facts of (existing store ∪ earlier-
+    ordinal batch facts) by embedding distance — the reference queries
+    its vector store, which at fact N already contains facts 1..N-1 of
+    the same run, with k=5 (annotator.py:126-145) — then the NLI
+    entailment gate (batched pair scoring) and the LLM confrontation
+    (yes/no grammar) on survivors only. Redundant facts merge
     provenance into their match (handled by caller); fresh facts
     survive. Returns new_facts + (redundant BOOLEAN, dup_of BIGINT).
+
+    Scale shape: candidate generation scores (id, embedding) pairs
+    only — texts join AFTER the per-fact top-k cut, so the expensive
+    model gate sees exactly O(batch·k) pairs (an unbounded earlier-
+    ordinal crossJoin explodes quadratically before the models even
+    run) and no fact text ever rides the distance shuffle. NLI calls
+    are batched per Arrow batch via ``nli.score_pairs`` when the
+    backend provides it (CrossEncoder-style pair-list API).
     """
+    from hippollm_spark.functions import vectors as V
+
     new_facts = new_facts.withColumn("embedding", embed(F.col("fact_text")))
     n_existing = store.facts.count()
 
-    # Candidate pairs against the existing store (empty store → none).
+    q = F.broadcast(
+        new_facts.select("__ord__", F.col("embedding").alias("__qv__"))
+    )
+    batch_pool = new_facts.select(
+        F.lit(None).cast("long").alias("cand_id"),
+        F.col("__ord__").alias("cand_ord"),
+        F.col("embedding").alias("__cv__"),
+    )
     if n_existing > 0:
-        cands = _knn_candidates(new_facts, store.facts, k).select(
-            F.col("query_id").alias("__ord__"),
-            F.col("vec_id").alias("cand_id"),
-            F.lit(None).cast("long").alias("cand_ord"),
+        pool = batch_pool.unionByName(
+            store.facts.select(
+                F.col("id").alias("cand_id"),
+                F.lit(None).cast("long").alias("cand_ord"),
+                F.col("embedding").alias("__cv__"),
+            )
         )
-        cand_texts = store.facts.select(
-            F.col("id").alias("cand_id"), F.col("text").alias("cand_text")
-        )
-        pairs = cands.join(cand_texts, "cand_id")
     else:
-        pairs = None
+        pool = batch_pool
+    scored_ids = (
+        pool.crossJoin(q)
+        # batch candidates only pair with LATER ordinals (sequential
+        # semantics); store candidates pair with every new fact
+        .filter(F.col("cand_ord").isNull() | (F.col("cand_ord") < F.col("__ord__")))
+        .select(
+            "__ord__",
+            "cand_id",
+            "cand_ord",
+            F.round(-V.l2_distance(F.col("__cv__"), F.col("__qv__")), 6).alias(
+                "__score__"
+            ),
+        )
+    )
+    w = Window.partitionBy("__ord__").orderBy(
+        F.desc("__score__"),
+        F.asc(F.coalesce("cand_id", F.col("cand_ord") + 1_000_000_000)),
+    )
+    topk = (
+        scored_ids.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__", "__score__")
+    )
 
-    # Earlier-ordinal facts within the batch (the sequential-dedup
-    # approximation; see module docstring).
-    a = new_facts.select(F.col("__ord__"), F.col("fact_text"))
-    b = new_facts.select(
-        F.col("__ord__").alias("cand_ord"), F.col("fact_text").alias("cand_text")
+    # texts join only the O(batch·k) surviving pairs
+    bt = new_facts.select(
+        F.col("__ord__").alias("cand_ord"), F.col("fact_text").alias("__bt__")
     )
-    intra = (
-        a.crossJoin(b)
-        .filter(F.col("cand_ord") < F.col("__ord__"))
-        .select("__ord__", F.lit(None).cast("long").alias("cand_id"), "cand_ord", "cand_text")
-    )
-    all_pairs = intra if pairs is None else pairs.unionByName(intra)
+    pairs = topk.join(bt, "cand_ord", "left")
+    if n_existing > 0:
+        st = store.facts.select(
+            F.col("id").alias("cand_id"), F.col("text").alias("__st__")
+        )
+        pairs = pairs.join(st, "cand_id", "left").withColumn(
+            "cand_text", F.coalesce("__st__", "__bt__")
+        ).drop("__st__", "__bt__")
+    else:
+        pairs = pairs.withColumn("cand_text", F.col("__bt__")).drop("__bt__")
 
     fact_texts = new_facts.select("__ord__", "fact_text")
-    scored = all_pairs.join(fact_texts, "__ord__")
+    scored = pairs.join(fact_texts, "__ord__")
 
     def _gate(batches):
         for pdf in batches:
+            prem = list(pdf["cand_text"])
+            hyp = list(pdf["fact_text"])
+            if hasattr(nli, "score_pairs"):
+                ent = [s is not None for s in nli.score_pairs(list(zip(prem, hyp)))]
+            else:
+                ent = [nli.detect_entailment(p, h) for p, h in zip(prem, hyp)]
             verdicts = []
-            for r in pdf.itertuples(index=False):
-                ok = nli.detect_entailment(r.cand_text, r.fact_text)
+            for ok, p, h in zip(ent, prem, hyp):
                 if ok:
                     ans = llm.invoke(
-                        prompts.CONFRONTATION.format(
-                            fact_a=r.cand_text, fact_b=r.fact_text
-                        ),
+                        prompts.CONFRONTATION.format(fact_a=p, fact_b=h),
                         grammar=GRAMMAR_YN,
                         max_tokens=3,
                     )

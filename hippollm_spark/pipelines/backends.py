@@ -11,9 +11,11 @@ Two deterministic fakes make every pipeline test reproducible
 (FIXTURES.md §5): ``ScriptedLLM`` (lookup table with prefix matching;
 honors the yes/no grammar) and ``ScriptedNLI``.
 
-Real-provider classes are thin HTTP stubs gated behind import-try —
-this container has no network/model runtimes; the batching and
-plumbing around them is the part this engine owns and tests.
+``HttpLlmBackend`` is a real request-shaping client for all four
+provider wire formats (OpenAI/Groq chat, Ollama generate, llama.cpp
+completion) with retry/backoff and grammar passthrough, unit-tested
+against a local stub server (tests/test_http_backend.py) — this
+container has no model runtimes, so ScriptedLLM stays the default.
 """
 
 from __future__ import annotations
@@ -88,6 +90,15 @@ class ScriptedNLI:
             return self.table[(hypothesis, premise)]
         return None
 
+    def score_pairs(
+        self, pairs: list[tuple[str, str]]
+    ) -> list[float | None]:
+        """Batched pair scoring — the CrossEncoder pair-list contract
+        (reference nlp_additional.py:16-22 predicts a whole list per
+        call); pipeline stages call this once per Arrow batch instead
+        of once per row."""
+        return [self.score(p, h) for p, h in pairs]
+
     def entailment_classify(self, item: str, others: list[str]) -> list[tuple[str, float]]:
         """Entailing candidates ranked by score desc (reference
         nlp_additional.py:24-34), ties broken by input order."""
@@ -134,25 +145,149 @@ class ExtractiveFakeLLM:
         return "None"
 
 
-# --- real-provider stubs (no network in the test container) ---------------
+# --- real HTTP providers ---------------------------------------------------
 
 class HttpLlmBackend:
-    """Skeleton for an executor-local HTTP LLM client (the reference's
-    Ollama/Groq/OpenAI backends — llm_backend.py:21-159). Instantiated
-    per python worker inside mapInPandas; requires a reachable endpoint."""
+    """Executor-local HTTP LLM client covering the reference's four
+    provider shapes (llm_backend.py:21-159): ``provider=``
 
-    def __init__(self, url: str, model: str, api_key: str | None = None) -> None:
-        self.url, self.model, self.api_key = url, model, api_key
+    - ``"openai"`` / ``"groq"`` — POST {url}/v1/chat/completions with
+      the chat payload (Groq is the OpenAI wire format at a different
+      base URL + bearer key, reference llm_backend.py:103-159);
+      grammar has no wire field here and is ignored (the reference's
+      OpenAI path likewise sends none).
+    - ``"ollama"`` — POST {url}/api/generate with
+      {model, prompt, stream:false, options:{num_predict, stop,
+      temperature}} (reference llm_backend.py:21-37); GBNF grammar
+      rides the documented ``format``-adjacent ``grammar`` field
+      accepted by llama-cpp-backed Ollama builds.
+    - ``"llamacpp"`` — POST {url}/completion with
+      {prompt, n_predict, stop, grammar} — the llama.cpp server wire
+      format; grammar passthrough is first-class (the reference caches
+      compiled GBNF grammars, llm_backend.py:40-100 — server-side
+      compilation makes the cache unnecessary here).
+
+    Construct one per python worker inside a mapInPandas stage (the
+    reference pattern this engine uses for every model). Retries
+    ``max_retries`` times on connection errors / 5xx with linear
+    backoff; 4xx raises immediately (payload bugs don't heal).
+    Instances pickle cleanly (the requests.Session is rebuilt lazily
+    per process).
+    """
+
+    def __init__(
+        self,
+        url: str,
+        model: str,
+        api_key: str | None = None,
+        *,
+        provider: str = "openai",
+        temperature: float = 0.0,
+        timeout: float = 60.0,
+        max_retries: int = 2,
+        retry_backoff: float = 0.5,
+    ) -> None:
+        if provider not in ("openai", "groq", "ollama", "llamacpp"):
+            raise ValueError(f"unknown provider: {provider}")
+        self.url = url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.provider = provider
+        self.temperature = temperature
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.retry_backoff = retry_backoff
+        self._session = None
+
+    # requests.Session holds thread-locals — drop it when shipping to
+    # executors, rebuild on first use in each process
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_session"] = None
+        return state
+
+    def _request(self, path: str, payload: dict) -> dict:
+        import time as _time
+
+        import requests
+
+        if self._session is None:
+            self._session = requests.Session()
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                resp = self._session.post(
+                    self.url + path,
+                    json=payload,
+                    headers=headers,
+                    timeout=self.timeout,
+                )
+                if resp.status_code >= 500:
+                    raise requests.HTTPError(
+                        f"{resp.status_code}: {resp.text[:200]}", response=resp
+                    )
+                resp.raise_for_status()
+                return resp.json()
+            except requests.HTTPError as e:
+                if e.response is not None and e.response.status_code < 500:
+                    raise
+                last_err = e
+            except requests.RequestException as e:
+                last_err = e
+            if attempt < self.max_retries:
+                _time.sleep(self.retry_backoff * (attempt + 1))
+        raise last_err  # type: ignore[misc]
 
     def invoke(self, prompt, grammar=None, max_tokens=None, stop=None) -> str:
-        raise NotImplementedError(
-            "no model endpoint in this environment — inject ScriptedLLM, "
-            "or subclass with a real HTTP call"
-        )
+        if self.provider in ("openai", "groq"):
+            payload: dict = {
+                "model": self.model,
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": self.temperature,
+            }
+            if max_tokens is not None:
+                payload["max_tokens"] = max_tokens
+            if stop:
+                payload["stop"] = list(stop)
+            data = self._request("/v1/chat/completions", payload)
+            return data["choices"][0]["message"]["content"]
+        if self.provider == "ollama":
+            options: dict = {"temperature": self.temperature}
+            if max_tokens is not None:
+                options["num_predict"] = max_tokens
+            if stop:
+                options["stop"] = list(stop)
+            payload = {
+                "model": self.model,
+                "prompt": prompt,
+                "stream": False,
+                "options": options,
+            }
+            if grammar is not None:
+                payload["grammar"] = grammar
+            data = self._request("/api/generate", payload)
+            return data["response"]
+        # llamacpp
+        payload = {"prompt": prompt, "temperature": self.temperature}
+        if max_tokens is not None:
+            payload["n_predict"] = max_tokens
+        if stop:
+            payload["stop"] = list(stop)
+        if grammar is not None:
+            payload["grammar"] = grammar
+        data = self._request("/completion", payload)
+        return data["content"]
 
 
 def load_llm(backend: str = "scripted", **kw) -> LlmBackend:
-    """Backend factory (reference llm_backend.py:162-173)."""
+    """Backend factory (reference llm_backend.py:162-173): scripted
+    fake by default; ``"openai" | "groq" | "ollama" | "llamacpp"``
+    construct the HTTP client with the provider preset."""
     if backend == "scripted":
         return ScriptedLLM(**kw)
+    if backend in ("openai", "groq", "ollama", "llamacpp"):
+        return HttpLlmBackend(provider=backend, **kw)
     return HttpLlmBackend(**kw)

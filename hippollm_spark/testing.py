@@ -54,3 +54,22 @@ def hash_embedding_udf(dim: int = 384) -> Column:
 def embed_column(col: Column | str, dim: int = 384) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return hash_embedding_udf(dim)(c)
+
+
+class PairCountingNLI:
+    """NLI spy that tallies gated pair-batch sizes into a shared-FS
+    file and entails nothing. Lives here (not in a test module) so
+    executor processes can unpickle it; in local mode the temp file is
+    visible to every worker. Used to assert O(batch·k) candidate
+    bounds on the dedup gate."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def score_pairs(self, pairs):
+        with open(self.path, "a") as f:
+            f.write(f"{len(pairs)}\n")
+        return [None for _ in pairs]
+
+    def detect_entailment(self, premise, hypothesis):
+        return False

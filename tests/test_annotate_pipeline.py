@@ -132,3 +132,44 @@ def test_annotate_inference_partitions_invariant(spark):
     )
     assert store.facts.count() == 1
     assert sorted(r["name"] for r in store.entities.collect()) == ["Paris", "Seine"]
+
+
+class _CountingNLI:
+    """ScriptedNLI wrapper that tallies gated pairs to a shared-FS file
+    (executors are separate processes — object state doesn't come
+    back; local-mode temp files do)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def score_pairs(self, pairs):
+        with open(self.path, "a") as f:
+            f.write(f"{len(pairs)}\n")
+        return [None for _ in pairs]
+
+    def detect_entailment(self, premise, hypothesis):  # pragma: no cover
+        return False
+
+
+def test_dedup_facts_candidate_pairs_bounded_by_k(spark, tmp_path):
+    """The intra-batch candidate set is the kNN top-k, not an
+    all-earlier-ordinals crossJoin: n facts with k=2 must gate at most
+    n*k pairs (the quadratic form would gate n(n-1)/2)."""
+    from hippollm_spark.pipelines.annotate import dedup_facts
+    from hippollm_spark.store import HippoStore
+    from hippollm_spark.testing import PairCountingNLI
+
+    n, k = 14, 2
+    facts = spark.createDataFrame(
+        [(i, f"distinct scripted fact number {i}") for i in range(1, n + 1)],
+        "__ord__ long, fact_text string",
+    )
+    counter = tmp_path / "pairs.txt"
+    store = HippoStore(spark, embed=hash_embedding_udf(DIM), dim=DIM)
+    out = dedup_facts(
+        facts, store, ScriptedLLM(), PairCountingNLI(str(counter)),
+        hash_embedding_udf(DIM), k=k,
+    )
+    assert out.filter("redundant").count() == 0  # NLI never entails
+    total = sum(int(x) for x in counter.read_text().split())
+    assert 0 < total <= n * k, total

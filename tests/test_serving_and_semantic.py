@@ -77,3 +77,43 @@ def test_entity_graph_json(spark):
     # no duplicate undirected links
     norm = [tuple(sorted(p)) for p in pairs]
     assert len(norm) == len(set(norm))
+
+
+def test_search_graph_dispatch_and_validation(spark):
+    from hippollm_spark.serving import search_graph
+
+    store = _store(spark)
+    embed = lambda s: hash_embedding(s, DIM)  # noqa: E731
+    ent = search_graph(store, embed, "Paris; France", "entity", k=1)
+    assert {n["id"] for n in ent["nodes"]}  # seeds resolved
+    fct = search_graph(store, embed, "Paris", "fact", k=2)
+    assert set(fct) == {"nodes", "links"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search_graph(store, embed, "x", "neither")
+
+
+def test_flask_route_returns_graph_json(spark):
+    """G5: the reference's GET /search/<k>/<n>/<p>/<type>/<query>
+    (hippoview app.py:170-186) served over the Spark store."""
+    import json
+
+    import pytest as _pytest
+
+    flask = _pytest.importorskip("flask")  # noqa: F841
+    from hippollm_spark.serving import create_app
+
+    store = _store(spark)
+    app = create_app(store, lambda s: hash_embedding(s, DIM))
+    client = app.test_client()
+    resp = client.get("/search/1/2/15/entity/Paris")
+    assert resp.status_code == 200
+    payload = json.loads(resp.data)
+    assert set(payload) == {"nodes", "links"}
+    assert all({"id", "group"} <= set(n) for n in payload["nodes"])
+
+    resp2 = client.get("/search/2/2/15/fact/Paris;France")
+    assert resp2.status_code == 200
+    payload2 = json.loads(resp2.data)
+    assert set(payload2) == {"nodes", "links"}
