@@ -99,6 +99,146 @@ def split_paragraphs(
 SEPARATORS = ["\n\n", "\n", ". ", "? ", "! ", "; ", ", ", " "]
 
 
+def _lc_split_keep_sep(text: str, sep: str) -> list[str]:
+    """langchain's _split_text_with_regex with keep_separator=True (the
+    RecursiveCharacterTextSplitter default): the separator attaches to
+    the FRONT of the following piece; empties dropped."""
+    if sep:
+        parts = re.split(f"({re.escape(sep)})", text)
+        splits = [parts[i] + parts[i + 1] for i in range(1, len(parts) - 1, 2)]
+        if len(parts) % 2 == 0:
+            splits += parts[-1:]
+        splits = [parts[0]] + splits
+    else:
+        splits = list(text)
+    return [s for s in splits if s != ""]
+
+
+def _lc_merge_splits(
+    splits: list[str], separator: str, chunk_size: int, chunk_overlap: int
+) -> list[str]:
+    """langchain TextSplitter._merge_splits verbatim semantics: greedy
+    fill to chunk_size, then slide the window start forward until total
+    ≤ chunk_overlap, joined chunks whitespace-stripped (strip_whitespace
+    default True), empty chunks dropped."""
+    sep_len = len(separator)
+    docs: list[str] = []
+    current: list[str] = []
+    total = 0
+    for d in splits:
+        _len = len(d)
+        if total + _len + (sep_len if current else 0) > chunk_size:
+            if current:
+                doc = separator.join(current).strip()
+                if doc:
+                    docs.append(doc)
+                while total > chunk_overlap or (
+                    total + _len + (sep_len if current else 0) > chunk_size
+                    and total > 0
+                ):
+                    total -= len(current[0]) + (
+                        sep_len if len(current) > 1 else 0
+                    )
+                    current = current[1:]
+        current.append(d)
+        total += _len + (sep_len if len(current) > 1 else 0)
+    doc = separator.join(current).strip()
+    if doc:
+        docs.append(doc)
+    return docs
+
+
+def _lc_recursive_split(
+    text: str,
+    chunk_size: int,
+    chunk_overlap: int,
+    seps: list[str],
+) -> list[str]:
+    """Faithful reimplementation of langchain's
+    RecursiveCharacterTextSplitter._split_text (public algorithm,
+    keep_separator=True, is_separator_regex=False): pick the first
+    separator present (last as fallback), split keeping separators,
+    merge runt pieces with overlap carry-over, recurse into oversized
+    pieces with the REMAINING separators. Chunks are stripped and may
+    overlap; they do NOT partition the input (see split_recursive for
+    the lossless engine variant)."""
+    final: list[str] = []
+    sep = seps[-1]
+    new_seps: list[str] = []
+    for i, s in enumerate(seps):
+        if s == "":
+            sep = s
+            break
+        if s in text:
+            sep = s
+            new_seps = seps[i + 1 :]
+            break
+    splits = _lc_split_keep_sep(text, sep)
+    merge_sep = ""  # keep_separator=True → separators already in pieces
+    good: list[str] = []
+    for s in splits:
+        if len(s) < chunk_size:
+            good.append(s)
+        else:
+            if good:
+                final.extend(
+                    _lc_merge_splits(good, merge_sep, chunk_size, chunk_overlap)
+                )
+                good = []
+            if not new_seps:
+                final.append(s)
+            else:
+                final.extend(
+                    _lc_recursive_split(s, chunk_size, chunk_overlap, new_seps)
+                )
+    if good:
+        final.extend(
+            _lc_merge_splits(good, merge_sep, chunk_size, chunk_overlap)
+        )
+    return final
+
+
+def split_recursive_langchain(
+    docs: DataFrame,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """T3 in langchain-parity mode: the exact chunking the reference
+    produces (splitters.py:64-77 delegates to langchain's
+    RecursiveCharacterTextSplitter with chunk_size, default overlap
+    200, separators SEPARATORS). Positions recovered by the
+    reference's cursor-find (splitters.py:19-27): chunks may overlap
+    and whitespace between them is not covered, so pos_end − pos_start
+    = len(text) but chunks do not partition the document — use
+    `split_recursive` when the pipeline needs a lossless partition.
+
+    Golden-vector tested against committed expected chunk lists on the
+    reference's own fixtures (tests/assets/rust.txt, short.txt)."""
+
+    def _split(batches):
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                txt = txt or ""
+                chunks = (
+                    _lc_recursive_split(txt, chunk_size, chunk_overlap, SEPARATORS)
+                    if txt
+                    else []
+                )
+                i = 0
+                for idx, chunk in enumerate(chunks):
+                    i += txt[i:].find(chunk[: min(100, len(chunk))])
+                    rows.append((did, idx, chunk, i, i + len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "text", "pos_start", "pos_end"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_split, CHUNKS_SCHEMA)
+
+
 def _recursive_split(text: str, chunk_size: int, seps: list[str]) -> list[str]:
     """Greedy recursive split: cut on the coarsest separator whose pieces
     can be merged into chunks <= chunk_size; recurse on oversized
@@ -139,6 +279,14 @@ def split_recursive(
     text_col: str = "content",
 ) -> DataFrame:
     """T3 — recursive character splitter as a grouped Arrow UDF.
+
+    INTENTIONAL DIVERGENCE from the reference's langchain delegate
+    (splitters.py:64-77): this variant keeps separators attached, adds
+    no overlap, and never strips — chunks exactly partition the
+    document, so positions are cumulative-length-exact and downstream
+    `text == substring(content, pos)` invariants hold. Use
+    `split_recursive_langchain` for chunk-for-chunk parity with the
+    reference (overlapping, stripped, find-recovered positions).
 
     Python is unavoidable (recursive control flow), so it runs as
     mapInPandas: one pass, no shuffle, Arrow-batched."""
