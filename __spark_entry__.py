@@ -2893,6 +2893,21 @@ def q_ppmi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term_a", "term_b")
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact ranking of documents by (length DESC, doc_id) via
+    ranks.distributed_rank — range-partitioned parallel sort +
+    broadcast partition offsets, never an unpartitioned row_number
+    window; output identical to the window form."""
+    from hippollm_spark.operators.ranks import distributed_rank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return distributed_rank(
+        docs, [-F.col("n_chars"), F.col("doc_id")], rank_col="rank"
+    ).orderBy("rank")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2908,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-query-per-round checked prefix:
     # queries WITHOUT a green CORRECTNESS row yet come first (rotated
     # each round), already-verified ones (CORRECTNESS_r01.json) follow.
+        "global_rank": q_global_rank,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3412,6 +3428,12 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "global_rank": """
+            SELECT doc_id, length(text) AS n_chars,
+                   CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM documents ORDER BY rank
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_qty,

@@ -23,6 +23,7 @@ import __spark_entry__ as entry_mod
 from hippollm_spark.session import get_spark
 
 BENCH_QUERIES = [
+    "global_rank",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

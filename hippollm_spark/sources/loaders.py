@@ -36,6 +36,107 @@ def load_text(spark: SparkSession, location: str, doc_id: int = 0) -> DataFrame:
     )
 
 
+WIKIPEDIA_API = "https://en.wikipedia.org/w/api.php"
+
+
+def wikipedia_page_fetcher(
+    api_url: str = WIKIPEDIA_API,
+    *,
+    timeout: float = 30.0,
+) -> Callable[[str], tuple[str, str, str]]:
+    """Real S3 fetcher over the MediaWiki action API (the reference
+    delegates to langchain's WikipediaLoader — loaders.py:6-11 — which
+    performs the same search-then-extract pair): ``list=search`` for
+    the first matching title, then ``prop=extracts&explaintext`` for
+    the plain-text content. Point ``api_url`` at a stub server in
+    tests; the default needs network."""
+
+    def fetcher(query: str) -> tuple[str, str, str]:
+        import requests
+
+        sr = requests.get(
+            api_url,
+            params={
+                "action": "query",
+                "format": "json",
+                "list": "search",
+                "srsearch": query,
+                "srlimit": 1,
+            },
+            timeout=timeout,
+        )
+        sr.raise_for_status()
+        hits = sr.json().get("query", {}).get("search", [])
+        if not hits:
+            raise LookupError(f"no Wikipedia match for {query!r}")
+        title = hits[0]["title"]
+        pr = requests.get(
+            api_url,
+            params={
+                "action": "query",
+                "format": "json",
+                "prop": "extracts",
+                "explaintext": 1,
+                "titles": title,
+            },
+            timeout=timeout,
+        )
+        pr.raise_for_status()
+        pages = pr.json().get("query", {}).get("pages", {})
+        page = next(iter(pages.values()), {})
+        url = (
+            api_url.rsplit("/w/", 1)[0]
+            + "/wiki/"
+            + title.replace(" ", "_")
+        )
+        return title, url, page.get("extract", "")
+
+    return fetcher
+
+
+def wikipedia_description_fetcher(
+    api_url: str = WIKIPEDIA_API,
+    *,
+    timeout: float = 30.0,
+    pause: float = 0.0,
+) -> Callable[[Sequence[str]], dict[str, str]]:
+    """Real S6 batch fetcher: ``action=query&prop=description`` with
+    '|'-joined titles — the exact request the reference's async
+    bootstrap issues (bootstrap_wikipedia.py:49-85), minus the asyncio
+    machinery (executor-partition parallelism replaces it; ``pause``
+    reproduces its politeness sleep against rate limiting). Non-200
+    responses yield {} like the reference. Cloudpickles into
+    `enrich_descriptions`'s mapInPandas stage."""
+
+    def fetch_batch(titles: Sequence[str]) -> dict[str, str]:
+        import time as _time
+
+        import requests
+
+        if pause:
+            _time.sleep(pause)
+        resp = requests.get(
+            api_url,
+            params={
+                "action": "query",
+                "format": "json",
+                "titles": "|".join(titles),
+                "prop": "description",
+            },
+            timeout=timeout,
+        )
+        if resp.status_code != 200:
+            return {}
+        pages = resp.json().get("query", {}).get("pages", {})
+        return {
+            v["title"]: v["description"]
+            for v in pages.values()
+            if "missing" not in v and "description" in v
+        }
+
+    return fetch_batch
+
+
 def load_wikipedia(
     spark: SparkSession,
     query: str,
@@ -45,12 +146,11 @@ def load_wikipedia(
     """S3 — first matching Wikipedia page as a one-row docs DataFrame
     (reference loaders.py:6-11 caps content at 1M chars).
 
-    ``fetcher(query) -> (title, url, content)`` is injectable; the
-    default requires network access (absent in tests)."""
+    ``fetcher(query) -> (title, url, content)`` defaults to the real
+    `wikipedia_page_fetcher` (network); tests inject a fake or point
+    the fetcher's ``api_url`` at a stub server."""
     if fetcher is None:
-        raise NotImplementedError(
-            "no network in this environment — inject fetcher=lambda q: (title, url, content)"
-        )
+        fetcher = wikipedia_page_fetcher()
     title, url, content = fetcher(query)
     return spark.createDataFrame(
         [(0, title, url, (content or "")[:max_chars], None)],

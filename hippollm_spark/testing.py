@@ -73,3 +73,39 @@ class PairCountingNLI:
 
     def detect_entailment(self, premise, hypothesis):
         return False
+
+
+class FakeSentenceTransformerModel:
+    """Deterministic stand-in for a SentenceTransformer: vector =
+    [len(text), 1.0, 0.0]. Module-level so executor processes can
+    unpickle loaders that reference it."""
+
+    def encode(self, texts, batch_size=32):
+        import numpy as np
+
+        return np.array([[float(len(t)), 1.0, 0.0] for t in texts])
+
+
+class FakeCrossEncoderModel:
+    """Deterministic stand-in for an NLI CrossEncoder: a pair entails
+    (label argmax == 1) iff premise and hypothesis share their first
+    word; the entail logit is the premise length."""
+
+    def predict(self, pairs):
+        import numpy as np
+
+        out = []
+        for p, h in pairs:
+            if p.split()[:1] == h.split()[:1]:
+                out.append([0.1, float(len(p)), 0.2])
+            else:
+                out.append([0.9, 0.1, 0.2])
+        return np.array(out)
+
+
+def fake_st_loader(model_name: str):
+    return FakeSentenceTransformerModel()
+
+
+def fake_ce_loader(model_name: str):
+    return FakeCrossEncoderModel()

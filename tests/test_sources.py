@@ -46,9 +46,17 @@ def test_load_wikipedia_with_injected_fetcher(spark):
     assert row["title"] == "Paris" and row["content"].startswith("Paris is big.")
 
 
-def test_load_wikipedia_without_network_raises(spark):
-    with pytest.raises(NotImplementedError):
-        loaders.load_wikipedia(spark, "Paris")
+def test_load_wikipedia_default_fetcher_fails_cleanly_offline(spark):
+    """The default is now the REAL MediaWiki fetcher; with no network
+    it must fail with a connection error, not hang (stub-server tests
+    cover the online path — test_wikipedia_http.py)."""
+    import requests
+
+    fetcher = loaders.wikipedia_page_fetcher(
+        "http://127.0.0.1:1/w/api.php", timeout=0.5
+    )
+    with pytest.raises(requests.RequestException):
+        loaders.load_wikipedia(spark, "Paris", fetcher=fetcher)
 
 
 def test_enrich_descriptions_batches(spark):
