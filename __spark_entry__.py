@@ -2532,13 +2532,15 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key feeds repartitionByRange + sortWithinPartitions so
     shard-file concatenation IS the shuffled order (no global sort on
     one node)."""
-    from hippollm_spark.operators.sampling import global_shuffle
+    from hippollm_spark.operators.ranks import distributed_rank
+    from hippollm_spark.operators.sampling import shuffle_key
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = global_shuffle(docs)
-    w = Window.orderBy("shuffle_key", "doc_id")
-    return out.select(
-        "doc_id", "shuffle_key", F.row_number().over(w).alias("pos")
+    out = docs.withColumn("shuffle_key", shuffle_key("doc_id"))
+    return (
+        distributed_rank(out, ["shuffle_key", "doc_id"], rank_col="pos")
+        .select("doc_id", "shuffle_key", F.col("pos").cast("int").alias("pos"))
+        .orderBy("pos")
     )
 
 

@@ -391,6 +391,14 @@ def negative_samples(
     )
 
 
+def shuffle_key(id_col: str = "doc_id", salt: str = "shuffle"):
+    """The deterministic md5(salt|id) permutation key `global_shuffle`
+    orders by — exposed so windowless consumers (`distributed_rank`
+    position stamping, `interleave_corpora`) can build the identical
+    key without forcing the sort."""
+    return F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -412,9 +420,7 @@ def global_shuffle(
 
     Adds ``shuffle_key`` (hex) — stable sort key and audit column.
     """
-    key = F.md5(
-        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
-    )
+    key = shuffle_key(id_col, salt)
     out = df.withColumn("shuffle_key", key)
     if shards is not None:
         return out.repartitionByRange(shards, "shuffle_key").sortWithinPartitions(
