@@ -2910,6 +2910,37 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_prefix_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact running revenue over the full event order via
+    ranks.distributed_prefix_sum — the windowless batch prefix sum
+    (range exchange + broadcast partial-sum offsets), sampled at every
+    500th position to keep the checkable output bounded. Values are
+    e6-quantized BIGINTs, so the running total is engine-exact."""
+    from hippollm_spark.operators.ranks import distributed_prefix_sum
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("value_e6"),
+        )
+    )
+    out = distributed_prefix_sum(
+        ev,
+        "value_e6",
+        ["ts", "event_id"],
+        sum_col="running_e6",
+        rank_col="pos",
+    )
+    return (
+        out.filter(F.col("pos") % 500 == 0)
+        .select("pos", "ts", "event_id", "value_e6", "running_e6")
+        .orderBy("pos")
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2926,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries WITHOUT a green CORRECTNESS row yet come first (rotated
     # each round), already-verified ones (CORRECTNESS_r01.json) follow.
         "global_rank": q_global_rank,
+        "prefix_revenue": q_prefix_revenue,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3430,6 +3462,23 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "prefix_revenue": """
+            WITH base AS (
+                SELECT ts, event_id,
+                       CAST(round(value * 1000000) AS BIGINT) AS value_e6
+                FROM events WHERE value IS NOT NULL
+            ),
+            pref AS (
+                SELECT ts, event_id, value_e6,
+                       CAST(row_number() OVER (ORDER BY ts, event_id)
+                            AS BIGINT) AS pos,
+                       CAST(sum(value_e6) OVER (ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_e6
+                FROM base
+            )
+            SELECT pos, ts, event_id, value_e6, running_e6
+            FROM pref WHERE pos % 500 = 0 ORDER BY pos
+        """,
         "global_rank": """
             SELECT doc_id, length(text) AS n_chars,
                    CAST(row_number() OVER (ORDER BY length(text) DESC, doc_id)

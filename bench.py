@@ -24,6 +24,7 @@ from hippollm_spark.session import get_spark
 
 BENCH_QUERIES = [
     "global_rank",
+    "prefix_revenue",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

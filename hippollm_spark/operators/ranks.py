@@ -122,3 +122,118 @@ def distributed_rank(
             *hidden,
         )
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col,
+    order_cols: Sequence[Column | str],
+    *,
+    by: str | Sequence[str] | None = None,
+    sum_col: str = "running_sum",
+    rank_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Windowless exact running total (and optional position) over a
+    total order — the batch prefix-sum that replaces
+    ``sum(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` windows,
+    which funnel the whole table (or whole group) through one task.
+
+    Same three-step shape as `distributed_rank` (module docstring):
+    range exchange → pinned partitioning → ONE tiny per-(partition,
+    group) aggregate collecting both row counts and value sums →
+    broadcast cumulative offsets → within-partition cumulative window
+    on the physical pid. ``value_col`` may be a column name or an
+    integer/decimal expression — use exact types (scaled BIGINT or
+    DECIMAL); float prefix sums are order-dependent and not
+    hash-replayable.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    work = df.withColumn("__val__", v)
+    ocols = []
+    for i, oc in enumerate(order_cols):
+        if isinstance(oc, str):
+            ocols.append(F.col(oc))
+        else:
+            name = f"__ord{i}__"
+            work = work.withColumn(name, oc)
+            ocols.append(F.col(name))
+    hidden = [c for c in work.columns if c.startswith("__ord")]
+    sort_cols = [F.col(k) for k in keys] + ocols
+
+    if partitions:
+        work = work.repartitionByRange(partitions, *sort_cols)
+    else:
+        work = work.repartitionByRange(*sort_cols)
+    work = work.localCheckpoint(eager=True)
+    part = work.withColumn("__pid__", F.spark_partition_id())
+
+    agg_df = part.groupBy("__pid__", *keys).agg(
+        F.count("*").alias("__cnt__"), F.sum("__val__").alias("__sum__")
+    )
+    # offsets must carry the AGGREGATED type (e.g. decimal sums widen
+    # their precision) or big running totals would overflow to NULL
+    sum_type = agg_df.schema["__sum__"].dataType.simpleString()
+    stats = agg_df.collect()
+    if not stats:
+        vtype = work.schema["__val__"].dataType.simpleString()
+        out = df.withColumn(sum_col, F.lit(None).cast(vtype))
+        if rank_col:
+            out = out.withColumn(rank_col, F.lit(None).cast("long"))
+        return out
+
+    cnt_off: list[tuple] = []
+    acc_n: dict[tuple, int] = {}
+    acc_s: dict[tuple, object] = {}
+    for r in sorted(stats, key=lambda r: r["__pid__"]):
+        g = tuple(r[k] for k in keys)
+        cnt_off.append(
+            (r["__pid__"], *g, acc_n.get(g, 0), acc_s.get(g, None))
+        )
+        acc_n[g] = acc_n.get(g, 0) + r["__cnt__"]
+        prev = acc_s.get(g, None)
+        cur = r["__sum__"]
+        acc_s[g] = cur if prev is None else (prev + cur if cur is not None else prev)
+
+    spark = df.sparkSession
+    key_fields = part.select(*keys).schema.fields if keys else []
+    off_schema = (
+        "__opid__ int, "
+        + "".join(
+            f"__k{i}__ {f.dataType.simpleString()}, "
+            for i, f in enumerate(key_fields)
+        )
+        + f"__noff__ long, __soff__ {sum_type}"
+    )
+    off_df = spark.createDataFrame(cnt_off, schema=off_schema)
+
+    cond = F.col("__pid__") == F.col("__opid__")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__k{i}__"))
+    w = (
+        Window.partitionBy("__pid__", *keys)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("__pid__", *keys).orderBy(*ocols)
+    out = (
+        part.withColumn("__ps__", F.sum("__val__").over(w))
+        .join(F.broadcast(off_df), cond, "inner")
+        .withColumn(
+            sum_col,
+            F.when(
+                F.col("__soff__").isNull(), F.col("__ps__")
+            ).otherwise(F.col("__soff__") + F.col("__ps__")),
+        )
+    )
+    if rank_col:
+        out = out.withColumn(
+            rank_col,
+            (F.col("__noff__") + F.row_number().over(w_rn)).cast("long"),
+        )
+    return out.drop(
+        "__pid__", "__ps__", "__opid__", "__noff__", "__soff__", "__val__",
+        *[f"__k{i}__" for i in range(len(keys))],
+        *hidden,
+    )

@@ -94,3 +94,61 @@ def test_distributed_rank_plan_has_no_unpartitioned_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__pid__" in line, line
+
+
+def test_distributed_prefix_sum_matches_window(spark):
+    from hippollm_spark.operators.ranks import distributed_prefix_sum
+
+    df = spark.range(0, 3000).select(
+        F.col("id"), ((F.col("id") * 31) % 97).alias("v")
+    )
+    got = {
+        r["id"]: (r["rs"], r["pos"])
+        for r in distributed_prefix_sum(
+            df, "v", ["id"], sum_col="rs", rank_col="pos", partitions=7
+        ).collect()
+    }
+    w = (
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w2 = Window.orderBy("id")
+    want = {
+        r["id"]: (r["rs"], r["pos"])
+        for r in df.withColumn("rs", F.sum("v").over(w))
+        .withColumn("pos", F.row_number().over(w2).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_distributed_prefix_sum_grouped_decimal(spark):
+    from decimal import Decimal
+
+    from hippollm_spark.operators.ranks import distributed_prefix_sum
+
+    rows = [
+        (i, ["a", "b"][i % 2], Decimal(f"{(i % 13) + 0.5:.6f}"))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v decimal(18,6)")
+    got = {
+        (r["g"], r["id"]): r["rs"]
+        for r in distributed_prefix_sum(
+            df, "v", ["id"], by="g", sum_col="rs", partitions=5
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r["g"], r["id"]): r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_distributed_prefix_sum_empty(spark):
+    from hippollm_spark.operators.ranks import distributed_prefix_sum
+
+    df = spark.createDataFrame([], "id long, v long")
+    assert distributed_prefix_sum(df, "v", ["id"]).count() == 0
