@@ -2941,6 +2941,29 @@ def q_prefix_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational ingest-dedup loop, end to end: persist the LSH
+    index over the corpus (doc_id < 400), then dedup the arriving
+    batch (doc_id ≥ 400) against it — batch-sized banding work only,
+    the bucketed index never re-shingles. md5 shingle hash makes every
+    stage DuckDB-replayable: the oracle recomputes the union LSH and
+    keeps pairs whose newer side is in the batch."""
+    from hippollm_spark.operators.dedup import (
+        incremental_dedup,
+        save_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    save_dedup_index(
+        spark, corpus, "dd_contract_idx", shingle_hash="md5"
+    )
+    return incremental_dedup(
+        spark, batch, "dd_contract_idx", threshold=0.5, shingle_hash="md5"
+    ).orderBy("doc_id", "dup_of")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2958,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # each round), already-verified ones (CORRECTNESS_r01.json) follow.
         "global_rank": q_global_rank,
         "prefix_revenue": q_prefix_revenue,
+        "incremental_dedup": q_incremental_dedup,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3462,6 +3486,12 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "incremental_dedup": f"""
+            SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard
+            FROM ({_minhash_oracle_sql()})
+            WHERE doc_b >= 400
+            ORDER BY doc_id, dup_of
+        """,
         "prefix_revenue": """
             WITH base AS (
                 SELECT ts, event_id,

@@ -25,6 +25,7 @@ from hippollm_spark.session import get_spark
 BENCH_QUERIES = [
     "global_rank",
     "prefix_revenue",
+    "incremental_dedup",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -420,35 +420,71 @@ def global_percentile_values(
     `rfm_segments`: the grouped `exact_percentiles` window is fine
     when ``by`` splits the data, but its ungrouped form funnels every
     row through one task.
-    """
-    from hippollm_spark.operators.ranks import distributed_rank
 
-    ranked = distributed_rank(
-        df.filter(F.col(value_col).isNotNull()).select(
-            F.col(value_col).alias("__v__")
-        ),
-        ["__v__"],
-        rank_col="__rk__",
+    Shape (distributed selection, NOT a full rank stamp): range-
+    partition the bare value column (narrow shuffle), pin it, collect
+    per-partition counts (tiny job), map each boundary rank to its
+    (partition, local rank), then sort ONLY the partitions that hold a
+    boundary and fetch those ≤2·len(percentiles) rows. Three jobs on a
+    single column — no join, no full-table row_number output.
+    """
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("__v__"))
+        .repartitionByRange("__v__")
+        .localCheckpoint(eager=True)
     )
-    n = ranked.count()
+    part = vals.withColumn("__pid__", F.spark_partition_id())
+    counts = sorted(
+        (
+            (r["__pid__"], r["__c__"])
+            for r in part.groupBy("__pid__")
+            .agg(F.count("*").alias("__c__"))
+            .collect()
+        )
+    )
+    n = sum(c for _, c in counts)
     if n == 0:
         return [None for _ in percentiles]
-    targets: set[int] = set()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
     marks = []
+    targets: set[int] = set()
     for p in percentiles:
         r = 1 + (n - 1) * float(p)
         lo = int(r // 1)
         frac = r - float(lo)
         marks.append((lo, frac))
-        targets.update((lo, lo + 1))
-    vals = {
-        row["__rk__"]: row["__v__"]
-        for row in ranked.filter(F.col("__rk__").isin(list(targets))).collect()
+        targets.update((lo, min(lo + 1, n)))
+    # map each global target rank to (partition, local rank)
+    needed: dict[int, set[int]] = {}
+    bounds = [(pid, offsets[pid], offsets[pid] + c) for pid, c in counts]
+    for t in targets:
+        for pid, start, end in bounds:
+            if start < t <= end:
+                needed.setdefault(pid, set()).add(t - start)
+                break
+    w = Window.partitionBy("__pid__").orderBy("__v__")
+    cond = None
+    for pid, lranks in needed.items():
+        c = (F.col("__pid__") == pid) & F.col("__rn__").isin(list(lranks))
+        cond = c if cond is None else cond | c
+    rows = (
+        part.filter(F.col("__pid__").isin(list(needed)))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(cond)
+        .collect()
+    )
+    by_global = {
+        offsets[row["__pid__"]] + row["__rn__"]: row["__v__"] for row in rows
     }
     out = []
     for lo, frac in marks:
-        v_lo = vals[lo]
-        v_hi = vals.get(lo + 1, v_lo)
+        v_lo = by_global[lo]
+        v_hi = by_global.get(lo + 1, v_lo)
         out.append(v_lo + (v_hi - v_lo) * frac)
     return out
 
@@ -459,6 +495,7 @@ def threshold_buckets(
     n: int = 10,
     *,
     by: str | Sequence[str] | None = None,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Equal-frequency-up-to-ties bucketing via percentile boundaries —
     the 100 TB alternative to ``ntile_buckets`` promised in its
@@ -482,7 +519,13 @@ def threshold_buckets(
     ps = [i / n for i in range(1, n)]
     if not by_list:
         # ungrouped: windowless distributed boundaries, assignment is a
-        # pure comparison expression — the table never shuffles at all
+        # pure comparison expression — the table never shuffles at all.
+        # ``pin_input`` localCheckpoints df first so an expensive
+        # upstream (e.g. a quality-scoring pass) is computed once for
+        # both the boundary job and the assignment output — worth it
+        # when upstream >> scan, wasteful for a bare parquet scan.
+        if pin_input:
+            df = df.localCheckpoint(eager=True)
         bvals = global_percentile_values(df, value_col, ps)
         bucket = F.lit(1)
         for bv in bvals:

@@ -185,7 +185,9 @@ def build_training_mix(
     scored = scored.join(
         docs.select("doc_id", "lang"), "doc_id"
     )
-    bucketed = threshold_buckets(scored, "quality_score_e8", n_buckets)
+    bucketed = threshold_buckets(
+        scored, "quality_score_e8", n_buckets, pin_input=True
+    )
     factor_expr = None
     for b, f in sorted(factors.items()):
         cond = F.col("bucket") == b
