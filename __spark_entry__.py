@@ -432,8 +432,12 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(F.sum(_dec(rev)).alias("_rev"))
-    w = Window.orderBy(F.desc("_rev"))
-    top = per_supp.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1)
+    # argmax via broadcast scalar max (exact DECIMAL equality) — no
+    # global rank window over the supplier aggregate
+    mx = per_supp.agg(F.max("_rev").alias("__mx__"))
+    top = per_supp.crossJoin(F.broadcast(mx)).filter(
+        F.col("_rev") == F.col("__mx__")
+    )
     return (
         top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
         .select(

@@ -52,21 +52,15 @@ def distributed_rank(
     semantics per ``by`` group, ordered by ``order_cols``) — without
     any whole-group window. See module docstring for the shape.
 
-    ``order_cols`` entries may be strings or Column expressions; pass
-    expressions (e.g. a salted md5) directly and they are materialized
-    as hidden sort columns for the range exchange.
+    ``order_cols`` entries may be strings or Column expressions —
+    including sort-direction columns (``F.col(x).desc()``). They MUST
+    be deterministic: the range exchange and the per-partition window
+    each evaluate them (identical results for deterministic exprs;
+    rand()-style orders would diverge between the two).
     """
     keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
-    ocols = []
     work = df
-    for i, oc in enumerate(order_cols):
-        if isinstance(oc, str):
-            ocols.append(F.col(oc))
-        else:
-            name = f"__ord{i}__"
-            work = work.withColumn(name, oc)
-            ocols.append(F.col(name))
-    hidden = [c for c in work.columns if c.startswith("__ord")]
+    ocols = [F.col(oc) if isinstance(oc, str) else oc for oc in order_cols]
     sort_cols = [F.col(k) for k in keys] + ocols
 
     if partitions:
@@ -119,7 +113,6 @@ def distributed_rank(
         .drop(
             "__pid__", "__rn__", "__opid__", "__off__",
             *[f"__k{i}__" for i in range(len(keys))],
-            *hidden,
         )
     )
 
@@ -151,15 +144,7 @@ def distributed_prefix_sum(
     keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     work = df.withColumn("__val__", v)
-    ocols = []
-    for i, oc in enumerate(order_cols):
-        if isinstance(oc, str):
-            ocols.append(F.col(oc))
-        else:
-            name = f"__ord{i}__"
-            work = work.withColumn(name, oc)
-            ocols.append(F.col(name))
-    hidden = [c for c in work.columns if c.startswith("__ord")]
+    ocols = [F.col(oc) if isinstance(oc, str) else oc for oc in order_cols]
     sort_cols = [F.col(k) for k in keys] + ocols
 
     if partitions:
@@ -235,5 +220,4 @@ def distributed_prefix_sum(
     return out.drop(
         "__pid__", "__ps__", "__opid__", "__noff__", "__soff__", "__val__",
         *[f"__k{i}__" for i in range(len(keys))],
-        *hidden,
     )

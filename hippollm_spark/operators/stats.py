@@ -379,17 +379,16 @@ def ntile_buckets(
     """Equal-frequency bucketing (NTILE): curriculum/quality deciles.
 
     Deterministic only when the total order is — pass a unique
-    ``tiebreak_col``. Scale note: without ``by`` this is a single
-    total order; Spark executes it as a range-partitioned global sort
-    (not one partition — the window's ntile runs after a skew-free
-    rangepartitioning exchange, but the ntile itself needs the global
-    row position, so Spark inserts a single-partition window for the
-    unpartitioned case). At 100 TB use ``by`` (e.g. shard or date) or
-    switch to threshold bucketing against an ``exact_percentiles``
-    boundary table — equal-frequency-up-to-boundary-ties, fully
-    parallel; this operator keeps exact NTILE semantics for the sizes
-    where the global window is affordable (model-eval sets, sampled
-    corpora).
+    ``tiebreak_col``.
+
+    Scale shape: NTILE is a pure function of the global row position
+    (the first n%k buckets take ceil(n/k) rows, the rest floor), so
+    the ungrouped case computes rank via `ranks.distributed_rank`
+    (range exchange + parallel sorts + broadcast offsets — no
+    single-partition window) and derives the bucket with a literal
+    expression; output is bit-identical to the NTILE window. With
+    ``by``, groups partition the window and Spark parallelizes
+    per-group as usual.
 
     Output: input columns + bucket INT (1-based).
     """
@@ -399,8 +398,26 @@ def ntile_buckets(
     ]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
-    w = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(*order)
-    return df.withColumn("bucket", F.ntile(n).over(w))
+    if by:
+        w = Window.partitionBy(*by).orderBy(*order)
+        return df.withColumn("bucket", F.ntile(n).over(w))
+    from hippollm_spark.operators.ranks import distributed_rank
+
+    ranked = distributed_rank(df, order, rank_col="__ntile_rk__")
+    total = ranked.count()
+    if total == 0:
+        return df.withColumn("bucket", F.lit(None).cast("int"))
+    q, r = divmod(total, n)
+    # first r buckets hold q+1 rows, the rest q (NTILE's definition)
+    split = r * (q + 1)
+    rk = F.col("__ntile_rk__")
+    if q == 0:
+        bucket = rk  # fewer rows than buckets: one row per bucket
+    else:
+        bucket = F.when(
+            rk <= F.lit(split), F.ceil(rk / F.lit(q + 1))
+        ).otherwise(F.lit(r) + F.ceil((rk - F.lit(split)) / F.lit(q)))
+    return ranked.withColumn("bucket", bucket.cast("int")).drop("__ntile_rk__")
 
 
 def global_percentile_values(
