@@ -2968,6 +2968,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "dup_of")
 
 
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining over a synthetic two-language split
+    (even vec_ids = source, odd = target): nearest target per source
+    scored by the ratio margin (cos / avg of both sides' mean top-4
+    cosines) — hubness-corrected parallel-pair mining."""
+    from hippollm_spark.operators.similarity import bitext_margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin_pairs(src, tgt, k=4).orderBy("src_id")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -2986,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_rank": q_global_rank,
         "prefix_revenue": q_prefix_revenue,
         "incremental_dedup": q_incremental_dedup,
+        "bitext_margin": q_bitext_margin,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3490,6 +3504,46 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "bitext_margin": """
+            WITH src AS (
+                SELECT vec_id AS src_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 0
+            ),
+            tgt AS (
+                SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 1
+            ),
+            sc AS (
+                SELECT src_id, tgt_id,
+                       round(list_cosine_similarity(s.v, t.v), 6) AS score
+                FROM src s CROSS JOIN tgt t
+            ),
+            rk AS (
+                SELECT src_id, tgt_id, score,
+                       row_number() OVER (PARTITION BY src_id
+                            ORDER BY score DESC, tgt_id) AS rs,
+                       row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY score DESC, src_id) AS rt
+                FROM sc
+            ),
+            ms AS (
+                SELECT src_id,
+                       round(sum(score::DECIMAL(18,6))::DOUBLE / count(*), 6)
+                           AS m
+                FROM rk WHERE rs <= 4 GROUP BY src_id
+            ),
+            mt AS (
+                SELECT tgt_id,
+                       round(sum(score::DECIMAL(18,6))::DOUBLE / count(*), 6)
+                           AS m
+                FROM rk WHERE rt <= 4 GROUP BY tgt_id
+            )
+            SELECT b.src_id, b.tgt_id, b.score,
+                   round(b.score / ((ms.m + mt.m) / 2.0), 6) AS margin
+            FROM (SELECT src_id, tgt_id, score FROM rk WHERE rs = 1) b
+            JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+            ORDER BY src_id
+        """,
         "incremental_dedup": f"""
             SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard
             FROM ({_minhash_oracle_sql()})

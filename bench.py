@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "global_rank",
     "prefix_revenue",
     "incremental_dedup",
+    "bitext_margin",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -758,3 +758,93 @@ def ivf_topk_indexed(
         .orderBy(F.asc("distance"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold: float | None = None,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, 2019): pair each
+    source embedding with its nearest target, scored by the RATIO
+    margin — cosine divided by the average of both sides' mean
+    top-k cosines — which cancels hubness (a target that is close to
+    everything gets a high denominator and stops winning every pair).
+    The mining step behind parallel-corpus construction for
+    translation training data.
+
+    Determinism discipline: cosines are rounded to 6dp FIRST; the
+    top-k means sum those rounded scores as exact DECIMAL and divide
+    by the actual neighbor count; the margin divides two identical
+    doubles — every engine replays it bit-for-bit.
+
+    Scale shape: this is the exact baseline — one scores-only
+    crossJoin (ids + 6dp scores in the shuffle, never vectors), two
+    per-side top-k windows (partitioned by the respective id — fully
+    parallel), and a broadcast-sized join of per-id means back onto
+    the best-pair set. At corpus scale, generate candidates with the
+    IVF/SRP buckets (`ivf_topk_indexed` / `srp_signature`) and feed
+    only bucket-mates through the same margin arithmetic.
+
+    Output: (src_id, tgt_id, score, margin) — one row per source with
+    a non-empty target side, optionally filtered to
+    ``margin >= margin_threshold``.
+    """
+    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv__"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv__"))
+    scores = (
+        s.crossJoin(t)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(
+                V.cosine_similarity(F.col("__sv__"), F.col("__tv__")), 6
+            ).alias("score"),
+        )
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("tgt_id"))
+    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("score"), F.asc("src_id"))
+    ranked = scores.withColumn("__rs__", F.row_number().over(w_s)).withColumn(
+        "__rt__", F.row_number().over(w_t)
+    )
+    mean_s = (
+        ranked.filter(F.col("__rs__") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("__ms__")
+        )
+    )
+    mean_t = (
+        ranked.filter(F.col("__rt__") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("__mt__")
+        )
+    )
+    best = ranked.filter(F.col("__rs__") == 1).select("src_id", "tgt_id", "score")
+    out = (
+        best.join(mean_s, "src_id")
+        .join(mean_t, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("score") / ((F.col("__ms__") + F.col("__mt__")) / 2.0), 6
+            ),
+        )
+        .select("src_id", "tgt_id", "score", "margin")
+    )
+    if margin_threshold is not None:
+        out = out.filter(F.col("margin") >= margin_threshold)
+    return out

@@ -214,3 +214,67 @@ def test_ivf_indexed_matches_inmemory_and_prunes(spark, embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SelectedBucketsCount" in plan, plan[:2000]
+
+
+def test_bitext_margin_hand_computed(spark):
+    """Tiny 2x2 case: margins computed by hand from 6dp-rounded
+    cosines; best target chosen by (score desc, id)."""
+    from hippollm_spark.operators.similarity import bitext_margin_pairs
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.6, 0.8])], "vec_id long, embedding array<double>"
+    )
+    rows = {r["src_id"]: r for r in bitext_margin_pairs(src, tgt, k=2).collect()}
+    # cos(0,1)=1.0 cos(0,3)=0.6 cos(2,1)=0.0 cos(2,3)=0.8
+    assert rows[0]["tgt_id"] == 1 and rows[0]["score"] == 1.0
+    assert rows[2]["tgt_id"] == 3 and rows[2]["score"] == 0.8
+    ms0 = round((1.0 + 0.6) / 2, 6)       # src 0 top-2 mean
+    mt1 = round((1.0 + 0.0) / 2, 6)       # tgt 1 top-2 mean
+    assert rows[0]["margin"] == round(1.0 / ((ms0 + mt1) / 2), 6)
+    ms2 = round((0.8 + 0.0) / 2, 6)
+    mt3 = round((0.6 + 0.8) / 2, 6)
+    assert rows[2]["margin"] == round(0.8 / ((ms2 + mt3) / 2), 6)
+
+
+def test_bitext_margin_penalizes_hub(spark):
+    """A hub target close to every source must lose margin relative to
+    an exclusive match with the same raw cosine."""
+    from hippollm_spark.operators.similarity import bitext_margin_pairs
+
+    # hub (id 1) has cos ~0.9 to both sources; exclusive (id 3) has 0.9
+    # to source 2 only
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    import math
+
+    a = 0.9
+    b = math.sqrt(1 - a * a)
+    hub = [a * 0.7071067811865476 + 0, 0.7071067811865476 * a, b]  # close-ish to both
+    tgt = spark.createDataFrame(
+        [(1, hub), (3, [b, a, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {r["src_id"]: r for r in bitext_margin_pairs(src, tgt, k=2).collect()}
+    # source 2's pick: exclusive target 3 (cos 0.9) beats hub (~0.64)
+    assert rows[2]["tgt_id"] == 3
+    # and the margin of the exclusive pair exceeds the hub pair's
+    assert rows[2]["margin"] > rows[0]["margin"]
+
+
+def test_bitext_margin_threshold_and_empty(spark):
+    from hippollm_spark.operators.similarity import bitext_margin_pairs
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    all_pairs = bitext_margin_pairs(src, tgt, k=2).collect()
+    assert len(all_pairs) == 1
+    kept = bitext_margin_pairs(src, tgt, k=2, margin_threshold=all_pairs[0]["margin"] + 1)
+    assert kept.count() == 0
