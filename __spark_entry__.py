@@ -2981,6 +2981,18 @@ def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_margin_pairs(src, tgt, k=4).orderBy("src_id")
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (the web-corpus step that stops one hot domain
+    from dominating the mix): keep a deterministic uniform sample of
+    at most 50 docs per source, selected by salted-hash order via the
+    group-keyed distributed rank — hot domains sort across many
+    tasks, never one window."""
+    from hippollm_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", 50).orderBy("source", "cap_rank")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3000,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_revenue": q_prefix_revenue,
         "incremental_dedup": q_incremental_dedup,
         "bitext_margin": q_bitext_margin,
+        "domain_cap": q_domain_cap,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3504,6 +3517,17 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "domain_cap": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY md5('cap|' || doc_id::VARCHAR), doc_id)
+                            AS INT) AS cap_rank
+                FROM documents
+            )
+            SELECT doc_id, source, cap_rank FROM ranked
+            WHERE cap_rank <= 50 ORDER BY source, cap_rank
+        """,
         "bitext_margin": """
             WITH src AS (
                 SELECT vec_id AS src_id, embedding::DOUBLE[] AS v

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "prefix_revenue",
     "incremental_dedup",
     "bitext_margin",
+    "domain_cap",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -482,3 +482,35 @@ def interleave_corpora(
         "mix_key",
         (F.col("mix_rank").cast("long") * mult[F.col(corpus_col)]).cast("long"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    by: str,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap each group at ``n`` rows, keeping a deterministic uniform
+    sample — the domain-capping step web-scale corpora apply so one
+    hot domain can't dominate the training mix. Selection order is the
+    salted md5 of the id (re-saltable, rerun-identical), so the kept
+    subset is an unbiased per-group sample, not "first n in storage
+    order".
+
+    Scale shape: `ranks.distributed_rank` with the group as the
+    partition key — a hot group (one domain = 30% of the corpus is
+    normal) range-partitions across MANY tasks instead of sorting in
+    one window task; rank ≤ n is then a pure filter. Output: input
+    columns + cap_rank (1..n within each group).
+    """
+    from hippollm_spark.operators.ranks import distributed_rank
+
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    ranked = distributed_rank(
+        df, [key, F.col(id_col)], by=by, rank_col="cap_rank"
+    )
+    return ranked.filter(F.col("cap_rank") <= n).withColumn(
+        "cap_rank", F.col("cap_rank").cast("int")
+    )

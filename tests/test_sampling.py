@@ -411,3 +411,28 @@ def test_global_shuffle_sharded_concat_matches_global_order(spark):
         "pid", F.spark_partition_id()
     ).orderBy("pid", "shuffle_key").collect()
     assert [r["doc_id"] for r in parts] == flat
+
+
+def test_cap_per_group_deterministic_uniform_cap(spark):
+    from hippollm_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "hot" if i < 300 else f"cold{i % 5}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", 20)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["hot"]) == 20            # hot domain capped
+    for s, rs in by_src.items():
+        n_src = 300 if s == "hot" else len([x for x in rows if x[1] == s])
+        assert len(rs) == min(20, n_src)
+        assert sorted(r["cap_rank"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+    # rerun-identical and partitioning-independent
+    again = {
+        (r["doc_id"], r["cap_rank"])
+        for r in cap_per_group(df.repartition(13), "source", 20).collect()
+    }
+    first = {(r["doc_id"], r["cap_rank"]) for r in out.collect()}
+    assert first == again
