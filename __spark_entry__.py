@@ -2993,6 +2993,47 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "source", 50).orderBy("source", "cap_rank")
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming module's tumbling-window aggregation driven in
+    batch mode (streaming/events.py windowed_counts accepts static
+    frames — identical plan minus the watermark): per-hour counts and
+    exact-DECIMAL value sums per event type."""
+    from hippollm_spark.streaming.events import windowed_counts
+
+    return windowed_counts(_events(spark, sf_dir), "1 hour").orderBy(
+        "window_start", "event_type"
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-native session_window sessionization in batch mode:
+    sessions merge while consecutive gaps are < 30 min; session_end =
+    last event + gap (session_window's definition — note the boundary
+    differs from the batch lag+cumsum twin, which starts a new session
+    only when gap > 30 min)."""
+    from hippollm_spark.streaming.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), "30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+
+
+def q_stream_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream attribution join in batch mode: every
+    (click, purchase) pair of the same user within one hour, with the
+    exact µs delay — the time-bounded join whose event-time condition
+    is what lets streaming state expire."""
+    from hippollm_spark.streaming.events import click_purchase_join
+
+    ev = _events(spark, sf_dir)
+    out = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        within="1 hour",
+    )
+    return out.orderBy("user_id", "click_id", "purchase_id")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3013,6 +3054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "bitext_margin": q_bitext_margin,
         "domain_cap": q_domain_cap,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_click_join": q_stream_click_join,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3517,6 +3561,54 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "stream_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(CAST(value AS DECIMAL(18,6)))::DOUBLE, 2)
+                       AS sum_value
+            FROM events GROUP BY 1, 2, 3
+            ORDER BY window_start, event_type
+        """,
+        "stream_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    >= 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "stream_click_join": """
+            WITH c AS (
+                SELECT user_id, event_id AS click_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts,
+                   epoch_us(purchase_ts) - epoch_us(click_ts) AS delay_us
+            FROM c JOIN p ON c.user_id = p.user_id
+             AND purchase_ts >= click_ts
+             AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            ORDER BY c.user_id, click_id, purchase_id
+        """,
         "domain_cap": """
             WITH ranked AS (
                 SELECT doc_id, source,

@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "bitext_margin",
     "domain_cap",
+    "stream_windowed_counts",
+    "stream_sessionize",
+    "stream_click_join",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

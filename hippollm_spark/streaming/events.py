@@ -53,7 +53,11 @@ def windowed_counts(
         events.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact DECIMAL sum: a raw double sum is accumulation-order-
+            # dependent and would differ run-to-run / engine-to-engine
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -140,7 +144,11 @@ def segment_windowed_revenue(
         enriched.groupBy(F.window("ts", window).alias("w"), "c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact DECIMAL sum: a raw double sum is accumulation-order-
+            # dependent and would differ run-to-run / engine-to-engine
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
