@@ -476,14 +476,15 @@ def annotate_documents(
 
     raw_facts = extract_facts(chunks, ctxs, llm, cfg.inference_partitions)
     # Stable batch ordinal = document order, chunk order, bullet order —
-    # the reference's serial processing order (annotator.py:185-218).
-    # Unpartitioned row_number funnels one task, which is fine here: a
-    # batch is bounded by LLM throughput long before this matters.
-    raw_facts = raw_facts.withColumn(
-        "__ord__",
-        F.row_number()
-        .over(Window.orderBy("doc_id", "chunk_idx", "fact_ordinal"))
-        .cast("long"),
+    # the reference's serial processing order (annotator.py:185-218),
+    # stamped windowlessly (range exchange + broadcast offsets) so even
+    # a huge annotation batch never funnels through one task.
+    from hippollm_spark.operators.ranks import distributed_rank
+
+    raw_facts = distributed_rank(
+        raw_facts,
+        ["doc_id", "chunk_idx", "fact_ordinal"],
+        rank_col="__ord__",
     )
     reformed = reformulate(raw_facts, ctxs, llm, cfg.inference_partitions)
     gated = dedup_facts(reformed, store, llm, nli, embed, cfg.k_dedup).cache()
