@@ -232,6 +232,15 @@ def main() -> None:
         # runs of accumulated cache/checkpoint blocks otherwise build
         # executor memory pressure that inflates late queries by 2x.
         spark.catalog.clearCache()
+        # localCheckpoint blocks (the distributed-rank partition pins)
+        # aren't catalog entries; unpersist them explicitly — prior
+        # queries' frames are never reused across iterations, and the
+        # leftover blocks otherwise inflate late queries 2-5x.
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
         gc.collect()
         best = float("inf")
         for _ in range(2):
