@@ -3644,18 +3644,19 @@ def oracle_sql() -> dict[str, str]:
             ),
             ms AS (
                 SELECT src_id,
-                       round(sum(score::DECIMAL(18,6))::DOUBLE / count(*), 6)
-                           AS m
+                       floor(sum(score::DECIMAL(18,6))::DOUBLE / count(*)
+                             * 1000000) / 1000000 AS m
                 FROM rk WHERE rs <= 4 GROUP BY src_id
             ),
             mt AS (
                 SELECT tgt_id,
-                       round(sum(score::DECIMAL(18,6))::DOUBLE / count(*), 6)
-                           AS m
+                       floor(sum(score::DECIMAL(18,6))::DOUBLE / count(*)
+                             * 1000000) / 1000000 AS m
                 FROM rk WHERE rt <= 4 GROUP BY tgt_id
             )
             SELECT b.src_id, b.tgt_id, b.score,
-                   round(b.score / ((ms.m + mt.m) / 2.0), 6) AS margin
+                   floor(b.score / ((ms.m + mt.m) / 2.0) * 1000000) / 1000000
+                       AS margin
             FROM (SELECT src_id, tgt_id, score FROM rk WHERE rs = 1) b
             JOIN ms USING (src_id) JOIN mt USING (tgt_id)
             ORDER BY src_id

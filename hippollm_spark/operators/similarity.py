@@ -779,8 +779,12 @@ def bitext_margin_pairs(
 
     Determinism discipline: cosines are rounded to 6dp FIRST; the
     top-k means sum those rounded scores as exact DECIMAL and divide
-    by the actual neighbor count; the margin divides two identical
-    doubles — every engine replays it bit-for-bit.
+    by the actual neighbor count; mean and margin quotients are then
+    FLOORED at 6dp, not rounded — both engines divide identical
+    doubles, and floor of an identical double is identical, whereas
+    round() differs at .xxxxxx5 boundaries (Spark rounds the decimal
+    string HALF_UP, DuckDB rounds the binary value; observed on 1 of
+    200 pairs at sf0.1).
 
     Scale shape: this is the exact baseline — one scores-only
     crossJoin (ids + 6dp scores in the shuffle, never vectors), two
@@ -815,10 +819,13 @@ def bitext_margin_pairs(
         ranked.filter(F.col("__rs__") <= k)
         .groupBy("src_id")
         .agg(
-            F.round(
-                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.floor(
+                    F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                    / F.count("*")
+                    * 1_000_000
+                )
+                / 1_000_000
             ).alias("__ms__")
         )
     )
@@ -826,10 +833,13 @@ def bitext_margin_pairs(
         ranked.filter(F.col("__rt__") <= k)
         .groupBy("tgt_id")
         .agg(
-            F.round(
-                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.floor(
+                    F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                    / F.count("*")
+                    * 1_000_000
+                )
+                / 1_000_000
             ).alias("__mt__")
         )
     )
@@ -839,9 +849,12 @@ def bitext_margin_pairs(
         .join(mean_t, "tgt_id")
         .withColumn(
             "margin",
-            F.round(
-                F.col("score") / ((F.col("__ms__") + F.col("__mt__")) / 2.0), 6
-            ),
+            F.floor(
+                F.col("score")
+                / ((F.col("__ms__") + F.col("__mt__")) / 2.0)
+                * 1_000_000
+            )
+            / 1_000_000,
         )
         .select("src_id", "tgt_id", "score", "margin")
     )

@@ -231,12 +231,17 @@ def test_bitext_margin_hand_computed(spark):
     # cos(0,1)=1.0 cos(0,3)=0.6 cos(2,1)=0.0 cos(2,3)=0.8
     assert rows[0]["tgt_id"] == 1 and rows[0]["score"] == 1.0
     assert rows[2]["tgt_id"] == 3 and rows[2]["score"] == 0.8
-    ms0 = round((1.0 + 0.6) / 2, 6)       # src 0 top-2 mean
-    mt1 = round((1.0 + 0.0) / 2, 6)       # tgt 1 top-2 mean
-    assert rows[0]["margin"] == round(1.0 / ((ms0 + mt1) / 2), 6)
-    ms2 = round((0.8 + 0.0) / 2, 6)
-    mt3 = round((0.6 + 0.8) / 2, 6)
-    assert rows[2]["margin"] == round(0.8 / ((ms2 + mt3) / 2), 6)
+    import math
+
+    def f6(x):  # the operator's boundary-stable 6dp floor
+        return math.floor(x * 1_000_000) / 1_000_000
+
+    ms0 = f6((1.0 + 0.6) / 2)             # src 0 top-2 mean
+    mt1 = f6((1.0 + 0.0) / 2)             # tgt 1 top-2 mean
+    assert rows[0]["margin"] == f6(1.0 / ((ms0 + mt1) / 2))
+    ms2 = f6((0.8 + 0.0) / 2)
+    mt3 = f6((0.6 + 0.8) / 2)
+    assert rows[2]["margin"] == f6(0.8 / ((ms2 + mt3) / 2))
 
 
 def test_bitext_margin_penalizes_hub(spark):
