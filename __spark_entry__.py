@@ -1292,9 +1292,17 @@ def q_ingest_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = add_entities(existing, new, embed=hash_embedding_udf(384), embed_partitions=64)
     return out.select(
         "name",
-        F.round(
-            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double")),
-            6,
+        # + 0.0 normalizes IEEE signed zero: a tiny negative sum rounds
+        # to -0.0 in DuckDB but +0.0 in Spark (BigDecimal strips the
+        # sign), and the driver's canonical format prints them apart
+        (
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
         ).alias("emb_sum"),
     ).orderBy("name")
 
@@ -4481,7 +4489,7 @@ def oracle_sql() -> dict[str, str]:
             sums AS (
                 SELECT name,
                        round(list_reduce(list(v ORDER BY i), (a, b) -> a + b), 6)
-                           AS emb_sum
+                           + 0.0 AS emb_sum
                 FROM vals GROUP BY name
             )
             SELECT name, emb_sum FROM sums
@@ -5245,10 +5253,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok GROUP BY doc_id
             )
             SELECT doc_id, CAST(n AS INT) AS n_tokens, w_sum AS w_sum_e6,
-                   round(w_sum / (greatest(n, 1) * 1000000.0), 6) AS z,
-                   round(1.0 / (1.0 + exp(
-                       -round(w_sum / (greatest(n, 1) * 1000000.0), 6))), 6)
-                       AS score
+                   floor(w_sum / greatest(n, 1)) / 1000000.0 AS z,
+                   floor((1.0 / (1.0 + exp(
+                       -(floor(w_sum / greatest(n, 1)) / 1000000.0))))
+                       * 1000000.0) / 1000000.0 AS score
             FROM agg
         """,
         "dup_spans": f"""
@@ -5527,7 +5535,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1)
             )
             SELECT doc_id, count(*) AS n_bigrams,
-                   round(sum(term::DECIMAL(38,10))::DOUBLE / count(*), 6) AS nll
+                   floor(sum(term::DECIMAL(38,10))::DOUBLE / count(*)
+                         * 1000000) / 1000000 AS nll
             FROM terms GROUP BY doc_id
         """,
         "rolling_anomaly": """
@@ -5674,14 +5683,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(x.phash, y.phash)) <= 3
             ORDER BY media_a, media_b
         """,
-        "score_buckets": f"""
-            WITH b AS (
+        "score_buckets": """
+            -- boundary arithmetic replicates exact_percentiles
+            -- op-for-op (quantile_cont's internal interpolation can
+            -- differ by an ulp exactly where a boundary lands ON a
+            -- data value, flipping the strict >)
+            WITH ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                            ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
                 SELECT event_type,
-                       {", ".join(f"quantile_cont(value, {i / 10}) AS b{i}" for i in range(1, 10))}
-                FROM events GROUP BY event_type
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.1 AS DOUBLE)) AS BIGINT) THEN value END) AS lo1,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.1 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi1,
+                       any_value((1.0 + (n - 1) * CAST(0.1 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.1 AS DOUBLE))) AS fr1,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.2 AS DOUBLE)) AS BIGINT) THEN value END) AS lo2,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.2 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi2,
+                       any_value((1.0 + (n - 1) * CAST(0.2 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.2 AS DOUBLE))) AS fr2,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.3 AS DOUBLE)) AS BIGINT) THEN value END) AS lo3,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.3 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi3,
+                       any_value((1.0 + (n - 1) * CAST(0.3 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.3 AS DOUBLE))) AS fr3,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.4 AS DOUBLE)) AS BIGINT) THEN value END) AS lo4,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.4 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi4,
+                       any_value((1.0 + (n - 1) * CAST(0.4 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.4 AS DOUBLE))) AS fr4,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS lo5,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi5,
+                       any_value((1.0 + (n - 1) * CAST(0.5 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.5 AS DOUBLE))) AS fr5,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.6 AS DOUBLE)) AS BIGINT) THEN value END) AS lo6,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.6 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi6,
+                       any_value((1.0 + (n - 1) * CAST(0.6 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.6 AS DOUBLE))) AS fr6,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.7 AS DOUBLE)) AS BIGINT) THEN value END) AS lo7,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.7 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi7,
+                       any_value((1.0 + (n - 1) * CAST(0.7 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.7 AS DOUBLE))) AS fr7,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.8 AS DOUBLE)) AS BIGINT) THEN value END) AS lo8,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.8 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi8,
+                       any_value((1.0 + (n - 1) * CAST(0.8 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.8 AS DOUBLE))) AS fr8,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) THEN value END) AS lo9,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi9,
+                       any_value((1.0 + (n - 1) * CAST(0.9 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.9 AS DOUBLE))) AS fr9
+                FROM ranked GROUP BY event_type
             )
             SELECT e.event_type, e.event_id, e.value,
-                   CAST(1 {" ".join(f"+ CASE WHEN e.value > b.b{i} THEN 1 ELSE 0 END" for i in range(1, 10))}
+                   CAST(1 + CASE WHEN e.value > (b.lo1 + (coalesce(b.hi1, b.lo1) - b.lo1) * b.fr1) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo2 + (coalesce(b.hi2, b.lo2) - b.lo2) * b.fr2) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo3 + (coalesce(b.hi3, b.lo3) - b.lo3) * b.fr3) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo4 + (coalesce(b.hi4, b.lo4) - b.lo4) * b.fr4) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo5 + (coalesce(b.hi5, b.lo5) - b.lo5) * b.fr5) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo6 + (coalesce(b.hi6, b.lo6) - b.lo6) * b.fr6) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo7 + (coalesce(b.hi7, b.lo7) - b.lo7) * b.fr7) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo8 + (coalesce(b.hi8, b.lo8) - b.lo8) * b.fr8) THEN 1 ELSE 0 END + CASE WHEN e.value > (b.lo9 + (coalesce(b.hi9, b.lo9) - b.lo9) * b.fr9) THEN 1 ELSE 0 END
                         AS INT) AS bucket
             FROM events e JOIN b USING (event_type)
         """,

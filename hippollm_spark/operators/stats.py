@@ -37,7 +37,10 @@ def exact_percentiles(
     """
     by = [by] if isinstance(by, str) else list(by)
     w = Window.partitionBy(*by).orderBy(F.col(value_col).asc())
-    ranked = df.select(
+    # NULL values are outside the distribution (quantile_cont
+    # semantics) — unfiltered they'd sort NULLS FIRST and shift every
+    # boundary rank
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
         *by,
         F.col(value_col).alias("__v__"),
         F.row_number().over(w).alias("__rn__"),

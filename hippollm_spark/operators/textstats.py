@@ -669,10 +669,12 @@ def linear_classifier_score(
 
     The weight sum is assembled in exact integer µ-units; the only
     double steps are one division (exact-integer operands → identical
-    bits on any engine) and the exp, whose ulp noise the 6dp rounds
-    absorb — z is rounded before the sigmoid and the sigmoid is
-    computed from the ROUNDED z, the same discipline the BM25 oracle
-    uses for ln.
+    bits on any engine) and the exp. z and the sigmoid are FLOORED at
+    6dp rather than rounded: round(q, 6) of two identical doubles can
+    still disagree across engines at .xxxxxx5 boundaries (Spark rounds
+    the decimal string HALF_UP, DuckDB the binary value — and
+    w_sum/n produces exactly such rationals), while floor of an
+    identical double is identical everywhere.
 
     Output: (doc_id, n_tokens, w_sum_e6 BIGINT, z DOUBLE, score DOUBLE).
     """
@@ -692,13 +694,14 @@ def linear_classifier_score(
         lambda acc, x: acc + x,
     )
     n_tok = F.greatest(F.size(toks), F.lit(1))
-    z = F.round(w_sum / (n_tok.cast("double") * 1_000_000.0), 6)
+    z = F.floor(w_sum / n_tok.cast("double")) / 1_000_000.0
+    sigmoid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return t.select(
         F.col("doc_id"),
         F.size(toks).alias("n_tokens"),
         w_sum.alias("w_sum_e6"),
         z.alias("z"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (F.floor(sigmoid * 1_000_000.0) / 1_000_000.0).alias("score"),
     )
 
 
@@ -776,10 +779,16 @@ def ngram_lm_score(
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("__t__").cast("decimal(38,10)")).cast("double")
-                / F.count("*"),
-                6,
+            # floor at 6dp, not round: the mean's quotient can land on
+            # a .xxxxxx5 boundary where Spark's and DuckDB's round()
+            # disagree; floor of identical doubles never does
+            (
+                F.floor(
+                    F.sum(F.col("__t__").cast("decimal(38,10)")).cast("double")
+                    / F.count("*")
+                    * 1_000_000
+                )
+                / 1_000_000
             ).alias("nll"),
         )
     )

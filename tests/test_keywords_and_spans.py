@@ -88,8 +88,9 @@ def test_linear_classifier_score_matches_python(spark):
         for tok in toks:
             bucket = _md5_long(tok) % N_CLASSIFIER_BUCKETS
             w_sum += (_md5_long(str(bucket)) % 2_000_001) - 1_000_000
-        z = _round6(w_sum / (max(len(toks), 1) * 1_000_000.0))
-        score = _round6(1.0 / (1.0 + math.exp(-z)))
+        # floor-at-6dp convention (cross-engine boundary-stable)
+        z = math.floor(w_sum / max(len(toks), 1)) / 1_000_000.0
+        score = math.floor((1.0 / (1.0 + math.exp(-z))) * 1_000_000.0) / 1_000_000.0
         r = got[i]
         assert r["w_sum_e6"] == w_sum
         assert abs(r["z"] - z) < 1e-12
