@@ -207,9 +207,15 @@ def distributed_prefix_sum(
         .join(F.broadcast(off_df), cond, "inner")
         .withColumn(
             sum_col,
+            # window running-sum semantics: NULL values are skipped, so
+            # a row whose within-partition prefix is NULL still carries
+            # the prior partitions' total; the result is NULL only
+            # before the group's first non-NULL value
             F.when(
                 F.col("__soff__").isNull(), F.col("__ps__")
-            ).otherwise(F.col("__soff__") + F.col("__ps__")),
+            ).otherwise(
+                F.col("__soff__") + F.coalesce(F.col("__ps__"), F.lit(0))
+            ),
         )
     )
     if rank_col:

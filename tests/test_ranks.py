@@ -152,3 +152,26 @@ def test_distributed_prefix_sum_empty(spark):
 
     df = spark.createDataFrame([], "id long, v long")
     assert distributed_prefix_sum(df, "v", ["id"]).count() == 0
+
+
+def test_distributed_prefix_sum_null_values_match_window(spark):
+    """NULL values are skipped by a running sum but still occupy
+    positions; parity must hold even when a whole range slice is
+    NULL."""
+    from hippollm_spark.operators.ranks import distributed_prefix_sum
+
+    rows = [(i, None if (i < 40 or 200 <= i < 260) else float(i % 7))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["rs"]
+        for r in distributed_prefix_sum(
+            df, "v", ["id"], sum_col="rs", partitions=6
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
