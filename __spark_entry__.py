@@ -3042,6 +3042,22 @@ def q_stream_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "click_id", "purchase_id")
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document FFD bin packing per language shard (the
+    no-straddle packing for SFT-style samples). Greedy-sequential per
+    shard → genuinely non-SQL-expressible, so this entry is rows-only
+    (like ann_pq_topk); pytest pins the invariants (budget respected,
+    deterministic under repartition, oversized isolation)."""
+    from hippollm_spark.operators.sampling import pack_bins_ffd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.length("text") / 4).cast("long").alias("n_tokens"),
+    )
+    return pack_bins_ffd(docs, budget=2048).orderBy("lang", "bin_id", "doc_id")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3065,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessionize": q_stream_sessionize,
         "stream_click_join": q_stream_click_join,
+        "pack_bins": q_pack_bins,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "stream_windowed_counts",
     "stream_sessionize",
     "stream_click_join",
+    "pack_bins",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -514,3 +514,63 @@ def cap_per_group(
     return ranked.filter(F.col("cap_rank") <= n).withColumn(
         "cap_rank", F.col("cap_rank").cast("int")
     )
+
+
+def pack_bins_ffd(
+    docs: DataFrame,
+    *,
+    budget: int = 2048,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
+    """Whole-document bin packing, first-fit-decreasing — the packing
+    used when samples must NOT straddle context boundaries (SFT
+    examples, eval prompts), complementing `pack_sequences`'
+    concat-and-chunk. Documents are ordered by (tokens DESC, id) and
+    each goes into the first bin with room; a document longer than
+    ``budget`` gets a bin of its own (flagged oversized). FFD is the
+    classic 11/9·OPT + 6/9 guarantee.
+
+    Scale shape: packing is inherently sequential, so the SHARD is the
+    parallelism unit (exactly `pack_sequences`' contract) — one
+    ``applyInPandas`` per shard group, deterministic order inside.
+    Output: input columns + (bin_id INT per shard, bin_fill INT tokens
+    in the doc's bin after packing, oversized BOOLEAN).
+    """
+    import pandas as pd
+
+    out_fields = docs.schema.fields
+    schema_ddl = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+        + ", bin_id int, bin_fill int, oversized boolean"
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_count_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assign: list[int] = []
+        oversized: list[bool] = []
+        for n in pdf[token_count_col]:
+            n = int(n)
+            placed = False
+            if n <= budget:
+                for b, fill in enumerate(fills):
+                    if fill + n <= budget:
+                        fills[b] = fill + n
+                        assign.append(b)
+                        oversized.append(False)
+                        placed = True
+                        break
+            if not placed:
+                fills.append(n)
+                assign.append(len(fills) - 1)
+                oversized.append(n > budget)
+        pdf["bin_id"] = assign
+        pdf["bin_fill"] = [fills[b] for b in assign]
+        pdf["oversized"] = oversized
+        return pdf
+
+    return docs.groupBy(shard_col).applyInPandas(_pack, schema_ddl)

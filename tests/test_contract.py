@@ -11,12 +11,14 @@ from bench import BENCH_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-# rows-only by design: approximate / float-matmul paths with no SQL twin
+# rows-only by design: approximate / float-matmul paths with no SQL
+# twin, plus greedy-sequential algorithms SQL cannot replay
 EXPECTED_NO_ORACLE = {
     "approx_stats",
     "ann_pq_topk",
     "mmr_rerank",
     "pca_embeddings",
+    "pack_bins",
 }
 
 

@@ -436,3 +436,44 @@ def test_cap_per_group_deterministic_uniform_cap(spark):
     }
     first = {(r["doc_id"], r["cap_rank"]) for r in out.collect()}
     assert first == again
+
+
+def test_pack_bins_ffd_invariants(spark):
+    from hippollm_spark.operators.sampling import pack_bins_ffd
+
+    rows = [(i, "en" if i % 2 else "de", (i * 97) % 900 + 50) for i in range(200)]
+    rows.append((999, "en", 5000))  # oversized
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = pack_bins_ffd(df, budget=2048).collect()
+    by_bin: dict[tuple, int] = {}
+    for r in out:
+        by_bin[(r["lang"], r["bin_id"])] = by_bin.get((r["lang"], r["bin_id"]), 0) + r["n_tokens"]
+    for (lang, b), tot in by_bin.items():
+        docs_in_bin = [r for r in out if r["lang"] == lang and r["bin_id"] == b]
+        if not any(r["oversized"] for r in docs_in_bin):
+            assert tot <= 2048, (lang, b, tot)
+        # bin_fill reports the final fill of the doc's bin
+        assert all(r["bin_fill"] == tot for r in docs_in_bin)
+    big = next(r for r in out if r["doc_id"] == 999)
+    assert big["oversized"] and big["bin_fill"] == 5000
+    # every doc packed exactly once; deterministic under repartition
+    assert len(out) == len(rows)
+    again = pack_bins_ffd(df.repartition(7), budget=2048).collect()
+    assert sorted((r["doc_id"], r["bin_id"]) for r in out) == sorted(
+        (r["doc_id"], r["bin_id"]) for r in again
+    )
+
+
+def test_pack_bins_ffd_beats_naive_order(spark):
+    """FFD uses no more bins than first-fit in arrival order on a
+    crafted adversarial set."""
+    from hippollm_spark.operators.sampling import pack_bins_ffd
+
+    sizes = [1100, 600, 500, 1000, 900, 400, 450, 1048]
+    df = spark.createDataFrame(
+        [(i, "x", s) for i, s in enumerate(sizes)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = pack_bins_ffd(df, budget=2048).collect()
+    n_bins = len({r["bin_id"] for r in out})
+    assert n_bins <= 3  # FFD: (1100+900)(1048+1000)(600+500+450+400)
