@@ -3058,6 +3058,17 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_ffd(docs, budget=2048).orderBy("lang", "bin_id", "doc_id")
 
 
+def q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 deterministic uniform document sample (smallest
+    salted md5 ranks) — TakeOrderedAndProject, per-partition heaps,
+    no global sort; the exact-k counterpart of the windowless
+    threshold samplers."""
+    from hippollm_spark.operators.sampling import uniform_sample_k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return uniform_sample_k(docs, 100).orderBy("sample_key")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3082,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_click_join": q_stream_click_join,
         "pack_bins": q_pack_bins,
+        "uniform_sample_k": q_uniform_sample_k,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3586,6 +3598,13 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "uniform_sample_k": """
+            SELECT doc_id, lang,
+                   md5('sample|' || doc_id::VARCHAR) AS sample_key
+            FROM documents
+            ORDER BY sample_key, doc_id
+            LIMIT 100
+        """,
         "stream_windowed_counts": """
             SELECT date_trunc('hour', ts) AS window_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "stream_sessionize",
     "stream_click_join",
     "pack_bins",
+    "uniform_sample_k",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -574,3 +574,25 @@ def pack_bins_ffd(
         return pdf
 
     return docs.groupBy(shard_col).applyInPandas(_pack, schema_ddl)
+
+
+def uniform_sample_k(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly-k deterministic uniform sample: the k rows with the
+    smallest salted rank-hash — re-saltable, rerun-identical,
+    partitioning-independent (the distributed reservoir-sampling
+    equivalent, without reservoir state). ``orderBy(limit)`` compiles
+    to TakeOrderedAndProject: per-partition k-heaps, driver merges
+    #partitions × k candidate rows — no global sort, no window.
+    Output: input columns + sample_key (hex md5)."""
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )

@@ -477,3 +477,24 @@ def test_pack_bins_ffd_beats_naive_order(spark):
     out = pack_bins_ffd(df, budget=2048).collect()
     n_bins = len({r["bin_id"] for r in out})
     assert n_bins <= 3  # FFD: (1100+900)(1048+1000)(600+500+450+400)
+
+
+def test_uniform_sample_k_exact_and_stable(spark):
+    from hippollm_spark.operators.sampling import uniform_sample_k
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(500)], "doc_id long, lang string"
+    )
+    out = uniform_sample_k(df, 50).collect()
+    assert len(out) == 50
+    a = sorted(r["doc_id"] for r in out)
+    b = sorted(
+        r["doc_id"] for r in uniform_sample_k(df.repartition(11), 50).collect()
+    )
+    assert a == b  # partitioning-independent
+    c = sorted(
+        r["doc_id"] for r in uniform_sample_k(df, 50, salt="other").collect()
+    )
+    assert a != c  # re-salting re-rolls the sample
+    plan = uniform_sample_k(df, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
