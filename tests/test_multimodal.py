@@ -70,3 +70,67 @@ def test_sample_frames(media):
     # video has 25 frames → sampled at 0, 10, 20
     assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 10, 20]
     assert all(r["media_id"] == 3 and len(r["frame"]) == 32 for r in rows)
+
+
+def _wav_bytes(freq=440.0, sr=8000, n=800, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(2)
+    w.setframerate(sr)
+    frames = b"".join(
+        struct.pack(
+            "<" + "h" * channels,
+            *([int(10000 * math.sin(2 * math.pi * freq * i / sr))] * channels),
+        )
+        for i in range(n)
+    )
+    w.writeframes(frames)
+    w.close()
+    return buf.getvalue()
+
+
+def _ppm_bytes(w, h, rgb):
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def test_decode_wav_stats_real(spark):
+    from hippollm_spark.operators.multimodal import decode_wav_stats
+
+    good = _wav_bytes(sr=8000, n=800)
+    stereo = _wav_bytes(sr=16000, n=1600, channels=2)
+    rows = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(stereo)), (3, bytearray(b"not a wav"))],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r for r in decode_wav_stats(rows).collect()}
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_channels"] == 1
+    assert out[1]["n_frames"] == 800 and abs(out[1]["duration_s"] - 0.1) < 1e-6
+    # RMS of a 10000-amplitude sine ~ 10000/sqrt(2)
+    assert abs(out[1]["rms"] - 10000 / 2**0.5) < 150
+    assert out[2]["sample_rate"] == 16000 and out[2]["n_channels"] == 2
+    assert out[3]["sample_rate"] is None  # undecodable -> NULLs
+
+
+def test_decode_ppm_stats_real(spark):
+    from hippollm_spark.operators.multimodal import decode_ppm_stats
+
+    red = _ppm_bytes(4, 2, (255, 0, 0))
+    grey = b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    rows = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(grey)), (3, bytearray(b"JPEGJUNK"))],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r for r in decode_ppm_stats(rows).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert out[1]["mean"][0] == 1.0 and out[1]["mean"][1] == 0.0
+    assert (out[2]["width"], out[2]["height"]) == (2, 2)
+    import math
+    assert out[2]["mean"][0] == math.floor((10 + 20 + 30 + 40) / (4 * 255) * 1e6) / 1e6
+    assert out[3]["width"] is None
