@@ -3069,6 +3069,18 @@ def q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uniform_sample_k(docs, 100).orderBy("sample_key")
 
 
+def q_trimmed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean of event value per type — the robust location
+    estimate (tail outliers ignored, interior kept). Boundaries are
+    exact interpolated percentiles; survivors sum as exact DECIMAL;
+    the quotient floors at 6dp (the boundary-stable convention)."""
+    from hippollm_spark.operators.stats import trimmed_mean
+
+    return trimmed_mean(
+        _events(spark, sf_dir), "value", "event_type", trim=0.1
+    ).orderBy("event_type")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
@@ -3094,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_join": q_stream_click_join,
         "pack_bins": q_pack_bins,
         "uniform_sample_k": q_uniform_sample_k,
+        "trimmed_value": q_trimmed_value,
         "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
         "sample_stratified": q_sample_stratified,
@@ -3598,6 +3611,42 @@ def oracle_sql() -> dict[str, str]:
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
     return {
+        "trimmed_value": """
+            WITH ranked AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                            ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT event_type,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.1 AS DOUBLE)) AS BIGINT) THEN value END) AS lo_l,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.1 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS lo_h,
+                       any_value((1.0 + (n - 1) * CAST(0.1 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.1 AS DOUBLE))) AS lo_f,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) THEN value END) AS hi_l,
+                       max(CASE WHEN rn = CAST(floor(1.0 + (n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1 THEN value END) AS hi_h,
+                       any_value((1.0 + (n - 1) * CAST(0.9 AS DOUBLE)) - floor(1.0 + (n - 1) * CAST(0.9 AS DOUBLE))) AS hi_f
+                FROM ranked GROUP BY event_type
+            ),
+            bb AS (
+                SELECT event_type,
+                       lo_l + (coalesce(lo_h, lo_l) - lo_l) * lo_f AS lob,
+                       hi_l + (coalesce(hi_h, hi_l) - hi_l) * hi_f AS hib
+                FROM b
+            )
+            SELECT e.event_type,
+                   CAST(count(e.value) AS BIGINT) AS n_total,
+                   CAST(sum(CASE WHEN e.value >= lob AND e.value <= hib
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   floor(sum(CASE WHEN e.value >= lob AND e.value <= hib
+                             THEN CAST(e.value AS DECIMAL(18,6)) END)::DOUBLE
+                         / sum(CASE WHEN e.value >= lob AND e.value <= hib
+                               THEN 1 ELSE 0 END)
+                         * 1000000) / 1000000 AS trimmed_mean
+            FROM events e JOIN bb USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
         "uniform_sample_k": """
             SELECT doc_id, lang,
                    md5('sample|' || doc_id::VARCHAR) AS sample_key

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "stream_click_join",
     "pack_bins",
     "uniform_sample_k",
+    "trimmed_value",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -1477,3 +1477,52 @@ def privacy_risk(
             F.col("n_sensitive").isNotNull(), F.col("n_sensitive") < l
         ).alias("l_violation"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    by: str | Sequence[str],
+    *,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed mean: drop values strictly outside the
+    [p_trim, p_(1-trim)] interpolated-percentile band, then average
+    the survivors — the robust location estimate that, unlike the
+    median alone, keeps interior information while ignoring tail
+    outliers (billing glitches, sensor spikes).
+
+    Determinism discipline: boundaries are exact interpolated
+    percentiles (`exact_percentiles`, replicated op-for-op by the
+    DuckDB oracle — NOT quantile_cont, whose internal arithmetic can
+    differ by an ulp exactly when a boundary lands on a data value);
+    the survivor sum is exact DECIMAL; the final quotient is FLOORED
+    at 6dp (round-after-division is boundary-unstable cross-engine).
+
+    Shape: one grouped percentile pass + one broadcast join + one
+    aggregate — survivors never re-shuffle beyond the group key.
+    Output: (by…, n_total, n_kept, trimmed_mean DOUBLE).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    bounds = exact_percentiles(df, value_col, keys, [trim, 1 - trim])
+    lo_col, hi_col = bounds.columns[len(keys):]
+    v = F.col(value_col)
+    joined = df.join(F.broadcast(bounds), on=keys)
+    kept = (v >= F.col(lo_col)) & (v <= F.col(hi_col))
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.count(v).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(kept, v.cast("decimal(18,6)"))
+                    ).cast("double")
+                    / F.sum(F.when(kept, 1).otherwise(0))
+                    * 1_000_000
+                )
+                / 1_000_000
+            ).alias("trimmed_mean"),
+        )
+    )

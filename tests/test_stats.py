@@ -150,3 +150,40 @@ def test_standardize_matches_numpy(spark):
         assert abs(g - w) < 1e-6
     # zero-variance group and singleton group -> null z
     assert all(r["v_z"] is None for r in out if r["g"] in ("b", "c"))
+
+
+def test_trimmed_mean_hand_computed(spark):
+    from hippollm_spark.operators.stats import trimmed_mean
+
+    # g: 1..10 with an outlier 1000 replacing 10
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "k string, value double"
+    )
+    r = trimmed_mean(df, "value", "k", trim=0.1).first()
+    # p10 = 1.9, p90 = 109.3 -> kept 2..9 plus nothing above
+    import math
+
+    kept = [v for v in vals if 1.9 <= v <= 109.3]
+    want = math.floor(sum(kept) / len(kept) * 1e6) / 1e6
+    assert r["n_total"] == 10 and r["n_kept"] == len(kept)
+    assert r["trimmed_mean"] == want
+    # robust: the outlier moved the mean by 99+, the trimmed mean sits
+    # in the interior
+    assert 2.0 <= r["trimmed_mean"] <= 9.0
+
+
+def test_trimmed_mean_resists_outliers_vs_plain_mean(spark):
+    import numpy as np
+
+    from hippollm_spark.operators.stats import trimmed_mean
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(50, 5, 300)
+    spiked = np.concatenate([base, [10_000.0] * 10])
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in spiked], "k string, value double"
+    )
+    r = trimmed_mean(df, "value", "k", trim=0.05).first()
+    assert abs(r["trimmed_mean"] - 50) < 2       # near the true center
+    assert abs(float(np.mean(spiked)) - 50) > 100  # plain mean is wrecked
