@@ -3093,59 +3093,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Ordered for the driver's 50-query-per-round checked prefix:
-    # queries WITHOUT a green CORRECTNESS row yet come first (rotated
-    # each round), already-verified ones (CORRECTNESS_r01.json) follow.
-        "global_rank": q_global_rank,
-        "prefix_revenue": q_prefix_revenue,
-        "incremental_dedup": q_incremental_dedup,
-        "bitext_margin": q_bitext_margin,
-        "domain_cap": q_domain_cap,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_click_join": q_stream_click_join,
-        "pack_bins": q_pack_bins,
-        "uniform_sample_k": q_uniform_sample_k,
-        "trimmed_value": q_trimmed_value,
-        "contamination": q_contamination,
-        "boilerplate_removal": q_boilerplate_removal,
-        "sample_stratified": q_sample_stratified,
-        "hash_split": q_hash_split,
-        "split_leakage": q_split_leakage,
-        "temperature_sample": q_temperature_sample,
-        "pack_chunks": q_pack_chunks,
-        "emb_centroids": q_emb_centroids,
-        "ingest_m1": q_ingest_m1,
-        "corpus_curation": q_corpus_curation,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "scrub_pii": q_scrub_pii,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "split_naive": q_split_naive,
-        "split_paragraphs": q_split_paragraphs,
-        "events_windowed": q_events_windowed,
-        "gap_fill": q_gap_fill,
-        "heavy_hitters": q_heavy_hitters,
-        "events_funnel": q_events_funnel,
-        "cohort_retention": q_cohort_retention,
-        "value_histogram": q_value_histogram,
-        "standardize": q_standardize,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "weighted_sample": q_weighted_sample,
-        "events_enriched": q_events_enriched,
-        "events_json_props": q_events_json_props,
-        "sessionization": q_sessionization,
-        "click_attribution": q_click_attribution,
-        "events_pivot": q_events_pivot,
-        "events_melt": q_events_melt,
-        "revenue_delta": q_revenue_delta,
-        "user_activity": q_user_activity,
-        "top_ngrams": q_top_ngrams,
-        "text_clean": q_text_clean,
-        "text_repetition": q_text_repetition,
-        "bm25_topk": q_bm25_topk,
-        "hybrid_rrf": q_hybrid_rrf,
+    # Ordered for the driver's 50-query-per-round checked prefix: queries
+    # WITHOUT a green CORRECTNESS row (r01/r02) come first, rotated each
+    # round; the 100 already-driver-verified queries follow.
         "mmr_rerank": q_mmr_rerank,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
@@ -3222,6 +3172,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "quality_deciles": q_quality_deciles,
         "rolling_revenue_7d": q_rolling_revenue_7d,
+        # --- driver-verified in CORRECTNESS_r01/r02 below this line ---
+        "global_rank": q_global_rank,
+        "prefix_revenue": q_prefix_revenue,
+        "incremental_dedup": q_incremental_dedup,
+        "bitext_margin": q_bitext_margin,
+        "domain_cap": q_domain_cap,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_click_join": q_stream_click_join,
+        "pack_bins": q_pack_bins,
+        "uniform_sample_k": q_uniform_sample_k,
+        "trimmed_value": q_trimmed_value,
+        "contamination": q_contamination,
+        "boilerplate_removal": q_boilerplate_removal,
+        "sample_stratified": q_sample_stratified,
+        "hash_split": q_hash_split,
+        "split_leakage": q_split_leakage,
+        "temperature_sample": q_temperature_sample,
+        "pack_chunks": q_pack_chunks,
+        "emb_centroids": q_emb_centroids,
+        "ingest_m1": q_ingest_m1,
+        "corpus_curation": q_corpus_curation,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "scrub_pii": q_scrub_pii,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "split_naive": q_split_naive,
+        "split_paragraphs": q_split_paragraphs,
+        "events_windowed": q_events_windowed,
+        "gap_fill": q_gap_fill,
+        "heavy_hitters": q_heavy_hitters,
+        "events_funnel": q_events_funnel,
+        "cohort_retention": q_cohort_retention,
+        "value_histogram": q_value_histogram,
+        "standardize": q_standardize,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "weighted_sample": q_weighted_sample,
+        "events_enriched": q_events_enriched,
+        "events_json_props": q_events_json_props,
+        "sessionization": q_sessionization,
+        "click_attribution": q_click_attribution,
+        "events_pivot": q_events_pivot,
+        "events_melt": q_events_melt,
+        "revenue_delta": q_revenue_delta,
+        "user_activity": q_user_activity,
+        "top_ngrams": q_top_ngrams,
+        "text_clean": q_text_clean,
+        "text_repetition": q_text_repetition,
+        "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
