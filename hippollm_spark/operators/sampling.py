@@ -27,7 +27,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,10 +57,22 @@ def stratified_sample(
     (``method='threshold'``)."""
     r = rank_hash(id_col).alias("__r__")
     if method == "exact":
-        w = Window.partitionBy(strata_col).orderBy("__r__", id_col)
+        # Per-stratum top-N via ranks.distributed_rank: a
+        # Window.partitionBy(stratum) would funnel each whole stratum
+        # (one language = 40% of the corpus is normal) through ONE
+        # task; the distributed form range-partitions on (stratum,
+        # hash, id), sorts all slices in parallel, and stamps ranks
+        # from broadcast per-partition offsets — identical kept set
+        # (the (hash, id) order is total), no whole-stratum sort.
+        from hippollm_spark.operators.ranks import distributed_rank
+
         return (
-            df.select("*", r)
-            .withColumn("__rk__", F.row_number().over(w))
+            distributed_rank(
+                df.select("*", r),
+                ["__r__", id_col],
+                by=strata_col,
+                rank_col="__rk__",
+            )
             .filter(F.col("__rk__") <= n_per_stratum)
             .drop("__r__", "__rk__")
         )
@@ -94,15 +106,27 @@ def pack_sequences(
       shard's concatenated stream (exclusive running sum),
     - ``chunk_id``: ``start_offset // ctx`` — the training chunk the
       document starts in.
+
+    Scale shape: the running sum goes through
+    `ranks.distributed_prefix_sum` — a ``Window.partitionBy(shard)``
+    running sum would stream each ENTIRE shard (one language can be
+    half the corpus) through one task; the distributed form
+    range-partitions on (shard, id), computes per-partition sums in
+    parallel, and adds broadcast cumulative offsets. The exclusive
+    start is the inclusive running sum minus the row's own count.
     """
-    w = (
-        Window.partitionBy(shard_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from hippollm_spark.operators.ranks import distributed_prefix_sum
+
+    inc = distributed_prefix_sum(
+        docs,
+        F.col(token_count_col).cast("long"),
+        [id_col],
+        by=shard_col,
+        sum_col="__rs__",
     )
-    start = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
-    return docs.select(
-        "*",
+    start = (F.col("__rs__") - F.col(token_count_col)).cast("long")
+    return inc.select(
+        *[c for c in docs.columns],
         start.alias("start_offset"),
         (start / ctx).cast("long").alias("chunk_id"),
     )
@@ -226,18 +250,30 @@ def weighted_sample(
     Cross-engine float discipline: u = (rank_hash+1)/2^60 and the
     division by w are single exactly-rounded IEEE ops; the one
     transcendental (ln) is rounded to 6dp before use (BM25-idf rule);
-    ties on the rounded key break by id. One window per stratum —
-    same shape as stratified_sample's exact mode.
+    ties on the rounded key break by id.
+
+    Scale shape — no window in either mode: ungrouped selection is
+    ``orderBy(key, id).limit(n)``, which compiles to
+    TakeOrderedAndProject (per-partition n-heaps, driver merges
+    #partitions × n rows — a ``Window.partitionBy()`` here would sort
+    the ENTIRE table in one task); grouped selection goes through
+    `ranks.distributed_rank` (range exchange + broadcast offsets), so
+    a hot stratum spreads across many tasks. Kept set is identical to
+    the window form — (key, id) is a total order.
     """
     u = (rank_hash(id_col).cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
     key = F.round(-F.log(u), 6) / F.col(weight_col).cast("double")
-    keys = [by] if by else []
-    w = Window.partitionBy(*keys).orderBy(F.col("__k__").asc(), F.col(id_col).asc())
+    keyed = df.withColumn("__k__", key)
+    if by is None:
+        return keyed.orderBy(F.col("__k__").asc(), F.col(id_col).asc()).limit(n).drop("__k__")
+    from hippollm_spark.operators.ranks import distributed_rank
+
     return (
-        df.withColumn("__k__", key)
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= n)
-        .drop("__k__", "__rn__")
+        distributed_rank(
+            keyed, [F.col("__k__").asc(), F.col(id_col).asc()], by=by, rank_col="__ws_rn__"
+        )
+        .filter(F.col("__ws_rn__") <= n)
+        .drop("__k__", "__ws_rn__")
     )
 
 
@@ -310,23 +346,30 @@ def length_batches(
     bounded by the bucket's spread.
 
     batch_id = (row_number within bucket − 1) div batch_size, prefixed
-    by the bucket so ids are globally unique. The within-bucket window
-    is the only sort, and buckets are the parallelism unit — the
-    standard compromise (a globally optimal packing is a bin-packing
-    problem; decile-bucketed batching captures most of the win).
+    by the bucket so ids are globally unique. The within-bucket
+    numbering runs through `ranks.distributed_rank` — buckets are
+    deciles, i.e. each holds ~10% of the corpus, far too fat for a
+    one-task-per-bucket window sort; the distributed form
+    range-partitions on (bucket, length, id) and sorts all slices in
+    parallel. (A globally optimal packing is a bin-packing problem;
+    decile-bucketed batching captures most of the win.)
 
     Output: input columns + (bucket INT, batch_id STRING,
     pos_in_batch INT).
     """
+    from hippollm_spark.operators.ranks import distributed_rank
     from hippollm_spark.operators.stats import threshold_buckets
 
     bucketed = threshold_buckets(df, length_col, n_buckets)
-    w = Window.partitionBy("bucket").orderBy(
-        F.col(length_col).asc(), F.col(id_col).asc()
+    ranked = distributed_rank(
+        bucketed,
+        [F.col(length_col).asc(), F.col(id_col).asc()],
+        by="bucket",
+        rank_col="__lb_rn__",
     )
-    rn = F.row_number().over(w) - 1
+    rn = F.col("__lb_rn__") - 1
     return (
-        bucketed.withColumn(
+        ranked.withColumn(
             "batch_id",
             F.concat_ws(
                 "-",
@@ -335,6 +378,7 @@ def length_batches(
             ),
         )
         .withColumn("pos_in_batch", F.pmod(rn, F.lit(batch_size)).cast("int"))
+        .drop("__lb_rn__")
     )
 
 

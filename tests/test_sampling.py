@@ -300,6 +300,36 @@ def test_weighted_sample_deterministic_and_stable_under_repartition(spark):
     assert a == b and len(a) == 200
 
 
+def test_weighted_sample_grouped_matches_window_reference(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hippollm_spark.operators.sampling import rank_hash, weighted_sample
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") % 5 + 1).cast("double").alias("w"),
+    )
+    out = weighted_sample(df, "w", n=50, by="lang")
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    assert out.columns == ["doc_id", "lang", "w"]
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"0": 50, "1": 50, "2": 50}
+
+    # distributed_rank selection must equal the plain window form
+    u = (rank_hash("doc_id").cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.round(-F.log(u), 6) / F.col("w")
+    w = Window.partitionBy("lang").orderBy(F.col("__k__").asc(), F.col("doc_id").asc())
+    ref = (
+        df.withColumn("__k__", key)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter("__rn__ <= 50")
+    )
+    want = {(r["lang"], r["doc_id"]) for r in ref.collect()}
+    assert got == want
+
+
 def test_upsample_deterministic_and_exact(spark):
     import hashlib
 
