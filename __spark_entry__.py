@@ -3605,6 +3605,40 @@ BM25_ORACLE_BODY = f"""
         """
 
 
+def _pct_boundary_cte(name: str, col: str, ps: list[float], src: str = "per_user") -> str:
+    """One-row CTE with exact interpolated percentile boundaries
+    ``{name}.b1..b{len(ps)}`` of ``src.col`` — the same
+    v_lo + (v_hi − v_lo)·frac, pos = 1 + (n−1)·p arithmetic as
+    `stats.global_percentile_values` / `exact_percentiles`, spelled
+    op-for-op so DuckDB reproduces the Spark boundary bit-for-bit.
+    (quantile_cont's internal interpolation can differ by an ulp
+    exactly when a boundary lands ON a data value — recency/frequency
+    are integers, so that is the common case, and a strict `>`
+    comparison at the boundary would flip.)"""
+    pos = [
+        f"(1.0 + (n - 1) * CAST({p} AS DOUBLE))" for p in ps
+    ]
+    picks = ",\n                       ".join(
+        f"max(CASE WHEN rn = CAST(floor({pos[i]}) AS BIGINT) THEN v END) AS lo{i + 1}, "
+        f"max(CASE WHEN rn = CAST(floor({pos[i]}) AS BIGINT) + 1 THEN v END) AS hi{i + 1}, "
+        f"any_value({pos[i]} - floor({pos[i]})) AS fr{i + 1}"
+        for i in range(len(ps))
+    )
+    bexprs = ", ".join(
+        f"lo{i + 1} + (coalesce(hi{i + 1}, lo{i + 1}) - lo{i + 1}) * fr{i + 1} AS b{i + 1}"
+        for i in range(len(ps))
+    )
+    return f"""{name} AS (
+                SELECT {bexprs} FROM (
+                    SELECT {picks}
+                    FROM (SELECT {col} AS v,
+                                 row_number() OVER (ORDER BY {col}) AS rn,
+                                 count(*) OVER () AS n
+                          FROM {src} WHERE {col} IS NOT NULL)
+                )
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
     en = "['the','and','of','to','in','is','that','with']"
@@ -3749,7 +3783,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM rk WHERE rt <= 4 GROUP BY tgt_id
             )
             SELECT b.src_id, b.tgt_id, b.score,
-                   floor(b.score / ((ms.m + mt.m) / 2.0) * 1000000) / 1000000
+                   CASE WHEN (ms.m + mt.m) / 2.0 > 0 THEN
+                        floor(b.score / ((ms.m + mt.m) / 2.0) * 1000000)
+                        / 1000000 END
                        AS margin
             FROM (SELECT src_id, tgt_id, score FROM rk WHERE rs = 1) b
             JOIN ms USING (src_id) JOIN mt USING (tgt_id)
@@ -6379,9 +6415,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # threshold-bucket form (matches the windowless 100-TB scoring
         # in behavior.rfm_segments): boundaries = exact interpolated
-        # percentiles; score = 1 + #boundaries strictly below; CASE
-        # WHEN (not ::INT) so NULL metrics score 1 like Spark's
-        # otherwise(0)
+        # percentiles spelled op-for-op via _pct_boundary_cte (NOT
+        # quantile_cont — its interpolation can differ by an ulp when a
+        # boundary lands ON a data value, which integer recency/
+        # frequency hit routinely, flipping the strict >); score = 1 +
+        # #boundaries strictly below; CASE WHEN (not ::INT) so NULL
+        # metrics score 1 like Spark's otherwise(0)
         "rfm_segments": f"""
             WITH per_user AS (
                 SELECT user_id,
@@ -6392,25 +6431,22 @@ def oracle_sql() -> dict[str, str]:
                            AS monetary
                 FROM events GROUP BY user_id
             ),
-            b AS (
-                SELECT
-                    {", ".join(f"quantile_cont(recency_days, {i / 5}) AS rb{i}" for i in range(1, 5))},
-                    {", ".join(f"quantile_cont(frequency, {i / 5}) AS fb{i}" for i in range(1, 5))},
-                    {", ".join(f"quantile_cont(monetary, {i / 5}) AS mb{i}" for i in range(1, 5))}
-                FROM per_user
-            )
+            {_pct_boundary_cte("rb", "recency_days", [i / 5 for i in range(1, 5)])},
+            {_pct_boundary_cte("fb", "frequency", [i / 5 for i in range(1, 5)])},
+            {_pct_boundary_cte("mb", "monetary", [i / 5 for i in range(1, 5)])}
             SELECT user_id, recency_days, frequency, monetary,
-                   CAST(6 - (1 {" ".join(f"+ CASE WHEN recency_days > rb{i} THEN 1 ELSE 0 END" for i in range(1, 5))})
+                   CAST(6 - (1 {" ".join(f"+ CASE WHEN recency_days > rb.b{i} THEN 1 ELSE 0 END" for i in range(1, 5))})
                         AS INT) AS r_score,
-                   CAST(1 {" ".join(f"+ CASE WHEN frequency > fb{i} THEN 1 ELSE 0 END" for i in range(1, 5))}
+                   CAST(1 {" ".join(f"+ CASE WHEN frequency > fb.b{i} THEN 1 ELSE 0 END" for i in range(1, 5))}
                         AS INT) AS f_score,
-                   CAST(1 {" ".join(f"+ CASE WHEN monetary > mb{i} THEN 1 ELSE 0 END" for i in range(1, 5))}
+                   CAST(1 {" ".join(f"+ CASE WHEN monetary > mb.b{i} THEN 1 ELSE 0 END" for i in range(1, 5))}
                         AS INT) AS m_score,
-                   (6 - (1 {" ".join(f"+ CASE WHEN recency_days > rb{i} THEN 1 ELSE 0 END" for i in range(1, 5))}))::VARCHAR
-                   || (1 {" ".join(f"+ CASE WHEN frequency > fb{i} THEN 1 ELSE 0 END" for i in range(1, 5))})::VARCHAR
-                   || (1 {" ".join(f"+ CASE WHEN monetary > mb{i} THEN 1 ELSE 0 END" for i in range(1, 5))})::VARCHAR
+                   (6 - (1 {" ".join(f"+ CASE WHEN recency_days > rb.b{i} THEN 1 ELSE 0 END" for i in range(1, 5))}))::VARCHAR
+                   || (1 {" ".join(f"+ CASE WHEN frequency > fb.b{i} THEN 1 ELSE 0 END" for i in range(1, 5))})::VARCHAR
+                   || (1 {" ".join(f"+ CASE WHEN monetary > mb.b{i} THEN 1 ELSE 0 END" for i in range(1, 5))})::VARCHAR
                        AS segment
-            FROM per_user CROSS JOIN b ORDER BY user_id
+            FROM per_user CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+            ORDER BY user_id
         """,
         "revenue_gini": """
             WITH ranked AS (

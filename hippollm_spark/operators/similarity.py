@@ -796,7 +796,13 @@ def bitext_margin_pairs(
 
     Output: (src_id, tgt_id, score, margin) — one row per source with
     a non-empty target side, optionally filtered to
-    ``margin >= margin_threshold``.
+    ``margin >= margin_threshold``. The ratio margin assumes positive
+    top-k mean cosines (Artetxe & Schwenk mine with normalized
+    embeddings where neighbors satisfy that); when the denominator
+    (mean_s+mean_t)/2 is zero or negative — orthogonal/antipodal
+    top-k neighborhoods — the ratio is meaningless (zero divides to
+    NULL, negative flips the ranking), so margin is explicitly NULL
+    there, and NULL never passes ``margin_threshold``.
     """
     s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv__"))
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv__"))
@@ -847,14 +853,14 @@ def bitext_margin_pairs(
     out = (
         best.join(mean_s, "src_id")
         .join(mean_t, "tgt_id")
+        .withColumn("__denom__", (F.col("__ms__") + F.col("__mt__")) / 2.0)
         .withColumn(
             "margin",
-            F.floor(
-                F.col("score")
-                / ((F.col("__ms__") + F.col("__mt__")) / 2.0)
-                * 1_000_000
-            )
-            / 1_000_000,
+            F.when(
+                F.col("__denom__") > 0,
+                F.floor(F.col("score") / F.col("__denom__") * 1_000_000)
+                / 1_000_000,
+            ),
         )
         .select("src_id", "tgt_id", "score", "margin")
     )

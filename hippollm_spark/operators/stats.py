@@ -1420,6 +1420,12 @@ def benford_test(
         for d in range(1, 10)
     ]
     agg = base.groupBy(*keys).agg(F.count("*").alias("n"), *counters)
+    if not keys:
+        # groupBy() with no keys always emits one global row, so an
+        # empty/fully-filtered input would yield (n=0, chi2 NULL)
+        # where the grouped form (and the pre-conditional-aggregation
+        # implementation) returns an empty frame — keep that contract.
+        agg = agg.filter(F.col("n") > 0)
     n_d = F.col("n").cast("double")
     chi2 = None
     for d in range(1, 10):

@@ -215,7 +215,14 @@ def dedup_facts(
     entailment gate (batched pair scoring) and the LLM confrontation
     (yes/no grammar) on survivors only. Redundant facts merge
     provenance into their match (handled by caller); fresh facts
-    survive. Returns new_facts + (redundant BOOLEAN, dup_of BIGINT).
+    survive. Returns new_facts + (redundant BOOLEAN, dup_of BIGINT —
+    the matched STORE fact id, NULL when the match is an earlier
+    batch fact, dup_of_ord BIGINT — the matched earlier BATCH
+    ordinal, NULL when the match is a store fact). The two id
+    namespaces stay in separate columns: folding the batch ordinal
+    into dup_of (e.g. +1e9) would make a store id ≥ 1e9 ambiguous
+    with a biased ordinal, both in the deterministic tie-break and
+    when decoding dup_of.
 
     Scale shape: candidate generation scores (id, embedding) pairs
     only — texts join AFTER the per-fact top-k cut, so the expensive
@@ -262,9 +269,14 @@ def dedup_facts(
             ),
         )
     )
+    # Deterministic tie-break on 6dp-rounded score ties: store
+    # candidates (cand_id set) before batch candidates, then by
+    # id/ordinal — a two-column order, never a folded BIGINT (store
+    # ids are unbounded; see docstring).
     w = Window.partitionBy("__ord__").orderBy(
         F.desc("__score__"),
-        F.asc(F.coalesce("cand_id", F.col("cand_ord") + 1_000_000_000)),
+        F.asc(F.col("cand_id").isNull()),
+        F.asc(F.coalesce("cand_id", "cand_ord")),
     )
     topk = (
         scored_ids.withColumn("__rk__", F.row_number().over(w))
@@ -315,13 +327,27 @@ def dedup_facts(
     verdicts = scored.mapInPandas(
         _gate, "__ord__ long, cand_id long, cand_ord long, redundant boolean"
     )
+    # min over (is_batch, id) struct = lexicographic: any store match
+    # wins over any batch match, then lowest id/ordinal — the same
+    # precedence as the top-k tie-break, without a folded namespace.
+    best = F.min(
+        F.struct(
+            F.col("cand_id").isNull().alias("is_batch"),
+            F.coalesce("cand_id", "cand_ord").alias("cid"),
+        )
+    ).alias("__best__")
     dup = (
         verdicts.filter("redundant")
         .groupBy("__ord__")
-        .agg(F.min(F.coalesce("cand_id", F.col("cand_ord") + 1_000_000_000)).alias("dup_of"))
+        .agg(best)
+        .select(
+            "__ord__",
+            F.when(~F.col("__best__.is_batch"), F.col("__best__.cid")).alias("dup_of"),
+            F.when(F.col("__best__.is_batch"), F.col("__best__.cid")).alias("dup_of_ord"),
+        )
     )
     return new_facts.join(dup, "__ord__", "left").withColumn(
-        "redundant", F.col("dup_of").isNotNull()
+        "redundant", F.col("dup_of").isNotNull() | F.col("dup_of_ord").isNotNull()
     )
 
 

@@ -84,5 +84,6 @@ def test_cross_encoder_drop_in_for_dedup_gate(spark):
     out = dedup_facts(facts, store, llm, nli, hash_embedding_udf(DIM), k=2)
     rows = {r["__ord__"]: r for r in out.collect()}
     assert not rows[1]["redundant"]  # first of its pair
-    assert rows[2]["redundant"] and rows[2]["dup_of"] == 1 + 1_000_000_000
+    assert rows[2]["redundant"]
+    assert rows[2]["dup_of"] is None and rows[2]["dup_of_ord"] == 1
     assert not rows[3]["redundant"]  # shares no first word with others

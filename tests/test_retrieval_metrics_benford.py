@@ -102,3 +102,13 @@ def test_benford_degenerate_single_digit(spark):
         round(n * math.log10(1 + 1 / d), 6) for d in range(2, 10)
     )
     assert abs(r["chi2_benford"] - round(want, 6)) < 1e-4
+
+
+def test_benford_empty_input_ungrouped_returns_empty(spark):
+    """groupBy() with no keys emits one global row even on empty input;
+    the ungrouped form must filter it out so an empty/fully-filtered
+    input yields an empty frame, matching the grouped contract."""
+    df = spark.createDataFrame([("g", 0.0), ("g", None)], "g string, v double")
+    assert benford_test(df, "v").count() == 0
+    assert benford_test(df, "v", "g").count() == 0
+    assert benford_test(df.limit(0), "v").count() == 0

@@ -244,6 +244,34 @@ def test_bitext_margin_hand_computed(spark):
     assert rows[2]["margin"] == f6(0.8 / ((ms2 + mt3) / 2))
 
 
+def test_bitext_margin_nonpositive_denominator_is_null(spark):
+    """Orthogonal/antipodal top-k neighborhoods make the denominator
+    (mean_s+mean_t)/2 zero or negative: the ratio margin is undefined
+    there, so it must surface as NULL — and NULL must NOT pass a
+    margin_threshold filter (a negative denominator would otherwise
+    flip the >= comparison)."""
+    from hippollm_spark.operators.similarity import bitext_margin_pairs
+
+    # orthogonal: every cosine is 0.0 → denom 0
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = bitext_margin_pairs(src, tgt, k=2).collect()
+    assert len(rows) == 1 and rows[0]["margin"] is None
+    assert bitext_margin_pairs(src, tgt, k=2, margin_threshold=0.5).count() == 0
+
+    # antipodal: cosine -1 → denom negative → also NULL, also filtered
+    tgt2 = spark.createDataFrame(
+        [(1, [-1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows2 = bitext_margin_pairs(src, tgt2, k=2).collect()
+    assert len(rows2) == 1 and rows2[0]["margin"] is None
+    assert bitext_margin_pairs(src, tgt2, k=2, margin_threshold=-10.0).count() == 0
+
+
 def test_bitext_margin_penalizes_hub(spark):
     """A hub target close to every source must lose margin relative to
     an exclusive match with the same raw cosine."""
