@@ -2486,15 +2486,25 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass shipping d+d^2 floats per partition) + projection
     matmul — the dimensionality-reduction front-end for cheap ANN /
     near-dup blocking. Float matmul -> rows-only driver check, like
-    the module's other pandas paths."""
+    the module's other pandas paths. Output is unnested to scalar
+    (vec_id, label, dim_idx, value) rows — ARRAY columns break the
+    driver's pandas canonicalizer (same pattern as emb_quantize)."""
     from hippollm_spark.operators.similarity import pca_fit, pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
     model = pca_fit(emb, 8)
+    proj = pca_project(emb, model).select("vec_id", "label", "pca")
     return (
-        pca_project(emb, model)
-        .select("vec_id", "label", "pca")
-        .orderBy("vec_id")
+        proj.select(
+            "vec_id", "label", F.posexplode("pca").alias("dim_idx", "v")
+        )
+        .select(
+            "vec_id",
+            "label",
+            "dim_idx",
+            (F.floor(F.col("v") * 1e6) / 1e6 + F.lit(0.0)).alias("value"),
+        )
+        .orderBy("vec_id", "dim_idx")
     )
 
 
@@ -3093,9 +3103,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Ordered for the driver's 50-query-per-round checked prefix: queries
-    # WITHOUT a green CORRECTNESS row (r01/r02) come first, rotated each
-    # round; the 100 already-driver-verified queries follow.
+    # Ordered for the driver's 50-query-per-round checked prefix (round 4):
+    # slots 0-25 = the 26 queries never driver-checked (r01-r03); 26-37 =
+    # queries whose implementation changed after their last driver row
+    # (pca_embeddings scalar output fix; windowless-sampler family); 38-49 =
+    # freshness re-checks of the dedup/ANN family. Driver-verified queries
+    # follow below the marker line.
+        "rfm_segments": q_rfm_segments,
+        "revenue_gini": q_revenue_gini,
+        "emb_quantize": q_emb_quantize,
+        "readability": q_readability,
+        "session_paths": q_session_paths,
+        "type_entropy": q_type_entropy,
+        "doc_containment": q_doc_containment,
+        "attribution_linear": q_attribution_linear,
+        "knn_labels": q_knn_labels,
+        "lang_psi": q_lang_psi,
+        "bm25_ndcg": q_bm25_ndcg,
+        "graph_hits": q_graph_hits,
+        "value_cusum": q_value_cusum,
+        "lang_source_assoc": q_lang_source_assoc,
+        "active_users": q_active_users,
+        "dow_profile": q_dow_profile,
+        "bm25_recall": q_bm25_recall,
+        "value_benford": q_value_benford,
+        "corpus_interleave": q_corpus_interleave,
+        "value_acf": q_value_acf,
+        "graph_walks": q_graph_walks,
+        "privacy_audit": q_privacy_audit,
+        "ppmi_terms": q_ppmi_terms,
+        "mad_outliers": q_mad_outliers,
+        "quality_deciles": q_quality_deciles,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
+        "pca_embeddings": q_pca_embeddings,
+        "weighted_sample": q_weighted_sample,
+        "sample_stratified": q_sample_stratified,
+        "pack_chunks": q_pack_chunks,
+        "bitext_margin": q_bitext_margin,
+        "trimmed_value": q_trimmed_value,
+        "temperature_sample": q_temperature_sample,
+        "uniform_sample_k": q_uniform_sample_k,
+        "domain_cap": q_domain_cap,
+        "hash_split": q_hash_split,
+        "split_leakage": q_split_leakage,
+        "pack_bins": q_pack_bins,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_groups": q_dedup_groups,
+        "emb_dup_pairs": q_emb_dup_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "emb_centroids": q_emb_centroids,
+        "incremental_dedup": q_incremental_dedup,
+        "contamination": q_contamination,
+        "corpus_curation": q_corpus_curation,
+        # --- driver-verified (r01-r03), outside the checked prefix ---
         "mmr_rerank": q_mmr_rerank,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
@@ -3139,61 +3203,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "graph_kcore": q_graph_kcore,
         "domain_stats": q_domain_stats,
-        "pca_embeddings": q_pca_embeddings,
         "ab_welch": q_ab_welch,
         "conversion_chi2": q_conversion_chi2,
         "chi2_keywords": q_chi2_keywords,
         "global_shuffle": q_global_shuffle,
         "ohlc_hourly": q_ohlc_hourly,
         "ks_value": q_ks_value,
-        "rfm_segments": q_rfm_segments,
-        "revenue_gini": q_revenue_gini,
-        "emb_quantize": q_emb_quantize,
-        "readability": q_readability,
-        "session_paths": q_session_paths,
-        "type_entropy": q_type_entropy,
-        "doc_containment": q_doc_containment,
-        "attribution_linear": q_attribution_linear,
-        "knn_labels": q_knn_labels,
-        "lang_psi": q_lang_psi,
-        "bm25_ndcg": q_bm25_ndcg,
-        "graph_hits": q_graph_hits,
-        "value_cusum": q_value_cusum,
-        "lang_source_assoc": q_lang_source_assoc,
-        "active_users": q_active_users,
-        "dow_profile": q_dow_profile,
-        "bm25_recall": q_bm25_recall,
-        "value_benford": q_value_benford,
-        "corpus_interleave": q_corpus_interleave,
-        "value_acf": q_value_acf,
-        "graph_walks": q_graph_walks,
-        "privacy_audit": q_privacy_audit,
-        "ppmi_terms": q_ppmi_terms,
-        "mad_outliers": q_mad_outliers,
-        "quality_deciles": q_quality_deciles,
-        "rolling_revenue_7d": q_rolling_revenue_7d,
-        # --- driver-verified in CORRECTNESS_r01/r02 below this line ---
         "global_rank": q_global_rank,
         "prefix_revenue": q_prefix_revenue,
-        "incremental_dedup": q_incremental_dedup,
-        "bitext_margin": q_bitext_margin,
-        "domain_cap": q_domain_cap,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_sessionize": q_stream_sessionize,
         "stream_click_join": q_stream_click_join,
-        "pack_bins": q_pack_bins,
-        "uniform_sample_k": q_uniform_sample_k,
-        "trimmed_value": q_trimmed_value,
-        "contamination": q_contamination,
         "boilerplate_removal": q_boilerplate_removal,
-        "sample_stratified": q_sample_stratified,
-        "hash_split": q_hash_split,
-        "split_leakage": q_split_leakage,
-        "temperature_sample": q_temperature_sample,
-        "pack_chunks": q_pack_chunks,
-        "emb_centroids": q_emb_centroids,
         "ingest_m1": q_ingest_m1,
-        "corpus_curation": q_corpus_curation,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "scrub_pii": q_scrub_pii,
@@ -3209,7 +3231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "standardize": q_standardize,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "weighted_sample": q_weighted_sample,
         "events_enriched": q_events_enriched,
         "events_json_props": q_events_json_props,
         "sessionization": q_sessionization,
@@ -3265,14 +3286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_filtered_knn": q_v4_filtered_knn,
         "v5_union_knn": q_v5_union_knn,
         "v6_intersection_knn": q_v6_intersection_knn,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "emb_dup_pairs": q_emb_dup_pairs,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_groups": q_dedup_groups,
     }
 
 

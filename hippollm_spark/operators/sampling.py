@@ -113,18 +113,21 @@ def pack_sequences(
     half the corpus) through one task; the distributed form
     range-partitions on (shard, id), computes per-partition sums in
     parallel, and adds broadcast cumulative offsets. The exclusive
-    start is the inclusive running sum minus the row's own count.
+    start is the inclusive running sum minus the row's own count; a
+    NULL ``token_count_col`` counts as 0 tokens, so the row still gets
+    a defined start_offset/chunk_id (pre-r03 coalesce semantics).
     """
     from hippollm_spark.operators.ranks import distributed_prefix_sum
 
+    n_tok = F.coalesce(F.col(token_count_col).cast("long"), F.lit(0))
     inc = distributed_prefix_sum(
         docs,
-        F.col(token_count_col).cast("long"),
+        n_tok,
         [id_col],
         by=shard_col,
         sum_col="__rs__",
     )
-    start = (F.col("__rs__") - F.col(token_count_col)).cast("long")
+    start = (F.col("__rs__") - n_tok).cast("long")
     return inc.select(
         *[c for c in docs.columns],
         start.alias("start_offset"),
@@ -260,6 +263,10 @@ def weighted_sample(
     `ranks.distributed_rank` (range exchange + broadcast offsets), so
     a hot stratum spreads across many tasks. Kept set is identical to
     the window form — (key, id) is a total order.
+
+    Output order is unspecified beyond the kept SET: the ungrouped
+    path returns rows ordered by the sampling key (TakeOrdered), not
+    by input order — callers needing a particular order must sort.
     """
     u = (rank_hash(id_col).cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
     key = F.round(-F.log(u), 6) / F.col(weight_col).cast("double")

@@ -59,6 +59,21 @@ def test_pack_sequences_offsets_and_chunks(spark):
     assert [by_id[i]["chunk_id"] for i in range(10)] == [0, 0, 0, 1, 1, 1, 2, 2, 3, 3]
 
 
+def test_pack_sequences_null_token_count_is_zero(spark):
+    # A NULL n_tokens row must still get a defined start/chunk (counts
+    # as 0 tokens) — regression for the r03 prefix-sum rewrite, which
+    # briefly produced NULL start_offset for such rows.
+    rows = [(0, "en", 100), (1, "en", None), (2, "en", 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    by_id = {
+        r["doc_id"]: r
+        for r in sampling.pack_sequences(docs, ctx=64, shard_col="lang").collect()
+    }
+    assert by_id[1]["start_offset"] == 100 and by_id[1]["chunk_id"] == 1
+    assert by_id[2]["start_offset"] == 100  # NULL contributed nothing
+    assert all(r["start_offset"] is not None for r in by_id.values())
+
+
 def test_pack_summary_token_conservation(spark):
     rows = [(i, "en" if i % 2 else "fr", 37 + i) for i in range(30)]
     docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
