@@ -20,6 +20,7 @@ hash (SURVEY.md §4.2).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -295,6 +296,155 @@ def ivf_topk(
         pruned.withColumn("distance", V.l2_distance(F.col(vec_col), list(q)))
         .orderBy(F.asc("distance"), F.asc(id_col))
         .limit(k)
+    )
+
+
+@dataclass
+class VecIndex:
+    """A built IVF index handle: the assigned vector table (one
+    ``list_id`` per vector) + driver-side centroids + probe width.
+    The in-memory analogue of the reference's HNSW vector index
+    (storage.py:124-133) — built once over a store, probed per batch
+    via ``ivf_topk_per_query``. ``from_table`` re-opens an index
+    persisted with ``save_ivf_index`` (bucketed by list_id, so probes
+    bucket-prune)."""
+
+    assigned: DataFrame
+    centroids: np.ndarray
+    nprobe: int = 4
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    @classmethod
+    def build(
+        cls,
+        vecs: DataFrame,
+        nlist: int = 16,
+        nprobe: int = 4,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        iters: int = 5,
+        distributed: bool = False,
+    ) -> "VecIndex":
+        assigned, cents = ivf_build(
+            vecs, nlist, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col, distributed=distributed,
+        )
+        return cls(assigned, cents, nprobe, id_col, vec_col)
+
+    @classmethod
+    def from_table(
+        cls,
+        spark,
+        table_prefix: str,
+        nprobe: int = 4,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "VecIndex":
+        rows = (
+            spark.table(f"{table_prefix}_centroids").orderBy("list_id").collect()
+        )
+        cents = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        return cls(
+            spark.table(f"{table_prefix}_ivf"), cents, nprobe, id_col, vec_col
+        )
+
+    def topk(self, queries: DataFrame, k: int = 10, *, metric: str = "cosine") -> DataFrame:
+        return ivf_topk_per_query(
+            self.assigned,
+            self.centroids,
+            queries,
+            k=k,
+            nprobe=self.nprobe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            metric=metric,
+        )
+
+
+def ivf_topk_per_query(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Batched IVF probe: ``topk_per_query`` semantics with the store
+    scan pruned to each query's ``nprobe`` nearest inverted lists —
+    the batch counterpart of the single-vector ``ivf_topk``.
+
+    Plan shape (the 100-TB one): each query maps to its nprobe list
+    ids with a broadcast-centroid pandas_udf, the (query, list_id)
+    pairs explode and BROADCAST onto the assigned table, and the
+    assigned side carries a LITERAL ``list_id IN (...)`` (the distinct
+    probed lists, ≤ nlist integers collected driver-side) so a
+    list_id-bucketed/partitioned store reads only the probed buckets.
+    Distance work is O(|batch| · |store| · nprobe / nlist) instead of
+    the exact path's |batch| · |store| — never a crossJoin against the
+    full store.
+
+    Output: (query_id, vec_id, rank INT, score 6dp) — identical
+    contract to ``topk_per_query`` (score = cosine sim desc or
+    negative L2), so callers can swap exact → indexed untouched.
+    Recall-grade, not hash-grade: a true neighbour outside the probed
+    lists is missed (recall is tested against the exact baseline;
+    nprobe = nlist reproduces the exact result).
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, len(cents))
+
+    @F.pandas_udf("array<int>")
+    def _probe(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(qv.tolist(), dtype=np.float64)
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        idx = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series([[int(j) for j in row] for row in idx])
+
+    q_lists = (
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            F.explode(_probe(F.col(query_vec_col))).alias("list_id"),
+        )
+    )
+    # ≤ nlist distinct ints: a bounded driver action that buys literal
+    # bucket/partition pruning on the store side.
+    probed = sorted(
+        r[0] for r in q_lists.select("list_id").distinct().collect()
+    )
+    pruned = assigned.filter(F.col("list_id").isin(probed)).select(
+        "list_id", id_col, vec_col
+    )
+    paired = pruned.join(F.broadcast(q_lists), "list_id")
+    if metric == "cosine":
+        score = V.cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    elif metric == "l2":
+        score = -V.l2_distance(F.col(vec_col), F.col(query_vec_col))
+    else:
+        raise ValueError(metric)
+    # no dedup needed: each store vector lives in exactly one list, so
+    # a (query, vec) pair can match through at most one probed list.
+    scored = paired.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(score, 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "score")
     )
 
 

@@ -205,6 +205,7 @@ def dedup_facts(
     nli,
     embed,
     k: int = 5,
+    index=None,
 ) -> DataFrame:
     """C3 — mark each candidate fact redundant or fresh.
 
@@ -231,6 +232,18 @@ def dedup_facts(
     run) and no fact text ever rides the distance shuffle. NLI calls
     are batched per Arrow batch via ``nli.score_pairs`` when the
     backend provides it (CrossEncoder-style pair-list API).
+
+    ``index``: an optional ``similarity.VecIndex`` over the STORE's
+    fact embeddings (id_col='id'). With it, store candidates come from
+    a batched IVF probe — O(batch · |store| · nprobe / nlist) distance
+    work with literal list_id pruning — instead of the exact
+    batch × store scan; this mirrors the reference's HNSW candidate
+    query (storage.py:124-133, annotator.py:126-145). Batch-internal
+    earlier-ordinal candidates always use the exact (bounded,
+    batch × batch) pairing, so sequential semantics are unchanged.
+    Recall-grade: a store neighbour outside the probed lists is
+    missed; nprobe = nlist reproduces the exact path bit-for-bit.
+    Default (None) keeps the exact scan — the parity baseline.
     """
     from hippollm_spark.functions import vectors as V
 
@@ -245,21 +258,11 @@ def dedup_facts(
         F.col("__ord__").alias("cand_ord"),
         F.col("embedding").alias("__cv__"),
     )
-    if n_existing > 0:
-        pool = batch_pool.unionByName(
-            store.facts.select(
-                F.col("id").alias("cand_id"),
-                F.lit(None).cast("long").alias("cand_ord"),
-                F.col("embedding").alias("__cv__"),
-            )
-        )
-    else:
-        pool = batch_pool
-    scored_ids = (
-        pool.crossJoin(q)
-        # batch candidates only pair with LATER ordinals (sequential
-        # semantics); store candidates pair with every new fact
-        .filter(F.col("cand_ord").isNull() | (F.col("cand_ord") < F.col("__ord__")))
+    # batch candidates only pair with LATER ordinals (sequential
+    # semantics); store candidates pair with every new fact
+    scored_batch = (
+        batch_pool.crossJoin(q)
+        .filter(F.col("cand_ord") < F.col("__ord__"))
         .select(
             "__ord__",
             "cand_id",
@@ -269,6 +272,39 @@ def dedup_facts(
             ),
         )
     )
+    if n_existing == 0:
+        scored_ids = scored_batch
+    elif index is not None:
+        probe = index.topk(
+            new_facts.select(
+                F.col("__ord__").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            k=k,
+            metric="l2",
+        )
+        scored_store = probe.select(
+            F.col("query_id").alias("__ord__"),
+            F.col("vec_id").alias("cand_id"),
+            F.lit(None).cast("long").alias("cand_ord"),
+            F.col("score").alias("__score__"),
+        )
+        scored_ids = scored_batch.unionByName(scored_store)
+    else:
+        store_pool = store.facts.select(
+            F.col("id").alias("cand_id"),
+            F.lit(None).cast("long").alias("cand_ord"),
+            F.col("embedding").alias("__cv__"),
+        )
+        scored_store = store_pool.crossJoin(q).select(
+            "__ord__",
+            "cand_id",
+            "cand_ord",
+            F.round(-V.l2_distance(F.col("__cv__"), F.col("__qv__")), 6).alias(
+                "__score__"
+            ),
+        )
+        scored_ids = scored_batch.unionByName(scored_store)
     # Deterministic tie-break on 6dp-rounded score ties: store
     # candidates (cand_id set) before batch candidates, then by
     # id/ordinal — a two-column order, never a folded BIGINT (store
@@ -381,6 +417,7 @@ def resolve_entities(
     nli,
     embed,
     k: int = 10,
+    index=None,
 ) -> DataFrame:
     """C4 — map each mention to a canonical stored entity or keep it as
     a new entity (reference annotator.py:156-182).
@@ -392,6 +429,13 @@ def resolve_entities(
        LLM equivalence gate, first Yes wins,
     3. else the mention becomes a new entity.
     Output: (entity_mention, resolved STRING, is_new BOOLEAN).
+
+    ``index``: optional ``similarity.VecIndex`` over the store's
+    ENTITY embeddings (id_col='name') — kNN candidates then come from
+    the batched IVF probe instead of the exact mention × entities
+    scan, mirroring the reference's HNSW entity query
+    (annotator.py:158, k=10). Recall-grade (see ``dedup_facts``);
+    nprobe = nlist reproduces the exact candidates.
     """
     uniq = mentions.select("entity_mention").distinct()
     n_entities = store.entities.count()
@@ -415,15 +459,21 @@ def resolve_entities(
     from hippollm_spark.operators.similarity import topk_per_query
 
     q = unresolved.withColumn("embedding", embed(F.col("entity_mention")))
-    cand = topk_per_query(
-        store.entities.select("name", "embedding"),
-        q.select(
-            F.col("entity_mention").alias("query_id"), F.col("embedding").alias("query_vec")
-        ),
-        k=k,
-        id_col="name",
-        metric="l2",
-    ).select(
+    queries = q.select(
+        F.col("entity_mention").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    if index is not None:
+        ranked = index.topk(queries, k=k, metric="l2")
+    else:
+        ranked = topk_per_query(
+            store.entities.select("name", "embedding"),
+            queries,
+            k=k,
+            id_col="name",
+            metric="l2",
+        )
+    cand = ranked.select(
         F.col("query_id").alias("entity_mention"),
         F.col("vec_id").alias("candidate"),
         "rank",
@@ -470,6 +520,42 @@ def resolve_entities(
 # The full pipeline (C1)
 # --------------------------------------------------------------------------
 
+def build_store_indexes(
+    store: HippoStore, nlist: int = 16, nprobe: int = 4
+) -> tuple:
+    """Build (fact_index, entity_index) IVF handles over the store's
+    current fact/entity embeddings — the batch analogue of the
+    reference keeping persistent HNSW collections beside the graph
+    (storage.py:124-133). Build once per ingest session, pass to
+    ``annotate_documents``; rebuild (or ``VecIndex.from_table`` a
+    persisted one) when the store has grown materially, since facts
+    added after the build are covered by the batch-internal exact
+    pairing only within their own batch."""
+    from hippollm_spark.operators.similarity import VecIndex
+
+    fact_index = (
+        VecIndex.build(
+            store.facts.select("id", "embedding"),
+            nlist=nlist,
+            nprobe=nprobe,
+            id_col="id",
+        )
+        if not store.facts.isEmpty()
+        else None
+    )
+    entity_index = (
+        VecIndex.build(
+            store.entities.select("name", "embedding"),
+            nlist=nlist,
+            nprobe=nprobe,
+            id_col="name",
+        )
+        if not store.entities.isEmpty()
+        else None
+    )
+    return fact_index, entity_index
+
+
 def annotate_documents(
     store: HippoStore,
     docs: DataFrame,
@@ -478,6 +564,8 @@ def annotate_documents(
     embed,
     cfg: AnnotateConfig | None = None,
     log=None,
+    fact_index=None,
+    entity_index=None,
 ) -> HippoStore:
     """Run the staged annotation pipeline and return the updated store.
 
@@ -487,6 +575,11 @@ def annotate_documents(
     (stage boundaries + config; reference log_helpers.py:12-52 logs
     every model call — per-call records live executor-side, so the
     driver-side trail records stages).
+
+    ``fact_index`` / ``entity_index``: optional ``VecIndex`` handles
+    (see ``build_store_indexes``) routing C3/C4 candidate generation
+    through the IVF probe instead of exact batch × store scans — the
+    scale path for a store that no longer fits a per-batch full scan.
     """
     cfg = cfg or AnnotateConfig()
     if log is not None:
@@ -513,11 +606,15 @@ def annotate_documents(
         rank_col="__ord__",
     )
     reformed = reformulate(raw_facts, ctxs, llm, cfg.inference_partitions)
-    gated = dedup_facts(reformed, store, llm, nli, embed, cfg.k_dedup).cache()
+    gated = dedup_facts(
+        reformed, store, llm, nli, embed, cfg.k_dedup, index=fact_index
+    ).cache()
     fresh = gated.filter(~F.col("redundant"))
 
     mentions = extract_entities(fresh, llm)
-    resolved = resolve_entities(mentions, store, llm, nli, embed, cfg.k_link).cache()
+    resolved = resolve_entities(
+        mentions, store, llm, nli, embed, cfg.k_link, index=entity_index
+    ).cache()
 
     new_entities = resolved.filter("is_new").select(
         F.col("resolved").alias("name"), F.lit("").alias("description")
