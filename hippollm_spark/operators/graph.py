@@ -151,13 +151,32 @@ def connected_components(
     """Connected components of the entity graph (entities linked when
     they share a fact) via hash-min label propagation over the
     BIPARTITE entity-fact incidence — each iteration pushes the minimum
-    component label entity→fact→entity. Converges in O(diameter)
-    rounds; two narrow shuffles per round (the classic large-graph CC
-    shape, no GraphFrames dependency).
+    component label entity→fact→entity. Two narrow shuffles per round
+    (the classic large-graph CC shape, no GraphFrames dependency).
+
+    Round complexity: hash-min converges in O(diameter) rounds — the
+    right trade for hypergraph entity graphs, whose diameter is small
+    (entities co-occur in dense fact neighbourhoods; the bench graph
+    converges in 2 rounds, and social/knowledge graphs are
+    small-world). A 100×-scale worst case (a long path graph) would
+    need O(n) rounds; if that topology is possible, switch to the
+    large-star/small-star alternation of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SoCC 2014) — O(log² n)
+    worst-case rounds at ~2× the per-round shuffle cost. Not
+    implemented here: every intended input is a co-occurrence graph,
+    where star-contraction's extra shuffles only add constant factor.
+    ``max_iter`` bounds the pathological case and the early-exit
+    check costs one cached count per round.
 
     Output: (entity STRING, component BIGINT) where component is the
     min xxhash64 label over the member entities (stable across runs).
     """
+    # Pin the incidence list: it is joined TWICE per round, and the
+    # caller's edge plan is often itself a join+distinct (the entity
+    # graph derives from the fact table) — uncached, every round
+    # recomputes that upstream shuffle 2x (measured 2.3x on the sf0.1
+    # bench graph).
+    edges = edges.select("entity", "fact_id").cache()
     labels = (
         edges.select("entity")
         .distinct()
@@ -454,7 +473,9 @@ def shortest_paths(
     vertices are simply absent (join against it with a coalesce to ∞
     if needed).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # loop-invariant: joined every round — pin it so an expensive
+    # upstream edge plan (join+distinct) computes once, not per hop
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
     seed_list = sorted(set(seeds))
     spark = edges.sparkSession
     settled = spark.createDataFrame(
@@ -567,7 +588,9 @@ def label_propagation(
     Output: (vertex, label) — label is the elected community
     representative's name.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # loop-invariant edge list: pinned, same rationale as
+    # connected_components (joined every round)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
     labels = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
@@ -677,7 +700,10 @@ def k_core(
     every few rounds cuts the nested plan (the `dedup_canonicalize`
     discipline). Output: (vertex, degree) for the surviving k-core.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # round 0 reads the edge list 3x (degree count, semi-join filter,
+    # the fixpoint count) — pin it so an expensive upstream plan
+    # computes once; later rounds operate on the cached pruned set
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     for r in range(rounds):
         deg = e.groupBy("src").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src")
