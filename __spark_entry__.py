@@ -2978,11 +2978,17 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 400)
+    # Physical sizing only (results are bucket-count-invariant): 8
+    # buckets/partitions for a hundreds-of-docs demo corpus — the
+    # default 64 is the 100-TB shape and costs 64-task shuffles per
+    # write here (measured 2x the whole query).
     save_dedup_index(
-        spark, corpus, "dd_contract_idx", shingle_hash="md5"
+        spark, corpus, "dd_contract_idx", shingle_hash="md5",
+        n_buckets=8, partitions=8,
     )
     return incremental_dedup(
-        spark, batch, "dd_contract_idx", threshold=0.5, shingle_hash="md5"
+        spark, batch, "dd_contract_idx", threshold=0.5, shingle_hash="md5",
+        partitions=8,
     ).orderBy("doc_id", "dup_of")
 
 

@@ -880,9 +880,12 @@ def random_walks(
         .localCheckpoint(eager=True)
     )
     # origins = ALL vertices (src ∪ dst): sinks still yield their
-    # single-node walk, like DeepWalk starting from every node
+    # single-node walk, like DeepWalk starting from every node.
+    # Derived from the checkpointed adjacency, not from ``e`` — e's
+    # upstream (often a co-occurrence projection) would otherwise be
+    # computed a second time just to list the vertex set.
     verts = (
-        e.select("v").union(e.select(F.col("n").alias("v"))).distinct()
+        adj.select("v").union(adj.select(F.col("n").alias("v"))).distinct()
     )
     frontier = verts.crossJoin(
         adj.sparkSession.range(walks_per_vertex).select(
@@ -896,6 +899,13 @@ def random_walks(
     results = frontier.select(
         "walk_id", F.lit(0).alias("step"), "vertex"
     ).localCheckpoint(eager=True)
+    # one row per vertex: lets each step compute its picked index
+    # BEFORE touching the adjacency, so the step join is an equi-join
+    # on (vertex, index) producing exactly one row per walk — joining
+    # on vertex alone and filtering index==pick afterwards would
+    # materialize deg(v) rows per walk per step, a blow-up under
+    # power-law degrees
+    vdeg = adj.select("v", "__deg__").distinct()
     cur = frontier
     for t in range(1, walk_length + 1):
         h = F.md5(
@@ -911,9 +921,16 @@ def random_walks(
             F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
             F.col("__deg__"),
         )
+        stepped = (
+            cur.join(vdeg, cur.vertex == vdeg.v)
+            .withColumn("__pick__", pick)
+            .drop("v", "__deg__")
+        )
         nxt = (
-            cur.join(adj, cur.vertex == adj.v)
-            .filter(F.col("__i__") == pick)
+            stepped.join(
+                adj,
+                (stepped.vertex == adj.v) & (adj.__i__ == stepped.__pick__),
+            )
             .select(
                 "walk_id", "__w__", F.col("n").alias("vertex")
             )
