@@ -376,6 +376,109 @@ def split_semantic(
     return docs.select(id_col, text_col).mapInPandas(_run, CHUNKS_SCHEMA)
 
 
+_LC_SENT_SPLIT_RE = re.compile(r"(?<=[.?!])\s+")
+
+
+def _lc_semantic_chunks(
+    text: str,
+    embed_fn,
+    buffer_size: int,
+    percentile: float,
+) -> list[str]:
+    """Op-for-op replica of langchain-experimental's
+    ``SemanticChunker.split_text`` with the default percentile
+    breakpoint (the published algorithm; the library itself is not
+    installable in this container):
+
+    1. sentence-split on ``(?<=[.?!])\\s+`` (whitespace consumed);
+    2. buffer-combine: sentence i is embedded as the " "-join of
+       sentences [i-buffer .. i+buffer] (the smoothing the plain T4
+       splitter intentionally omits);
+    3. distance[i] = 1 − cosine(combined_i, combined_{i+1});
+    4. threshold = np.percentile(distances, percentile) (linear
+       interpolation, numpy default — same call the library makes);
+    5. break after every i with distance[i] > threshold; each chunk is
+       the " "-join of its sentences.
+    """
+    import numpy as np
+
+    sentences = _LC_SENT_SPLIT_RE.split(text)
+    if len(sentences) == 1:
+        return sentences
+    combined = []
+    for i in range(len(sentences)):
+        c = ""
+        for j in range(max(0, i - buffer_size), i):
+            c += sentences[j] + " "
+        c += sentences[i]
+        for j in range(i + 1, min(len(sentences), i + 1 + buffer_size)):
+            c += " " + sentences[j]
+        combined.append(c)
+    vecs = np.array([embed_fn(c) for c in combined], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    distances = 1.0 - np.einsum("ij,ij->i", unit[:-1], unit[1:])
+    threshold = np.percentile(distances, percentile)
+    breakpoints = [i for i, d in enumerate(distances) if d > threshold]
+    chunks = []
+    start = 0
+    for idx in breakpoints:
+        chunks.append(" ".join(sentences[start : idx + 1]))
+        start = idx + 1
+    if start < len(sentences):
+        chunks.append(" ".join(sentences[start:]))
+    return chunks
+
+
+def split_semantic_langchain(
+    docs: DataFrame,
+    embed_fn,
+    breakpoint_percentile: float = 95.0,
+    buffer_size: int = 1,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """T4 in langchain-parity mode: the chunking the reference's
+    SemanticTextSplitter produces (splitters.py:99-119 delegates to
+    langchain-experimental's SemanticChunker; defaults: percentile 95,
+    buffer_size 1), with positions recovered by the reference's
+    cursor-find (splitters.py:19-27). Because the chunk text is the
+    " "-join of regex-split sentences, a chunk whose ORIGINAL
+    inter-sentence whitespace was not a single space does not appear
+    verbatim in the document — the reference's find() then misses
+    exactly the same way, so parity includes that quirk. Use
+    `split_semantic` when the pipeline needs exact-substring chunks
+    that tile the document.
+
+    Golden-vector tested on the reference's own fixtures
+    (tests/assets/{rust,short}.txt) with the deterministic hash
+    embedder (tests/assets_semantic_golden.json)."""
+
+    def _split(batches):
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                txt = txt or ""
+                chunks = (
+                    _lc_semantic_chunks(
+                        txt, embed_fn, buffer_size, breakpoint_percentile
+                    )
+                    if txt
+                    else []
+                )
+                i = 0
+                for idx, chunk in enumerate(chunks):
+                    i += txt[i:].find(chunk[: min(100, len(chunk))])
+                    rows.append((did, idx, chunk, i, i + len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "text", "pos_start", "pos_end"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_split, CHUNKS_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # T7 — first sentence (reference helpers.py:12-15 via nltk; deterministic
 # regex port: first run of chars ending in . ! ? followed by space/EOT)

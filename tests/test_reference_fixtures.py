@@ -143,3 +143,53 @@ def test_recursive_langchain_golden_vectors(spark):
             # reference position recovery: chunk is the exact substring
             assert text[r["pos_start"]:r["pos_end"]] == r["text"], name
             assert len(r["text"]) <= 1000
+
+
+def test_semantic_langchain_golden_vectors(spark):
+    """T4 parity: split_semantic_langchain reproduces the committed
+    golden chunk lists for the reference's own fixtures (reference
+    tests/assets/rust.txt, short.txt; SemanticChunker defaults:
+    percentile 95, buffer_size 1, sentence regex (?<=[.?!])\\s+),
+    embedded with the deterministic dim-16 hash embedder. Goldens
+    were generated from the published SemanticChunker algorithm
+    (langchain-experimental text_splitter.py — the library itself is
+    not installable in this container, so the replica is committed
+    alongside and auditable against the real library offline).
+    Positions follow the reference's cursor-find (splitters.py:19-27)
+    INCLUDING its miss behavior when a chunk's re-joined whitespace
+    differs from the original (one such chunk in rust.txt)."""
+    import json
+    import os
+
+    from hippollm_spark.functions.text import split_semantic_langchain
+    from hippollm_spark.testing import hash_embedding
+
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "assets_semantic_golden.json"))
+    )
+    texts = {
+        name: open(f"/root/reference/tests/assets/{name}").read()
+        for name in golden
+    }
+    docs = spark.createDataFrame(
+        [(i, texts[name]) for i, name in enumerate(sorted(golden))],
+        "doc_id long, content string",
+    )
+    out = split_semantic_langchain(
+        docs, lambda s: hash_embedding(s, 16), 95.0, 1
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, name in enumerate(sorted(golden)):
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [r["text"] for r in rows] == golden[name], name
+        # positions replay the reference's cursor-find arithmetic
+        text, j = texts[name], 0
+        for r in rows:
+            j += text[j:].find(r["text"][: min(100, len(r["text"]))])
+            assert r["pos_start"] == j, name
+            assert r["pos_end"] == j + len(r["text"]), name
+        # rust.txt is multi-sentence: the splitter must actually split
+        if name == "rust.txt":
+            assert len(rows) > 1
