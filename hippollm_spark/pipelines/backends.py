@@ -282,12 +282,120 @@ class HttpLlmBackend:
         return data["content"]
 
 
+class CppLlmBackend:
+    """In-process llama-cpp backend (reference llm_backend.py:40-100):
+    loads a GGUF model through ``llama_cpp.Llama`` — a filesystem path
+    (leading ``/`` or ``./``) maps to ``Llama(model_path=...)``, any
+    other id to ``Llama.from_pretrained(...)`` — and serves
+    completions or chat turns with an optional system prompt.
+
+    Grammar discipline mirrors the reference: compiled GBNF grammars
+    are cached per process keyed by the grammar STRING
+    (llm_backend.py:69-76 — ``LlamaGrammar.from_string`` re-parses on
+    every call otherwise, and annotate issues the same yes/no grammar
+    thousands of times per batch).
+
+    Executor shape: instances pickle cleanly — the Llama client and
+    the grammar cache are process-local and rebuilt lazily on first
+    ``invoke`` in each python worker (one model load per worker, the
+    same pattern as ``HttpLlmBackend``'s session). ``loader`` /
+    ``grammar_compiler`` are injectable constructors so the wire
+    logic is testable without the native dependency (this container
+    has no llama-cpp-python; the real import raises a labeled
+    ImportError at first use, never at construction).
+    """
+
+    handles_grammars = True
+
+    def __init__(
+        self,
+        model: str,
+        *,
+        chat_model: bool = False,
+        system_prompt: str | None = None,
+        n_ctx: int = 5000,
+        loader=None,
+        grammar_compiler=None,
+        **params,
+    ) -> None:
+        self.model = model
+        self.chat_model = chat_model
+        self.system_prompt = system_prompt
+        self.params = {"n_ctx": n_ctx, **params}
+        self._loader = loader
+        self._grammar_compiler = grammar_compiler
+        self._client = None
+        self._grammar_cache: dict[str, object] = {}
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_client"] = None
+        state["_grammar_cache"] = {}
+        return state
+
+    def _load(self):
+        if self._client is None:
+            if self._loader is not None:
+                self._client = self._loader(self.model, **self.params)
+            else:
+                try:
+                    from llama_cpp import Llama
+                except ImportError as e:  # pragma: no cover - dep absent in CI
+                    raise ImportError(
+                        "CppLlmBackend requires llama-cpp-python "
+                        "(pip install llama-cpp-python); use "
+                        "HttpLlmBackend(provider='llamacpp') against a "
+                        "llama.cpp server instead"
+                    ) from e
+                if self.model.startswith(("/", "./")):
+                    self._client = Llama(model_path=self.model, **self.params)
+                else:
+                    self._client = Llama.from_pretrained(self.model, **self.params)
+        return self._client
+
+    def _grammar(self, grammar: str | None):
+        if grammar is None:
+            return None
+        compiled = self._grammar_cache.get(grammar)
+        if compiled is None:
+            if self._grammar_compiler is not None:
+                compiled = self._grammar_compiler(grammar)
+            else:
+                from llama_cpp import LlamaGrammar  # pragma: no cover
+
+                compiled = LlamaGrammar.from_string(grammar)  # pragma: no cover
+            self._grammar_cache[grammar] = compiled
+        return compiled
+
+    def invoke(self, prompt, grammar=None, max_tokens=None, stop=None) -> str:
+        client = self._load()
+        g = self._grammar(grammar)
+        stop = list(stop) if stop else []
+        if self.chat_model:
+            messages = [{"role": "user", "content": prompt}]
+            if self.system_prompt is not None:
+                messages.insert(
+                    0, {"role": "system", "content": self.system_prompt}
+                )
+            out = client.create_chat_completion(
+                messages, grammar=g, max_tokens=max_tokens, stop=stop
+            )
+            return out["choices"][0]["message"]["content"]
+        out = client.create_completion(
+            prompt, grammar=g, max_tokens=max_tokens, stop=stop
+        )
+        return out["choices"][0]["text"]
+
+
 def load_llm(backend: str = "scripted", **kw) -> LlmBackend:
     """Backend factory (reference llm_backend.py:162-173): scripted
     fake by default; ``"openai" | "groq" | "ollama" | "llamacpp"``
-    construct the HTTP client with the provider preset."""
+    construct the HTTP client with the provider preset; ``"cpp"``
+    constructs the in-process llama-cpp backend."""
     if backend == "scripted":
         return ScriptedLLM(**kw)
+    if backend == "cpp":
+        return CppLlmBackend(**kw)
     if backend in ("openai", "groq", "ollama", "llamacpp"):
         return HttpLlmBackend(provider=backend, **kw)
     return HttpLlmBackend(**kw)
