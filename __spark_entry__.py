@@ -972,6 +972,23 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_entities"), F.asc("component_root"))
     )
 
+def q_graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same component rollup as `graph_components`, computed by the
+    large-star/small-star alternation (Kiveris et al., SoCC 2014) —
+    the O(log² n)-worst-case-round scale path for graphs whose
+    diameter grows with size (hash-min is O(diameter)). Identical
+    output ⇒ identical recursive-closure oracle."""
+    from hippollm_spark.operators.graph import connected_components_star
+
+    cc = connected_components_star(_edges(spark, sf_dir))
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_entities"), F.min("entity").alias("component_root"))
+        .select("component_root", "n_entities")
+        .orderBy(F.desc("n_entities"), F.asc("component_root"))
+    )
+
+
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (6 iterations, damping 0.85) over the undirected
@@ -3163,9 +3180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "emb_centroids": q_emb_centroids,
         "incremental_dedup": q_incremental_dedup,
-        "contamination": q_contamination,
+        "graph_components_star": q_graph_components_star,
         "corpus_curation": q_corpus_curation,
         # --- driver-verified (r01-r03), outside the checked prefix ---
+        "contamination": q_contamination,
         "mmr_rerank": q_mmr_rerank,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
@@ -4805,6 +4823,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
         """,
         "graph_components": f"""
+            WITH RECURSIVE base AS ({_EDGES_SQL}),
+            ee AS (
+                SELECT DISTINCT a.entity AS ea, b.entity AS eb
+                FROM base a JOIN base b ON a.fact_id = b.fact_id
+            ),
+            reach(a, b) AS (
+                SELECT ea, eb FROM ee
+                UNION
+                SELECT r.a, e.eb FROM reach r JOIN ee e ON r.b = e.ea
+            ),
+            comp AS (SELECT a AS entity, min(b) AS root FROM reach GROUP BY a)
+            SELECT root AS component_root, count(*) AS n_entities
+            FROM comp GROUP BY root
+            ORDER BY n_entities DESC, component_root
+        """,
+        "graph_components_star": f"""
             WITH RECURSIVE base AS ({_EDGES_SQL}),
             ee AS (
                 SELECT DISTINCT a.entity AS ea, b.entity AS eb

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "winnow_pairs",
     "graph_components",
+    "graph_components_star",
     "graph_pagerank",
     "graph_ppr",
     "graph_pagerank_weighted",
@@ -245,6 +246,15 @@ def main() -> None:
         except Exception:
             pass
         gc.collect()
+        # JVM-side GC too: unpersisted blocks + broadcast garbage from
+        # ~350 prior jobs otherwise trigger collection pauses INSIDE a
+        # later query's timed window (mid-run entries measured 1.5-2 s
+        # above their isolated steady state). The pause moves here,
+        # outside the timer.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -159,14 +159,14 @@ def connected_components(
     (entities co-occur in dense fact neighbourhoods; the bench graph
     converges in 2 rounds, and social/knowledge graphs are
     small-world). A 100×-scale worst case (a long path graph) would
-    need O(n) rounds; if that topology is possible, switch to the
-    large-star/small-star alternation of Kiveris et al., "Connected
-    Components in MapReduce and Beyond" (SoCC 2014) — O(log² n)
-    worst-case rounds at ~2× the per-round shuffle cost. Not
-    implemented here: every intended input is a co-occurrence graph,
-    where star-contraction's extra shuffles only add constant factor.
-    ``max_iter`` bounds the pathological case and the early-exit
-    check costs one cached count per round.
+    need O(n) rounds; for that topology use
+    `connected_components_star` — the large-star/small-star
+    alternation with O(log² n) worst-case rounds and the identical
+    output contract (equality-tested). Hash-min stays the default:
+    on low-diameter co-occurrence graphs star-contraction's extra
+    shuffles only add constant factor. ``max_iter`` bounds the
+    pathological case and the early-exit check costs one cached count
+    per round.
 
     Output: (entity STRING, component BIGINT) where component is the
     min xxhash64 label over the member entities (stable across runs).
@@ -210,6 +210,96 @@ def connected_components(
         if changed == 0:
             break
     return labels.withColumnRenamed("label", "component")
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 40, *, checkpoint_every: int = 2
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log² n)-worst-case-rounds alternative to
+    `connected_components` for graphs whose diameter can grow with
+    scale (hash-min needs O(diameter) rounds: a 10⁹-vertex path graph
+    would never finish). Same input (entity, fact_id incidence) and
+    the IDENTICAL output contract: (entity STRING, component BIGINT),
+    component = min xxhash64 over the member entities — the two
+    implementations are equality-tested against each other.
+
+    Mechanics: vertices are the hashed ids of entities
+    (``xxhash64(entity)`` — the same ids hash-min uses as labels) and
+    facts (``xxhash64('f', fact_id)``, domain-tagged); each round is
+    one large-star (every neighbour larger than u re-points at
+    min(Γ(u) ∪ u)) then one small-star (every neighbour ≤ u and u
+    itself re-point at the min) — each a groupBy-min + re-emit, i.e.
+    two narrow (long, long) shuffles per phase, no joins against the
+    raw edge plan after the first materialization. Fixpoint = the
+    small-star output equals its input (exact set check: equal count
+    + empty anti-join); at fixpoint the edge set is a star forest
+    rooted at each component's minimum id. The component's reported
+    label is then the min ENTITY id per root (a root may be a fact
+    vertex), restoring hash-min's exact output.
+    """
+    ents = (
+        edges.select("entity")
+        .distinct()
+        .withColumn("eid", F.xxhash64("entity"))
+        .cache()
+    )
+    e = (
+        edges.select(
+            F.xxhash64("entity").alias("u"),
+            F.xxhash64(F.lit("f"), F.col("fact_id")).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.select("u", "v").unionAll(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        d = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = d.unionAll(m.select(F.col("u"), F.col("u").alias("v")))
+        return (
+            nbrs.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for r in range(max_rounds):
+        nxt = _small_star(_large_star(e))
+        if r % checkpoint_every == checkpoint_every - 1:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+        # exact set-fixpoint check: counts equal and no new rows
+        if nxt.count() == e.count():
+            if nxt.join(e, ["u", "v"], "left_anti").isEmpty():
+                e = nxt
+                break
+        e = nxt
+    # star edges point child -> component-min id; roots map to themselves
+    ent_root = (
+        ents.join(e, ents.eid == e.u, "left")
+        .select("entity", "eid", F.coalesce("v", "eid").alias("root"))
+    )
+    comp = ent_root.groupBy("root").agg(F.min("eid").alias("component"))
+    return ent_root.join(comp, "root").select("entity", "component")
 
 
 def cooccurrence(edges: DataFrame, fact_ids: DataFrame | None = None) -> DataFrame:

@@ -69,3 +69,54 @@ def test_winnowing_deterministic(spark):
     one = sorted(r["fp"] for r in winnowing_fingerprints(docs).collect())
     two = sorted(r["fp"] for r in winnowing_fingerprints(docs).collect())
     assert one == two and len(one) > 0
+
+
+def _cc_map(df):
+    return {r["entity"]: r["component"] for r in df.collect()}
+
+
+def test_star_cc_equals_hash_min_on_islands(spark):
+    rows = [
+        (0, "A"), (0, "B"),
+        (1, "B"), (1, "C"),
+        (2, "D"), (2, "E"),
+        (3, "F"),
+    ]
+    edges = spark.createDataFrame(rows, "fact_id long, entity string")
+    from hippollm_spark.operators.graph import connected_components_star
+
+    assert _cc_map(connected_components_star(edges)) == _cc_map(
+        connected_components(edges)
+    )
+
+
+def test_star_cc_long_path_few_rounds(spark):
+    """The topology hash-min can't afford: a 40-entity path (diameter
+    39 — hash-min would need 39 rounds; the star alternation is
+    logarithmic). Equality asserted against hash-min given enough
+    rounds."""
+    rows = []
+    for i in range(39):
+        rows += [(i, f"e{i:02d}"), (i, f"e{i+1:02d}")]
+    edges = spark.createDataFrame(rows, "fact_id long, entity string")
+    from hippollm_spark.operators.graph import connected_components_star
+
+    star = _cc_map(connected_components_star(edges, max_rounds=12))
+    assert len(set(star.values())) == 1  # one component, found in <=12 rounds
+    assert star == _cc_map(connected_components(edges, max_iter=60))
+
+
+def test_star_cc_random_bipartite_equality(spark):
+    """Deterministic pseudo-random hypergraph: 60 entities, 45 facts,
+    membership by hash arithmetic — star and hash-min must agree on
+    every entity's component label."""
+    rows = []
+    for f in range(45):
+        for k in range(2 + (f * 7) % 3):
+            rows.append((f, f"ent{(f * 13 + k * 29) % 60:02d}"))
+    edges = spark.createDataFrame(rows, "fact_id long, entity string")
+    from hippollm_spark.operators.graph import connected_components_star
+
+    assert _cc_map(connected_components_star(edges)) == _cc_map(
+        connected_components(edges)
+    )
