@@ -188,3 +188,19 @@ def test_annotate_end_to_end_with_indexes(spark, seeded_store):
     assert "The Eiffel Tower is in Paris" in texts
     names = sorted(r["name"] for r in store.entities.collect())
     assert names == ["Eiffel Tower", "France", "London", "Paris", "Seine", "UK"]
+
+
+def test_vecindex_from_persisted_table_matches_build(spark):
+    """save_ivf_index -> VecIndex.from_table probes the bucketed store
+    tables and returns the same top-k as the in-memory build (same
+    nlist/seed => same centroids => same lists)."""
+    from hippollm_spark.operators.similarity import save_ivf_index
+
+    vecs = _vec_table(spark, n=80, clusters=4)
+    qs = _queries(spark, vecs, [0, 5, 10]).cache()
+    save_ivf_index(spark, vecs, "annidx_t", nlist=4)
+    mem = VecIndex.build(vecs, nlist=4, nprobe=2)
+    disk = VecIndex.from_table(spark, "annidx_t", nprobe=2)
+    assert sorted(map(tuple, mem.topk(qs, k=5, metric="l2").collect())) == sorted(
+        map(tuple, disk.topk(qs, k=5, metric="l2").collect())
+    )
