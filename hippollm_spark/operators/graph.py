@@ -225,19 +225,22 @@ def connected_components_star(
     component = min xxhash64 over the member entities — the two
     implementations are equality-tested against each other.
 
-    Mechanics: vertices are the hashed ids of entities
-    (``xxhash64(entity)`` — the same ids hash-min uses as labels) and
-    facts (``xxhash64('f', fact_id)``, domain-tagged); each round is
-    one large-star (every neighbour larger than u re-points at
-    min(Γ(u) ∪ u)) then one small-star (every neighbour ≤ u and u
-    itself re-point at the min) — each a groupBy-min + re-emit, i.e.
-    two narrow (long, long) shuffles per phase, no joins against the
-    raw edge plan after the first materialization. Fixpoint = the
-    small-star output equals its input (exact set check: equal count
-    + empty anti-join); at fixpoint the edge set is a star forest
-    rooted at each component's minimum id. The component's reported
-    label is then the min ENTITY id per root (a root may be a fact
-    vertex), restoring hash-min's exact output.
+    Mechanics: first a HYPEREDGE CONTRACTION — every member of a fact
+    re-points at the fact's minimum entity id (one groupBy-min + one
+    join over the incidence, i.e. half a hash-min round). This
+    preserves components exactly (a star over a hyperedge's members
+    is as connected as its clique) while producing an ENTITY-ONLY
+    graph with ≤ |incidence| edges — never the k² pair projection a
+    giant hyperedge would explode into. The alternation then runs on
+    hashed entity ids (``xxhash64(entity)``, the same ids hash-min
+    uses as labels): each round is one large-star (every neighbour
+    larger than u re-points at min(Γ(u) ∪ u)) then one small-star
+    (every neighbour ≤ u and u itself re-point at the min) — each a
+    groupBy-min + re-emit on narrow (long, long) pairs. Fixpoint =
+    the small-star output equals its input (exact set check: equal
+    count + empty anti-join); at fixpoint the edge set is a star
+    forest whose roots ARE the component-minimum entity ids, so the
+    root doubles as hash-min's exact output label.
     """
     ents = (
         edges.select("entity")
@@ -245,11 +248,14 @@ def connected_components_star(
         .withColumn("eid", F.xxhash64("entity"))
         .cache()
     )
+    inc = edges.select(
+        F.xxhash64("entity").alias("u"), F.col("fact_id").alias("f")
+    )
+    fact_min = inc.groupBy("f").agg(F.min("u").alias("v"))
     e = (
-        edges.select(
-            F.xxhash64("entity").alias("u"),
-            F.xxhash64(F.lit("f"), F.col("fact_id")).alias("v"),
-        )
+        inc.join(fact_min, "f")
+        .select("u", "v")
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -293,13 +299,12 @@ def connected_components_star(
                 e = nxt
                 break
         e = nxt
-    # star edges point child -> component-min id; roots map to themselves
-    ent_root = (
+    # star edges point child -> component-min entity id; roots (and
+    # isolated entities) map to themselves — the root is the label
+    return (
         ents.join(e, ents.eid == e.u, "left")
-        .select("entity", "eid", F.coalesce("v", "eid").alias("root"))
+        .select("entity", F.coalesce("v", "eid").alias("component"))
     )
-    comp = ent_root.groupBy("root").agg(F.min("eid").alias("component"))
-    return ent_root.join(comp, "root").select("entity", "component")
 
 
 def cooccurrence(edges: DataFrame, fact_ids: DataFrame | None = None) -> DataFrame:
