@@ -50,11 +50,17 @@ from hippollm_spark.store import HippoStore
 
 
 def get_splitter(strategy: str):
-    """T6 — splitter factory (reference splitters.py:122-135)."""
+    """T6 — splitter factory covering all four reference strategies
+    (splitters.py:122-135). ``semantic`` returns `split_semantic`,
+    whose second argument is an executor-local text→vector callable
+    (`AnnotateConfig.semantic_embed_fn` in the pipeline)."""
+    from hippollm_spark.functions.text import split_semantic
+
     return {
         "naive": split_naive,
         "paragraph": split_paragraphs,
         "recursive": split_recursive,
+        "semantic": split_semantic,
     }[strategy]
 
 
@@ -66,6 +72,11 @@ class AnnotateConfig:
     k_dedup: int = 5         # reference C3 candidate count
     k_link: int = 10         # reference annotator.py:158
     embed_dim: int = 384
+    # splitter="semantic" only: picklable text -> list[float] callable
+    # shipped to executors (the reference loads a SentenceTransformer
+    # inside its SemanticChunker, splitters.py:99-119; here any
+    # deterministic embedder works — tests use the hash embedder)
+    semantic_embed_fn: object | None = None
     # Spread rows across this many partitions immediately before each
     # LLM mapInPandas stage. AQE sizes shuffle partitions by BYTES, and
     # chunk/fact rows are tiny — left alone it coalesces them onto a
@@ -590,6 +601,13 @@ def annotate_documents(
     splitter = get_splitter(cfg.splitter)
     if cfg.splitter == "paragraph":
         chunks = splitter(docs)
+    elif cfg.splitter == "semantic":
+        if cfg.semantic_embed_fn is None:
+            raise ValueError(
+                "splitter='semantic' needs AnnotateConfig.semantic_embed_fn "
+                "(a picklable text -> list[float] callable)"
+            )
+        chunks = splitter(docs, cfg.semantic_embed_fn)
     else:
         chunks = splitter(docs, cfg.chunk_size)
 

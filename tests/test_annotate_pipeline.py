@@ -12,7 +12,9 @@ from hippollm_spark.fixtures import DIM, paris_store
 from hippollm_spark.pipelines.annotate import AnnotateConfig, annotate_documents
 from hippollm_spark.pipelines.backends import ScriptedLLM, ScriptedNLI
 from hippollm_spark.store import HippoStore
-from hippollm_spark.testing import hash_embedding_udf
+import functools
+
+from hippollm_spark.testing import hash_embedding, hash_embedding_udf
 
 CHUNK1 = "Paris is in France. The Eiffel Tower stands there."
 CHUNK2 = "The Seine flows through the city."
@@ -173,3 +175,38 @@ def test_dedup_facts_candidate_pairs_bounded_by_k(spark, tmp_path):
     assert out.filter("redundant").count() == 0  # NLI never entails
     total = sum(int(x) for x in counter.read_text().split())
     assert 0 < total <= n * k, total
+
+
+def test_annotate_semantic_splitter_strategy(spark):
+    """T6 covers the reference's fourth strategy (splitters.py:122-135):
+    splitter='semantic' routes chunking through the embedding-breakpoint
+    splitter with the config-supplied executor-local embedder."""
+    from hippollm_spark.pipelines.annotate import get_splitter
+
+    empty = HippoStore(spark, embed=hash_embedding_udf(DIM), dim=DIM)
+    docs = spark.createDataFrame(
+        [(1, "t", "u", CHUNK2, None)],
+        "doc_id long, title string, url string, content string, date timestamp",
+    )
+    store = annotate_documents(
+        empty, docs, ScriptedLLM(script=LLM_SCRIPT), ScriptedNLI(),
+        hash_embedding_udf(DIM),
+        AnnotateConfig(splitter="semantic", embed_dim=DIM,
+                       # partial of a library function: pickles by
+                       # reference to hippollm_spark.testing, which
+                       # executors CAN import (test modules they can't)
+                       semantic_embed_fn=functools.partial(hash_embedding, dim=16)),
+    )
+    assert store.facts.count() == 1
+    assert sorted(r["name"] for r in store.entities.collect()) == ["Paris", "Seine"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        get_splitter("nope")
+    with _pytest.raises(ValueError, match="semantic_embed_fn"):
+        annotate_documents(
+            empty, docs, ScriptedLLM(script=LLM_SCRIPT), ScriptedNLI(),
+            hash_embedding_udf(DIM),
+            AnnotateConfig(splitter="semantic", embed_dim=DIM),
+        )
