@@ -266,6 +266,42 @@ def main() -> None:
         f"{len(summary_mh)} langs)"
     )
 
+    # ---- connected components: hash-min vs star on a path graph ----
+    # The adversarial topology for hash-min (O(diameter) rounds): a
+    # chain of n_path entities, consecutive pairs sharing a fact.
+    # Star-contraction solves it in O(log n) alternations.
+    from hippollm_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n_path = 3000
+    chain = spark.range(n_path - 1).select(
+        F.col("id").alias("fact_id"),
+        F.concat(F.lit("p"), F.lpad(F.col("id").cast("string"), 7, "0")).alias("entity"),
+    ).unionByName(
+        spark.range(n_path - 1).select(
+            F.col("id").alias("fact_id"),
+            F.concat(
+                F.lit("p"), F.lpad((F.col("id") + 1).cast("string"), 7, "0")
+            ).alias("entity"),
+        )
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    n_star = connected_components_star(chain, max_rounds=20).select("component").distinct().count()
+    t_star = time.time() - t0
+    t0 = time.time()
+    # hash-min capped at 40 rounds: on a 3000-diameter path it CANNOT
+    # finish — count the components it (wrongly, by design of the cap)
+    # reports to show the failure mode the star path removes
+    n_hm = connected_components(chain, max_iter=40).select("component").distinct().count()
+    t_hm = time.time() - t0
+    print(
+        f"path-{n_path} CC: star {t_star:.1f}s -> {n_star} component(s); "
+        f"hash-min@40rounds {t_hm:.1f}s -> {n_hm} labels (unconverged: "
+        f"needs {n_path - 1} rounds)"
+    )
+
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
