@@ -120,3 +120,47 @@ def test_star_cc_random_bipartite_equality(spark):
     assert _cc_map(connected_components_star(edges)) == _cc_map(
         connected_components(edges)
     )
+
+
+def test_star_cc_partition_matches_python_union_find(spark):
+    """Independent oracle: a driver-side union-find over the same
+    hypergraph must produce the identical PARTITION of entities (labels
+    aside — those are hash-engine specific and covered by the hash-min
+    equality tests)."""
+    rows = []
+    for f in range(60):
+        for k in range(1 + (f * 11) % 4):
+            rows.append((f, f"n{(f * 17 + k * 23) % 80:02d}"))
+    edges = spark.createDataFrame(rows, "fact_id long, entity string")
+    from hippollm_spark.operators.graph import connected_components_star
+
+    got = {r["entity"]: r["component"] for r in connected_components_star(edges).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    by_fact: dict = {}
+    for f, ent in rows:
+        by_fact.setdefault(f, []).append(ent)
+    for members in by_fact.values():
+        for m in members[1:]:
+            union(members[0], m)
+    expected_groups = {}
+    for e in {r[1] for r in rows}:
+        expected_groups.setdefault(find(e), set()).add(e)
+    got_groups = {}
+    for e, c in got.items():
+        got_groups.setdefault(c, set()).add(e)
+    assert sorted(map(sorted, expected_groups.values())) == sorted(
+        map(sorted, got_groups.values())
+    )
