@@ -1885,10 +1885,12 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified rerank of the cosine top-30 for the embedding of
-    vec_id 3 (λ=0.5). Greedy-iterative → no SQL oracle; pure-Python
-    parity + diversification behavior are asserted in
-    tests/test_ranking.py."""
-    from hippollm_spark.operators.ranking import mmr_rerank
+    vec_id 3 (λ=0.5), via the ORACLE-GRADE quantized twin: 6dp-integer
+    relevance/similarity and exact BIGINT argmax chains, so DuckDB can
+    unroll the identical 10 greedy selections (ranking.
+    mmr_rerank_quantized; the raw-float `mmr_rerank` remains the
+    throughput path, pure-Python-parity-tested in test_ranking)."""
+    from hippollm_spark.operators.ranking import mmr_rerank_quantized
     from hippollm_spark.operators.similarity import topk_per_query
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1898,7 +1900,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = topk_per_query(emb, queries, k=30, id_col="vec_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
-    return mmr_rerank(cands, k=10, lambda_=0.5)
+    return mmr_rerank_quantized(cands, k=10, lambda_e6=500_000).orderBy(
+        "mmr_rank"
+    )
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3178,13 +3182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": q_emb_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_pq_topk": q_ann_pq_topk,
-        "emb_centroids": q_emb_centroids,
+        "mmr_rerank": q_mmr_rerank,
         "incremental_dedup": q_incremental_dedup,
         "graph_components_star": q_graph_components_star,
         "corpus_curation": q_corpus_curation,
         # --- driver-verified (r01-r03), outside the checked prefix ---
         "contamination": q_contamination,
-        "mmr_rerank": q_mmr_rerank,
+        "emb_centroids": q_emb_centroids,
         "graph_pagerank": q_graph_pagerank,
         "graph_ppr": q_graph_ppr,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
@@ -3314,6 +3318,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+
+def _mmr_oracle_sql(k: int = 10, lam: int = 500_000, n_cand: int = 30, qid: int = 3) -> str:
+    """DuckDB replica of q_mmr_rerank: the identical greedy chain
+    unrolled into one (pick, max-sim-update) CTE pair per step —
+    exact BIGINT arithmetic over the same 6dp-quantized relevance
+    (two-stage round, mirroring topk_per_query's rounded score) and
+    pairwise similarity (single-stage round, mirroring
+    mmr_rerank_quantized); ties by ascending vec_id."""
+    other = 1_000_000 - lam
+    ctes = [
+        f"""q AS MATERIALIZED (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}
+        )""",
+        """scored AS MATERIALIZED (
+            SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS raw,
+                   e.embedding::DOUBLE[] AS v
+            FROM embeddings e CROSS JOIN q
+        )""",
+        f"""cand AS MATERIALIZED (
+            SELECT vec_id, CAST(round(round(raw, 6) * 1e6) AS BIGINT) AS rel, v
+            FROM scored
+            QUALIFY row_number() OVER (ORDER BY raw DESC, vec_id ASC) <= {n_cand}
+        )""",
+        """sims AS MATERIALIZED (
+            SELECT a.vec_id AS sa, b.vec_id AS sb,
+                   CAST(round(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS s
+            FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+        )""",
+        f"""p1 AS MATERIALIZED (
+            SELECT vec_id, rel, CAST({lam} AS BIGINT) * rel AS sc
+            FROM cand ORDER BY sc DESC, vec_id ASC LIMIT 1
+        )""",
+        """m1 AS MATERIALIZED (
+            SELECT c.vec_id, c.rel, s.s AS ms
+            FROM cand c JOIN sims s
+              ON s.sa = c.vec_id AND s.sb = (SELECT vec_id FROM p1)
+        )""",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+            SELECT vec_id, rel, ms,
+                   CAST({lam} AS BIGINT) * rel - CAST({other} AS BIGINT) * ms AS sc
+            FROM m{i - 1} ORDER BY sc DESC, vec_id ASC LIMIT 1
+        )""")
+        if i < k:
+            ctes.append(f"""m{i} AS MATERIALIZED (
+                SELECT m.vec_id, m.rel, GREATEST(m.ms, s.s) AS ms
+                FROM m{i - 1} m JOIN sims s
+                  ON s.sa = m.vec_id AND s.sb = (SELECT vec_id FROM p{i})
+                WHERE m.vec_id != (SELECT vec_id FROM p{i})
+            )""")
+    unions = ["SELECT 0 AS query_id, vec_id, 1 AS mmr_rank, sc AS mmr_score_e12 FROM p1"]
+    for i in range(2, k + 1):
+        unions.append(f"SELECT 0, vec_id, {i}, sc FROM p{i}")
+    chain = ",\n        ".join(ctes)
+    body = "\n        UNION ALL ".join(unions)
+    return f"""
+        WITH {chain}
+        {body}
+        ORDER BY mmr_rank
+    """
 
 
 def _pagerank_oracle_sql(
@@ -4372,6 +4438,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, fact_id ASC
             LIMIT 5
         """,
+        "mmr_rerank": _mmr_oracle_sql(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

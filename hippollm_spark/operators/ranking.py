@@ -499,6 +499,107 @@ def mmr_rerank(
     )
 
 
+def mmr_rerank_quantized(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_e6: int = 500_000,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Oracle-grade MMR twin: the same greedy selection as
+    `mmr_rerank`, but over 6dp-QUANTIZED relevance and pairwise
+    similarity in exact BIGINT arithmetic — so the whole chain of k
+    argmax decisions is bit-identical on any engine and a SQL oracle
+    can unroll it step by step (the integer-PageRank discipline
+    applied to reranking). `mmr_rerank` (raw float64, numpy matmul)
+    stays the throughput path; this twin trades a little speed for a
+    hash-checkable fixpoint.
+
+    Quantization: rel_e6 = round(score·1e6) (score is the retriever's
+    6dp cosine), sim_e6 = round(cos(a,b)·1e6) computed with the JVM
+    sequential fold (`vectors.cosine_similarity` + round — the same
+    bridge DuckDB's list_cosine_similarity replays, cf.
+    ann_cosine_topk). Selection score at step 1 is
+    ``lambda_e6·rel_e6``; thereafter
+    ``lambda_e6·rel_e6 − (1e6−lambda_e6)·max_sim_e6`` with max_sim
+    over the selected set — all int64 (≤ 1e12 magnitude). Ties break
+    by ascending id, identically replayable.
+
+    Scale shape: the pairwise sim matrix is a per-query N×N self-join
+    (N = retriever top-N, corpus-independent), grouped to one Arrow
+    batch per query; the greedy loop is O(k·N) integer ops in the
+    worker. Output: (query_id, vec_id, mmr_rank INT,
+    mmr_score_e12 BIGINT).
+    """
+    from hippollm_spark.functions import vectors as V
+
+    lam = int(lambda_e6)
+    base = candidates.select(
+        F.col(query_id_col).alias("__qid__"),
+        F.col(id_col).alias("__id__"),
+        F.round(F.col(score_col) * 1e6).cast("long").alias("__rel__"),
+        F.col(vec_col).cast("array<double>").alias("__vec__"),
+    )
+    a = base.select("__qid__", F.col("__id__").alias("a"), F.col("__rel__").alias("rel_a"), F.col("__vec__").alias("va"))
+    b = base.select("__qid__", F.col("__id__").alias("b"), F.col("__vec__").alias("vb"))
+    pairs = (
+        a.join(b, "__qid__")
+        .select(
+            "__qid__",
+            "a",
+            "rel_a",
+            "b",
+            F.when(
+                F.col("a") == F.col("b"), F.lit(None).cast("long")
+            ).otherwise(
+                F.round(V.cosine_similarity(F.col("va"), F.col("vb")) * 1e6).cast("long")
+            ).alias("sim_e6"),
+        )
+    )
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        qid = pdf["__qid__"].iloc[0]
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            ia, ib = r.a, r.b
+            rel[ia] = int(r.rel_a)
+            if ia != ib and not pd.isna(r.sim_e6):
+                sim[(ia, ib)] = int(r.sim_e6)
+        remaining = sorted(rel)
+        max_sim: dict = {}
+        rows = []
+        for step in range(min(k, len(remaining))):
+            best_id, best_s = None, None
+            for cid in remaining:  # ascending id => ties pick min id
+                if step == 0:
+                    s = lam * rel[cid]
+                else:
+                    s = lam * rel[cid] - (1_000_000 - lam) * max_sim[cid]
+                if best_s is None or s > best_s:
+                    best_id, best_s = cid, s
+            rows.append((qid, best_id, step + 1, best_s))
+            remaining.remove(best_id)
+            for cid in remaining:
+                s2 = sim[(cid, best_id)]
+                max_sim[cid] = s2 if cid not in max_sim else max(max_sim[cid], s2)
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "mmr_rank", "mmr_score_e12"]
+        )
+
+    qid_type = candidates.schema[query_id_col].dataType.simpleString()
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    return pairs.groupBy("__qid__").applyInPandas(
+        _greedy,
+        f"query_id {qid_type}, vec_id {id_type}, mmr_rank int, mmr_score_e12 long",
+    )
+
+
 def ndcg_at_k(
     results: DataFrame,
     relevance: DataFrame,

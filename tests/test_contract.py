@@ -12,11 +12,11 @@ from bench import BENCH_QUERIES
 SF = "/root/testdata/sf0.001"
 
 # rows-only by design: approximate / float-matmul paths with no SQL
-# twin, plus greedy-sequential algorithms SQL cannot replay
+# twin, plus sequential algorithms SQL cannot replay (mmr_rerank
+# graduated to an oracle in round 4 via the quantized-integer twin)
 EXPECTED_NO_ORACLE = {
     "approx_stats",
     "ann_pq_topk",
-    "mmr_rerank",
     "pca_embeddings",
     "pack_bins",
 }

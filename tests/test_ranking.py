@@ -267,3 +267,27 @@ def test_mmr_diversifies(spark):
         key=lambda r: r["mmr_rank"],
     )
     assert [r["vec_id"] for r in out] == [1, 3, 2]
+
+
+def test_mmr_quantized_matches_float_selection(spark):
+    """The oracle-grade quantized twin picks the same documents in the
+    same order as the float mmr_rerank on well-separated data (6dp
+    quantization can only flip picks within 1e-6 — the fixture's score
+    gaps are orders of magnitude larger)."""
+    from hippollm_spark.operators.ranking import mmr_rerank, mmr_rerank_quantized
+
+    rows = []
+    for i in range(12):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[4 + (i % 3)] = 0.5 + 0.01 * i
+        rows.append((0, i, round(1.0 - 0.03 * i, 6), base))
+    cands = spark.createDataFrame(
+        rows, "query_id int, vec_id long, score double, embedding array<double>"
+    )
+    f = mmr_rerank(cands, k=6, lambda_=0.5).orderBy("mmr_rank").collect()
+    q = mmr_rerank_quantized(cands, k=6, lambda_e6=500_000).orderBy("mmr_rank").collect()
+    assert [r["vec_id"] for r in f] == [r["vec_id"] for r in q]
+    # quantized scores are the exact integer form of the float scores
+    for rf, rq in zip(f, q):
+        assert abs(rf["mmr_score"] * 2e12 - 2 * rq["mmr_score_e12"]) <= 2e6
