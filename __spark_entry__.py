@@ -3340,7 +3340,7 @@ def _mmr_oracle_sql(k: int = 10, lam: int = 500_000, n_cand: int = 30, qid: int 
         f"""cand AS MATERIALIZED (
             SELECT vec_id, CAST(round(round(raw, 6) * 1e6) AS BIGINT) AS rel, v
             FROM scored
-            QUALIFY row_number() OVER (ORDER BY raw DESC, vec_id ASC) <= {n_cand}
+            QUALIFY row_number() OVER (ORDER BY round(raw, 6) DESC, vec_id ASC) <= {n_cand}
         )""",
         """sims AS MATERIALIZED (
             SELECT a.vec_id AS sa, b.vec_id AS sb,

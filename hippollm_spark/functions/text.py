@@ -198,6 +198,22 @@ def _lc_recursive_split(
     return final
 
 
+def _cursor_positions(txt: str, chunks: list[str]) -> list[tuple[int, int]]:
+    """The reference's cursor-find position recovery
+    (splitters.py:19-27), quirks included: advance a cursor by
+    find()ing each chunk's first ≤100 chars in the remaining text — a
+    miss (find() == -1, possible when a chunk's re-joined whitespace
+    differs from the original) shifts the cursor back by one exactly
+    like the reference does. Shared by the langchain-parity splitters
+    so the quirk semantics stay in lockstep."""
+    out = []
+    i = 0
+    for chunk in chunks:
+        i += txt[i:].find(chunk[: min(100, len(chunk))])
+        out.append((i, i + len(chunk)))
+    return out
+
+
 def split_recursive_langchain(
     docs: DataFrame,
     chunk_size: int = 1000,
@@ -228,10 +244,10 @@ def split_recursive_langchain(
                     if txt
                     else []
                 )
-                i = 0
-                for idx, chunk in enumerate(chunks):
-                    i += txt[i:].find(chunk[: min(100, len(chunk))])
-                    rows.append((did, idx, chunk, i, i + len(chunk)))
+                for idx, (chunk, (b, e)) in enumerate(
+                    zip(chunks, _cursor_positions(txt, chunks))
+                ):
+                    rows.append((did, idx, chunk, b, e))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "chunk_idx", "text", "pos_start", "pos_end"]
             )
@@ -468,10 +484,10 @@ def split_semantic_langchain(
                     if txt
                     else []
                 )
-                i = 0
-                for idx, chunk in enumerate(chunks):
-                    i += txt[i:].find(chunk[: min(100, len(chunk))])
-                    rows.append((did, idx, chunk, i, i + len(chunk)))
+                for idx, (chunk, (b, e)) in enumerate(
+                    zip(chunks, _cursor_positions(txt, chunks))
+                ):
+                    rows.append((did, idx, chunk, b, e))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "chunk_idx", "text", "pos_start", "pos_end"]
             )

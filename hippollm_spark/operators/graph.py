@@ -300,10 +300,17 @@ def connected_components_star(
                 break
         e = nxt
     # star edges point child -> component-min entity id; roots (and
-    # isolated entities) map to themselves — the root is the label
+    # isolated entities) map to themselves — the root is the label.
+    # The groupBy-min guards the capped exit: if max_rounds ran out
+    # before the star-forest fixpoint, an entity can still hold edges
+    # to several provisional parents — min keeps the output one row
+    # per entity (with the best label so far, like hash-min's capped
+    # exit) instead of emitting duplicates. At fixpoint it is a no-op
+    # aggregation over single rows.
     return (
         ents.join(e, ents.eid == e.u, "left")
-        .select("entity", F.coalesce("v", "eid").alias("component"))
+        .groupBy("entity")
+        .agg(F.min(F.coalesce("v", "eid")).alias("component"))
     )
 
 

@@ -417,6 +417,14 @@ def ivf_topk_per_query(
             query_vec_col,
             F.explode(_probe(F.col(query_vec_col))).alias("list_id"),
         )
+        # Pin before the driver action: the collect below and the
+        # broadcast join both consume q_lists, and the upstream query
+        # plan is often an expensive (and possibly nondeterministic —
+        # LLM-derived embeddings) model stage. Unpinned, that stage
+        # runs twice AND the literal IN-list could come from a
+        # different execution than the joined rows, silently dropping
+        # a re-derived query's candidates.
+        .localCheckpoint(eager=True)
     )
     # ≤ nlist distinct ints: a bounded driver action that buys literal
     # bucket/partition pruning on the store side.

@@ -164,3 +164,18 @@ def test_star_cc_partition_matches_python_union_find(spark):
     assert sorted(map(sorted, expected_groups.values())) == sorted(
         map(sorted, got_groups.values())
     )
+
+
+def test_star_cc_capped_exit_keeps_one_row_per_entity(spark):
+    """max_rounds exhausted before the star-forest fixpoint: labels may
+    be provisional (like hash-min's capped exit) but the output shape
+    must stay one row per entity."""
+    rows = []
+    for i in range(19):
+        rows += [(i, f"c{i:02d}"), (i, f"c{i+1:02d}")]
+    edges = spark.createDataFrame(rows, "fact_id long, entity string")
+    from hippollm_spark.operators.graph import connected_components_star
+
+    out = connected_components_star(edges, max_rounds=1).collect()
+    ents = [r["entity"] for r in out]
+    assert len(ents) == len(set(ents)) == 20
