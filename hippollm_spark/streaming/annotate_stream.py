@@ -37,16 +37,39 @@ def annotate_stream(
     cfg: AnnotateConfig | None = None,
     checkpoint: str | None = None,
     store_path: str | None = None,
+    use_ann_index: bool = False,
+    index_nlist: int = 16,
+    index_nprobe: int = 4,
 ):
     """Start the incremental annotation query. Each micro-batch runs the
     staged pipeline against the current store state; if ``store_path``
     is given the store is persisted after every epoch (restart-safe
-    together with ``checkpoint``)."""
+    together with ``checkpoint``).
+
+    ``use_ann_index``: rebuild the C3/C4 IVF candidate indexes from the
+    store at the START of every epoch and pass them through — the
+    steady-state ingest shape when the store dwarfs each micro-batch
+    (an epoch's candidate work becomes |batch|·|store|·nprobe/nlist
+    instead of |batch|·|store|). Coverage matches the reference's
+    always-current HNSW: the epoch-start index holds every fact from
+    prior epochs, and within-epoch additions are handled by the batch's
+    exact earlier-ordinal pairing. ``index_nprobe = index_nlist``
+    reproduces the exact path bit-for-bit (the parity dial)."""
 
     def _process(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        annotate_documents(store, batch_df, llm, nli, embed, cfg)
+        fact_index = entity_index = None
+        if use_ann_index:
+            from hippollm_spark.pipelines.annotate import build_store_indexes
+
+            fact_index, entity_index = build_store_indexes(
+                store, nlist=index_nlist, nprobe=index_nprobe
+            )
+        annotate_documents(
+            store, batch_df, llm, nli, embed, cfg,
+            fact_index=fact_index, entity_index=entity_index,
+        )
         # Materialize new state so the next epoch's lineage doesn't
         # stack unioned plans epoch over epoch.
         store.entities = store.entities.localCheckpoint(eager=True)

@@ -62,3 +62,43 @@ def test_annotate_stream_two_epochs(spark, tmp_path):
     assert texts == ["The sky is blue"]
     assert [r["id"] for r in facts] == [0]
     assert sorted(r["name"] for r in store.entities.collect()) == ["Sky"]
+
+
+def test_annotate_stream_two_epochs_with_ann_index(spark, tmp_path):
+    """Same two-epoch scenario through the per-epoch IVF index rebuild
+    (full-width probe = exact parity): the second epoch's duplicate is
+    deduped against the FIRST epoch's fact via the index built at epoch
+    start — the reference's always-current-HNSW coverage."""
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    docs1 = spark.createDataFrame(
+        [(1, "d1", "u1", "The sky is blue.", None)],
+        "doc_id long, title string, url string, content string, date timestamp",
+    )
+    docs2 = spark.createDataFrame(
+        [(2, "d2", "u2", "Blue is the sky's color.", None)],
+        docs1.schema,
+    )
+    docs1.coalesce(1).write.mode("append").parquet(str(drop))
+    docs2.coalesce(1).write.mode("append").parquet(str(drop))
+
+    store = HippoStore(spark, embed=hash_embedding_udf(DIM), dim=DIM)
+    stream = read_doc_stream(spark, str(drop), max_files_per_trigger=1)
+    q = annotate_stream(
+        stream,
+        store,
+        ScriptedLLM(script=LLM_SCRIPT),
+        ScriptedNLI(table=NLI_TABLE),
+        hash_embedding_udf(DIM),
+        AnnotateConfig(splitter="paragraph", embed_dim=DIM),
+        checkpoint=str(tmp_path / "ckpt"),
+        use_ann_index=True,
+        index_nlist=2,
+        index_nprobe=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    texts = sorted(r["text"] for r in store.facts.collect())
+    assert texts == ["The sky is blue"]  # cross-epoch dedup via the index
+    assert sorted(r["name"] for r in store.entities.collect()) == ["Sky"]
