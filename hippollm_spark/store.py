@@ -51,6 +51,10 @@ class HippoStore:
         )
         self.embed = embed  # Column-producing fn (e.g. testing.hash_embedding_udf(dim))
         self.dim = dim
+        # optional ANN handles (build_vector_indexes) — the Spark
+        # analogue of the reference's per-collection HNSW indexes
+        self.entity_index = None
+        self.fact_index = None
 
     # -- derived state ------------------------------------------------------
 
@@ -242,10 +246,68 @@ class HippoStore:
     def explore(self, origins: Sequence[str], max_depth: int = 2, max_relations: int = 15):
         return graph.explore(self.edges, origins, max_depth, max_relations)
 
-    def get_closest_entities(self, query_vec: Sequence[float], k: int = 5):
+    def build_vector_indexes(self, nlist: int = 16, nprobe: int = 4) -> None:
+        """Build the optional IVF handles behind ``get_closest_*`` —
+        the Spark analogue of the reference keeping an HNSW collection
+        per table (storage.py:124-133), so point lookups probe
+        nprobe/nlist of the store instead of scanning it. Exact kNN
+        stays the default; the probed path is recall-grade with the
+        ``nprobe`` dial (nprobe = nlist reproduces the exact ranking,
+        distance arithmetic included). Rebuild after bulk appends —
+        facts added since the build are invisible to the probe."""
+        from hippollm_spark.operators.similarity import VecIndex
+
+        self.entity_index = (
+            VecIndex.build(
+                self.entities.select("name", "embedding"),
+                nlist=nlist, nprobe=nprobe, id_col="name",
+            )
+            if not self.entities.isEmpty()
+            else None
+        )
+        self.fact_index = (
+            VecIndex.build(
+                self.facts.select("id", "embedding"),
+                nlist=nlist, nprobe=nprobe, id_col="id",
+            )
+            if not self.facts.isEmpty()
+            else None
+        )
+
+    def _closest_indexed(self, index, table: DataFrame, id_col: str,
+                         query_vec: Sequence[float], k: int):
+        from hippollm_spark.operators.similarity import ivf_topk
+
+        hits = ivf_topk(
+            index.assigned, index.centroids, query_vec, k=k,
+            nprobe=index.nprobe, id_col=id_col,
+        ).select(id_col, "distance")
+        # ids + distance come from the probe; re-join the full rows
+        return (
+            table.join(F.broadcast(hits), id_col)
+            .orderBy(F.asc("distance"), F.asc(id_col))
+        )
+
+    def get_closest_entities(
+        self, query_vec: Sequence[float], k: int = 5, *, use_index: bool = False
+    ):
+        if use_index:
+            if self.entity_index is None:
+                raise ValueError("call build_vector_indexes() first")
+            return self._closest_indexed(
+                self.entity_index, self.entities, "name", query_vec, k
+            )
         return knn.knn_entities(self.entities, query_vec, k)
 
-    def get_closest_facts(self, query_vec: Sequence[float], k: int = 5):
+    def get_closest_facts(
+        self, query_vec: Sequence[float], k: int = 5, *, use_index: bool = False
+    ):
+        if use_index:
+            if self.fact_index is None:
+                raise ValueError("call build_vector_indexes() first")
+            return self._closest_indexed(
+                self.fact_index, self.facts, "id", query_vec, k
+            )
         return knn.knn_facts(self.facts, query_vec, k)
 
     def get_closest_facts_with_entities_union(

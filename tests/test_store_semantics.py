@@ -133,3 +133,36 @@ def test_with_dense_ids_contiguous_under_aqe_shuffle(spark):
         out = with_dense_ids(df, offset=10)
         ids = sorted(r["id"] for r in out.collect())
         assert ids == list(range(10, 10 + 501 + trial))
+
+
+def test_get_closest_indexed_matches_exact_at_full_probe(spark):
+    """V2/V3 through the optional IVF handles (reference HNSW analogue,
+    storage.py:124-133): a full-width probe returns the same rows and
+    distances as exact kNN; unbuilt index raises a labeled error."""
+    import pytest as _pytest
+
+    from hippollm_spark.fixtures import DIM, paris_store
+    from hippollm_spark.store import HippoStore
+    from hippollm_spark.testing import hash_embedding, hash_embedding_udf
+
+    t = paris_store(spark)
+    store = HippoStore(
+        spark, entities=t["entities"], facts=t["facts"],
+        embed=hash_embedding_udf(DIM), dim=DIM,
+    )
+    qv = hash_embedding("Paris (capital of France)", DIM)
+    with _pytest.raises(ValueError, match="build_vector_indexes"):
+        store.get_closest_entities(qv, use_index=True)
+    store.build_vector_indexes(nlist=2, nprobe=2)  # full probe = exact
+
+    exact_e = store.get_closest_entities(qv, k=3).collect()
+    idx_e = store.get_closest_entities(qv, k=3, use_index=True).collect()
+    assert [(r["name"], round(r["distance"], 6)) for r in exact_e] == [
+        (r["name"], round(r["distance"], 6)) for r in idx_e
+    ]
+
+    exact_f = store.get_closest_facts(qv, k=2).collect()
+    idx_f = store.get_closest_facts(qv, k=2, use_index=True).collect()
+    assert [(r["id"], round(r["distance"], 6)) for r in exact_f] == [
+        (r["id"], round(r["distance"], 6)) for r in idx_f
+    ]
