@@ -2128,12 +2128,14 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating-division means — so the iterative fixpoint is
     bit-identical on any engine; the DuckDB twin unrolls the same
     recurrence (the PageRank determinism discipline applied to
-    clustering). Per round: one assignment expression over broadcast
-    centroid literals + one (cluster, dim) sum shuffle."""
+    clustering). Per round: one numpy-int64 assignment pass (identical
+    exact integers to the codegen-literal form — parity-tested — but
+    the plan is not recompiled each round) + one (cluster, dim) sum
+    shuffle."""
     from hippollm_spark.operators.similarity import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    _cents, assigned = kmeans_fit(emb, k=8, iterations=3)
+    _cents, assigned = kmeans_fit(emb, k=8, iterations=3, method="pandas")
     return assigned.select(
         F.col("__id__").alias("vec_id"), "cluster", "dist_e12"
     ).orderBy("vec_id")

@@ -587,6 +587,7 @@ def kmeans_fit(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "sql",
 ) -> tuple[list[list[int]], DataFrame]:
     """Distributed Lloyd k-means in exact fixed-point arithmetic — the
     same determinism discipline as the exact-integer PageRank: floats
@@ -620,6 +621,13 @@ def kmeans_fit(
     k×d list of ints (final, post-update) and assignments is
     (id, cluster INT, dist_e12 BIGINT) computed against the FINAL
     centroids.
+
+    ``method``: 'sql' evaluates the assignment as a codegen expression
+    over k·d broadcast literals (hash-grade, the oracle's twin);
+    'pandas' computes the IDENTICAL exact int64 arithmetic in a numpy
+    mapInPandas stage — same integers, but the plan is not recompiled
+    when centroids change between iterations (the literal expression
+    tree is rebuilt per round), which shaves fixed cost at high k·d.
     """
     d = len(vectors.select(vec_col).first()[0])
     q = vectors.select(
@@ -636,6 +644,34 @@ def kmeans_fit(
     centroids: list[list[int]] = [list(map(int, v)) for v in init]
 
     def _assign(cents: list[list[int]]):
+        if method == "pandas":
+            # Same exact int64 arithmetic, computed in numpy: avoids
+            # re-compiling the k*d-literal codegen expression on every
+            # iteration (centroids change => new literals => new plan).
+            # argmin ties resolve to the LOWEST cluster id (numpy
+            # argmin returns the first minimum; cluster ids ascend),
+            # identical to the (dist, cid) struct-sort tie-break.
+            cmat = np.array(cents, dtype=np.int64)
+
+            def _score(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    mat = np.array(pdf["__v__"].tolist(), dtype=np.int64)
+                    diff = mat[:, None, :] - cmat[None, :, :]
+                    d2 = (diff * diff).sum(-1)  # int64 exact
+                    cid = d2.argmin(1)
+                    yield pd.DataFrame(
+                        {
+                            "__id__": pdf["__id__"],
+                            "cluster": cid.astype(np.int32),
+                            "dist_e12": d2[np.arange(len(cid)), cid],
+                        }
+                    )
+
+            return q.mapInPandas(
+                _score, "__id__ long, cluster int, dist_e12 long"
+            )
         pairs = F.array(
             *[
                 F.struct(

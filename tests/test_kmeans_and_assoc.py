@@ -285,3 +285,20 @@ def test_ngram_lm_score(spark):
     assert abs(got[2]["nll"] - t_xq) < 1e-6
     # fluent (repeated) transitions score lower than rare ones
     assert got[1]["nll"] < got[2]["nll"]
+
+
+def test_kmeans_pandas_assignment_matches_sql(spark):
+    """method='pandas' (numpy int64 assignment, no per-round plan
+    recompile) must reproduce the codegen-literal path's centroids AND
+    assignments exactly — same integers, different executor."""
+    from hippollm_spark.operators.similarity import kmeans_fit
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(6)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c_sql, a_sql = kmeans_fit(vecs, k=4, iterations=3)
+    c_pd, a_pd = kmeans_fit(vecs, k=4, iterations=3, method="pandas")
+    assert c_sql == c_pd
+    assert sorted(map(tuple, a_sql.collect())) == sorted(map(tuple, a_pd.collect()))
