@@ -10,11 +10,13 @@ driver's synthetic tables per FIXTURES.md §6:
 - events             ↔ the stream table
 
 Every ``queries()`` entry has a matching ``oracle_sql()`` DuckDB query
-unless the op is approximate/float-matmul by design (approx_stats,
-ann_pq_topk, mmr_rerank, pca_embeddings), which the driver checks
-rows-only and pytest checks by recall/parity vs the exact op — even
-MinHash/SimHash are oracle-hashed via their deterministic md5
-variants (tests/test_contract.py pins the rows-only set).
+unless the op is engine-specific by design (approx_stats sketches,
+pack_bins greedy FFD), which the driver checks rows-only and pytest
+checks by recall/parity vs the exact op — even MinHash/SimHash are
+oracle-hashed via their deterministic md5 variants, mmr_rerank via the
+quantized-BIGINT greedy twin, and ann_pq_topk / pca_embeddings via
+persisted e6-integer artifacts replayed as literals on both engines
+(tests/test_contract.py pins the rows-only set).
 
 Float discipline for cross-engine hash-matching: money aggregates are
 summed as DECIMAL (exact, order-independent) then cast back to DOUBLE
@@ -1195,20 +1197,36 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: train per-subspace codebooks, encode
-    64-dim floats to 8 code bytes (32x compression at rest), answer a
-    query with asymmetric-distance lookups over the codes only —
-    TakeOrdered, no shuffle, original vectors never scanned. Approximate
-    by design → rows-only check; recall vs exact kNN is asserted in
-    tests/test_similarity.py."""
-    from hippollm_spark.operators.similarity import pq_build, pq_encode, pq_topk
+    """Product-quantization ANN serving scan, HASH-ORACLED: the
+    codebooks were trained ONCE (tools/train_pq_pca_assets.py, float
+    Lloyd at sf0.01, seed 42 — pq_build itself stays recall-tested in
+    tests/test_similarity.py) and persisted e6-quantized under
+    hippollm_spark/assets/; this query replays the exact-BIGINT
+    encode + asymmetric-distance scan against those frozen literals
+    (64-dim floats -> 8 subspace codes -> LUT-gather distance), so
+    DuckDB reproduces it bit-for-bit from the same literals at any sf.
+    TakeOrdered, no shuffle, original float vectors never re-read after
+    the quantize step."""
+    from hippollm_spark.operators.similarity import (
+        load_pq_codebooks_e6,
+        pq_adc_scan_quantized,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = pq_build(emb, m=8, ksub=32, iters=5)
-    q = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
-    enc = pq_encode(emb, cb)
-    out = pq_topk(enc, cb, q, k=10)
-    return out.select("vec_id", F.round("distance", 6).alias("distance"))
+    cb = load_pq_codebooks_e6()
+    # quantize the query with the ENGINE's half-up round (same expr as
+    # the table scan), so the oracle's round(x*1e6) matches exactly
+    q_e6 = emb.filter("vec_id = 3").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("q")
+    ).first()["q"]
+    import numpy as np
+
+    return pq_adc_scan_quantized(
+        emb, np.array(cb["codebooks_e6"]), np.array(q_e6, dtype=np.int64), k=10
+    )
 
 
 def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2505,29 +2523,31 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA 64->8 over the embeddings table: moment-matrix fit (one
-    Arrow pass shipping d+d^2 floats per partition) + projection
-    matmul — the dimensionality-reduction front-end for cheap ANN /
-    near-dup blocking. Float matmul -> rows-only driver check, like
-    the module's other pandas paths. Output is unnested to scalar
-    (vec_id, label, dim_idx, value) rows — ARRAY columns break the
+    """PCA 64->8 projection, HASH-ORACLED: the mean + components were
+    fit ONCE (tools/train_pq_pca_assets.py: pca_fit's moment-matrix
+    pass + driver eigh at sf0.01 — the fit itself stays covered by the
+    numpy-parity / partition-invariance tests) and persisted
+    e6-quantized; this query applies the deployed transform
+    proj[pc] = Σ_j (ve[j]−mean_e6[j])·comp_e6[pc][j] in exact BIGINT,
+    so DuckDB replays it bit-for-bit from the same literals at any sf.
+    One Arrow pass, no shuffle. Output unnested to scalar
+    (vec_id, label, pc, proj_e12) rows — ARRAY columns break the
     driver's pandas canonicalizer (same pattern as emb_quantize)."""
-    from hippollm_spark.operators.similarity import pca_fit, pca_project
+    from hippollm_spark.operators.similarity import (
+        load_pca_components_e6,
+        pca_project_quantized,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, 8)
-    proj = pca_project(emb, model).select("vec_id", "label", "pca")
+    art = load_pca_components_e6()
+    proj = pca_project_quantized(
+        emb, art["mean_e6"], art["components_e6"]
+    ).select("vec_id", "label", "proj_e12")
     return (
         proj.select(
-            "vec_id", "label", F.posexplode("pca").alias("dim_idx", "v")
+            "vec_id", "label", F.posexplode("proj_e12").alias("pc", "proj_e12")
         )
-        .select(
-            "vec_id",
-            "label",
-            "dim_idx",
-            (F.floor(F.col("v") * 1e6) / 1e6 + F.lit(0.0)).alias("value"),
-        )
-        .orderBy("vec_id", "dim_idx")
+        .orderBy("vec_id", "pc")
     )
 
 
@@ -3567,6 +3587,96 @@ def _kmeans_oracle_sql(k: int = 8, d: int = 64, iterations: int = 3) -> str:
         )
         WHERE rn = 1
         ORDER BY vec_id
+    """
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB replica of q_ann_pq_topk: the SAME persisted e6 codebooks
+    (hippollm_spark/assets/pq_codebooks_e6.json) inlined as VALUES
+    literals; encode = per-(vector, subspace) exact-BIGINT argmin with
+    (dist, cid) tie-break; ADC = LUT join + sum. Every step is integer,
+    so the top-10 matches Spark bit-for-bit at any sf."""
+    from hippollm_spark.operators.similarity import load_pq_codebooks_e6
+
+    art = load_pq_codebooks_e6()
+    dsub = art["dsub"]
+    rows = []
+    for j, book in enumerate(art["codebooks_e6"]):
+        for cid, cent in enumerate(book):
+            lst = ", ".join(str(int(x)) for x in cent)
+            rows.append(f"({j}, {cid}, [{lst}]::BIGINT[])")
+    vals = ",\n            ".join(rows)
+    dist = " + ".join(
+        f"(v.ve[cb.j * {dsub} + {t}] - cb.ce[{t}])"
+        f" * (v.ve[cb.j * {dsub} + {t}] - cb.ce[{t}])"
+        for t in range(1, dsub + 1)
+    )
+    qdist = " + ".join(
+        f"(q.ve[cb.j * {dsub} + {t}] - cb.ce[{t}])"
+        f" * (q.ve[cb.j * {dsub} + {t}] - cb.ce[{t}])"
+        for t in range(1, dsub + 1)
+    )
+    return f"""
+        WITH cb(j, cid, ce) AS (VALUES
+            {vals}),
+        v AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
+            FROM embeddings
+        ),
+        q AS (SELECT ve FROM v WHERE vec_id = 3),
+        enc AS (
+            SELECT vec_id, j, cid,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist, cid) AS rn
+            FROM (SELECT v.vec_id, cb.j, cb.cid, {dist} AS dist
+                  FROM v CROSS JOIN cb)
+        ),
+        lut AS (
+            SELECT cb.j, cb.cid, {qdist} AS d
+            FROM cb CROSS JOIN q
+        )
+        SELECT e.vec_id, CAST(sum(l.d) AS BIGINT) AS dist_e12
+        FROM (SELECT vec_id, j, cid FROM enc WHERE rn = 1) e
+        JOIN lut l ON e.j = l.j AND e.cid = l.cid
+        GROUP BY e.vec_id
+        ORDER BY dist_e12, vec_id
+        LIMIT 10
+    """
+
+
+def _pca_oracle_sql() -> str:
+    """DuckDB replica of q_pca_embeddings: the SAME persisted e6 mean +
+    components (hippollm_spark/assets/pca_components_e6.json) inlined
+    as literals; proj[pc] = Σ_j (ve[j]−mean[j])·comp[pc][j] in exact
+    BIGINT — bit-identical to the Spark int64 matmul at any sf."""
+    from hippollm_spark.operators.similarity import load_pca_components_e6
+
+    art = load_pca_components_e6()
+    mu = art["mean_e6"]
+    rows = []
+    for pc, comp in enumerate(art["components_e6"]):
+        lst = ", ".join(str(int(x)) for x in comp)
+        rows.append(f"({pc}, [{lst}]::BIGINT[])")
+    vals = ",\n            ".join(rows)
+    proj = " + ".join(
+        f"(v.ve[{j + 1}] - ({int(mu[j])})) * c.ce[{j + 1}]"
+        for j in range(len(mu))
+    )
+    return f"""
+        WITH comp(pc, ce) AS (VALUES
+            {vals}),
+        v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
+            FROM embeddings
+        )
+        SELECT v.vec_id, v.label, CAST(c.pc AS INT) AS pc,
+               CAST({proj} AS BIGINT) AS proj_e12
+        FROM v CROSS JOIN comp c
+        ORDER BY vec_id, pc
     """
 
 
@@ -5615,6 +5725,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
+        "ann_pq_topk": _pq_oracle_sql(),
+        "pca_embeddings": _pca_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(4),
         "ewma_value": """
             WITH v AS (

@@ -580,6 +580,140 @@ def pq_topk(
     )
 
 
+def load_pq_codebooks_e6() -> dict:
+    """Load the persisted integer PQ codebooks (trained once by
+    tools/train_pq_pca_assets.py at sf0.01, quantized to e6 units).
+    The deployed-model discipline: training is a one-off float job
+    (``pq_build``, pytest/recall-covered); *serving* replays an exact
+    BIGINT scan against the frozen artifact, so the scan is
+    hash-checkable on any engine and any scale factor."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "assets", "pq_codebooks_e6.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_pca_components_e6() -> dict:
+    """Load the persisted integer PCA artifact (mean + top-k components
+    from a one-off ``pca_fit``, e6-quantized). See load_pq_codebooks_e6
+    for the discipline."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "assets", "pca_components_e6.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def pq_adc_scan_quantized(
+    vecs: DataFrame,
+    codebooks_e6: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer PQ serving scan: encode + asymmetric-distance in
+    ONE Arrow pass against frozen e6 codebooks, then TakeOrdered.
+
+    Every arithmetic step is int64 — quantize coords via the engine's
+    ``round(x*1e6)`` (the kmeans_clusters discipline), per-subspace
+    argmin with (dist, cid) tie-break (numpy argmin's first-occurrence
+    IS the smallest cid), LUT gather, BIGINT sum — so DuckDB reproduces
+    the output bit-for-bit from the same codebook literals. Plan:
+    scan -> pandas_udf -> TakeOrderedAndProject (partition-local top-k,
+    driver merge, no shuffle); at 100 TB the scan reads only
+    (id, m-byte code) when run over a pre-encoded table — here encode
+    is fused into the same pass for the single-query serving shape.
+    Output: (id, dist_e12 BIGINT) ascending, tie-break id.
+    """
+    cb = np.asarray(codebooks_e6, dtype=np.int64)
+    m, ksub, dsub = cb.shape
+    q = np.asarray(list(query_vec))
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != {m * dsub}")
+    if np.issubdtype(q.dtype, np.integer):
+        # pre-quantized e6 query (quantize with the ENGINE's round so the
+        # oracle's round(x*1e6) sees identical integers — half-up vs
+        # numpy half-even differs on exact .5 boundaries)
+        q_e6 = q.astype(np.int64)
+    else:
+        q_e6 = np.round(q.astype(np.float64) * 1_000_000.0).astype(np.int64)
+    lut = np.stack(
+        [((cb[j] - q_e6[j * dsub : (j + 1) * dsub]) ** 2).sum(1) for j in range(m)]
+    )  # (m, ksub) int64, exact
+
+    quant = vecs.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("__v__"),
+    )
+
+    @F.pandas_udf("long")
+    def _enc_adc(ve: pd.Series) -> pd.Series:
+        if len(ve) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.array(ve.tolist(), dtype=np.int64)
+        total = np.zeros(len(mat), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            total += lut[j, d.argmin(1)]
+        return pd.Series(total)
+
+    return (
+        quant.withColumn("dist_e12", _enc_adc(F.col("__v__")))
+        .orderBy(F.asc("dist_e12"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "dist_e12")
+    )
+
+
+def pca_project_quantized(
+    vecs: DataFrame,
+    mean_e6: Sequence[int],
+    components_e6: Sequence[Sequence[int]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "proj_e12",
+) -> DataFrame:
+    """Exact-integer PCA projection against frozen e6 components:
+    proj[pc] = Σ_j (ve[j] − mean_e6[j]) · comp_e6[pc][j], all int64 —
+    the transform a deployed PCA applies to new data (fit-time mean and
+    components, not refit per batch). One Arrow pass, no shuffle; the
+    d→k reduction is the 100-TB story (ANN / blocking over k dims).
+    Adds ``out_col`` as array<long> of length k (e12 units)."""
+    mu = np.asarray(list(mean_e6), dtype=np.int64)
+    comps = np.asarray(components_e6, dtype=np.int64)
+
+    quant = vecs.withColumn(
+        "__v__",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ),
+    )
+
+    @F.pandas_udf("array<long>")
+    def _proj(ve: pd.Series) -> pd.Series:
+        if len(ve) == 0:
+            return pd.Series(np.zeros(0, dtype=object))
+        mat = np.array(ve.tolist(), dtype=np.int64)
+        out = (mat - mu) @ comps.T  # int64 exact
+        return pd.Series(list(out))
+
+    return quant.withColumn(out_col, _proj(F.col("__v__"))).drop("__v__")
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,

@@ -11,13 +11,13 @@ from bench import BENCH_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
-# rows-only by design: approximate / float-matmul paths with no SQL
-# twin, plus sequential algorithms SQL cannot replay (mmr_rerank
-# graduated to an oracle in round 4 via the quantized-integer twin)
+# rows-only by design (mmr_rerank graduated to an oracle in round 4
+# via the quantized-integer twin; ann_pq_topk + pca_embeddings in
+# round 6 via persisted e6 artifacts): approx_stats keeps engine-
+# specific sketches (no SQL twin possible), pack_bins is a greedy
+# sequential FFD the driver checks rows-only — see COVERAGE.md.
 EXPECTED_NO_ORACLE = {
     "approx_stats",
-    "ann_pq_topk",
-    "pca_embeddings",
     "pack_bins",
 }
 

@@ -311,3 +311,62 @@ def test_bitext_margin_threshold_and_empty(spark):
     assert len(all_pairs) == 1
     kept = bitext_margin_pairs(src, tgt, k=2, margin_threshold=all_pairs[0]["margin"] + 1)
     assert kept.count() == 0
+
+
+def test_pq_adc_scan_quantized_matches_numpy_replica(spark, embeddings):
+    """The persisted-codebook serving scan is exact int64 end-to-end:
+    a driver-side numpy replica over the same engine-quantized ints
+    must agree bit-for-bit (this is what lets DuckDB oracle it)."""
+    art = similarity.load_pq_codebooks_e6()
+    cb = np.array(art["codebooks_e6"], dtype=np.int64)
+    m, ksub, dsub = cb.shape
+    quant = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("ve"),
+    ).toPandas()
+    mat = np.array(quant["ve"].tolist(), dtype=np.int64)
+    ids = quant["vec_id"].to_numpy()
+    q_e6 = mat[ids == 3][0]
+    lut = np.stack(
+        [((cb[j] - q_e6[j * dsub : (j + 1) * dsub]) ** 2).sum(1) for j in range(m)]
+    )
+    total = np.zeros(len(mat), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+        total += lut[j, d.argmin(1)]
+    order = np.lexsort((ids, total))[:10]
+    expected = list(zip(ids[order].tolist(), total[order].tolist()))
+    got = [
+        (r["vec_id"], r["dist_e12"])
+        for r in similarity.pq_adc_scan_quantized(
+            embeddings, cb, q_e6, k=10
+        ).collect()
+    ]
+    assert got == expected
+    # ADC self-distance is the quantization residual (PQ is lossy), but
+    # the query's own vector should still win rank 1
+    assert got[0][0] == 3
+
+
+def test_pca_project_quantized_tracks_float_projection(spark, embeddings):
+    """e12-integer projections / 1e12 must track the float transform to
+    quantization error (coords rounded at 1e-6 -> per-pc error bounded
+    well under 1e-3 at d=64)."""
+    art = similarity.load_pca_components_e6()
+    mu = np.array(art["mean_e6"], dtype=np.float64) / 1e6
+    comps = np.array(art["components_e6"], dtype=np.float64) / 1e6
+    out = similarity.pca_project_quantized(
+        embeddings, art["mean_e6"], art["components_e6"]
+    ).select("vec_id", "proj_e12").toPandas().sort_values("vec_id")
+    mat = np.array(
+        embeddings.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    expected = (mat - mu) @ comps.T
+    got = np.array(out["proj_e12"].tolist(), dtype=np.float64) / 1e12
+    assert np.abs(got - expected).max() < 1e-3
+    assert out.shape[0] == embeddings.count()
