@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def _seal(df: DataFrame, pins: Sequence[DataFrame]) -> DataFrame:
+    """Cut an iterative op's result free of its loop lineage (eager
+    localCheckpoint — the inputs are already cache-resident from the
+    loop's own actions, so this is one cheap materialization of the
+    final table) and release every loop cache pin. Without the
+    unpersist, CacheManager holds the pinned edge/label blocks until
+    the session dies — they accumulate across queries in a long
+    session (the bfs unpersist discipline, applied at function exit)."""
+    out = df.localCheckpoint(eager=True)
+    for p in pins:
+        p.unpersist()
+    return out
+
+
 def neighbours(edges: DataFrame, entity: str, *, sort_facts: bool = True) -> DataFrame:
     """G1 — co-members of every fact incident to ``entity``, with the
     shared fact ids (reference storage.py:213-224).
@@ -182,6 +196,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.xxhash64("entity"))
     ).cache()
+    pin = labels  # the one live per-round pin; superseded pins unpersist
     for it in range(max_iter):
         fact_min = (
             edges.join(labels, "entity")
@@ -193,7 +208,7 @@ def connected_components(
             .groupBy("entity")
             .agg(F.min("fact_label").alias("new_label"))
         )
-        merged = (
+        merged_cache = merged = (
             labels.join(new_labels, "entity", "left")
             .select(
                 "entity",
@@ -206,10 +221,12 @@ def connected_components(
         if it % checkpoint_every == checkpoint_every - 1:
             merged = merged.localCheckpoint(eager=True)
         changed = merged.filter(F.col("__chg__")).limit(1).count()
+        pin.unpersist()  # previous round's label table, now superseded
+        pin = merged_cache
         labels = merged.drop("__chg__")
         if changed == 0:
             break
-    return labels.withColumnRenamed("label", "component")
+    return _seal(labels.withColumnRenamed("label", "component"), [edges, pin])
 
 
 def connected_components_star(
@@ -287,18 +304,24 @@ def connected_components_star(
             .distinct()
         )
 
+    pin = None  # live per-round cache pin (checkpoint rounds need none)
     for r in range(max_rounds):
         nxt = _small_star(_large_star(e))
+        nxt_pin = None
         if r % checkpoint_every == checkpoint_every - 1:
             nxt = nxt.localCheckpoint(eager=True)
         else:
-            nxt = nxt.cache()
+            nxt_pin = nxt = nxt.cache()
         # exact set-fixpoint check: counts equal and no new rows
+        done = False
         if nxt.count() == e.count():
-            if nxt.join(e, ["u", "v"], "left_anti").isEmpty():
-                e = nxt
-                break
+            done = nxt.join(e, ["u", "v"], "left_anti").isEmpty()
+        if pin is not None:
+            pin.unpersist()  # previous round's edge set, now superseded
+        pin = nxt_pin
         e = nxt
+        if done:
+            break
     # star edges point child -> component-min entity id; roots (and
     # isolated entities) map to themselves — the root is the label.
     # The groupBy-min guards the capped exit: if max_rounds ran out
@@ -307,10 +330,11 @@ def connected_components_star(
     # per entity (with the best label so far, like hash-min's capped
     # exit) instead of emitting duplicates. At fixpoint it is a no-op
     # aggregation over single rows.
-    return (
+    return _seal(
         ents.join(e, ents.eid == e.u, "left")
         .groupBy("entity")
-        .agg(F.min(F.coalesce("v", "eid")).alias("component"))
+        .agg(F.min(F.coalesce("v", "eid")).alias("component")),
+        [ents] + ([pin] if pin is not None else []),
     )
 
 
@@ -426,15 +450,21 @@ def pagerank(
             .agg(F.sum("w").alias("w"))
             .cache()
         )
-    verts = (
+    vert_ids = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
         .cache()
     )
+    verts = vert_ids
     n = verts.count()
     if n == 0:
-        return verts.withColumn("rank_scaled", F.lit(0).cast("long"))
+        empty = verts.withColumn(
+            "rank_scaled", F.lit(0).cast("long")
+        ).localCheckpoint(eager=True)
+        e.unpersist()
+        vert_ids.unpersist()
+        return empty
     if seeds is None:
         r0 = scale // n
         verts = verts.withColumn("_r0", F.lit(r0).cast("long"))
@@ -471,7 +501,7 @@ def pagerank(
         )
         if it % checkpoint_every == checkpoint_every - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return _seal(ranks, [e, vert_ids, verts, pre])
 
 
 def triangle_stats(
@@ -601,7 +631,7 @@ def shortest_paths(
             settled = settled.localCheckpoint(eager=True)
         frontier.unpersist()
         frontier = nxt
-    return settled
+    return _seal(settled, [e, frontier])
 
 
 def entity_jaccard(
@@ -693,7 +723,7 @@ def label_propagation(
     # loop-invariant edge list: pinned, same rationale as
     # connected_components (joined every round)
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
-    labels = (
+    init = labels = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
@@ -720,7 +750,7 @@ def label_propagation(
         )
         if it % checkpoint_every == checkpoint_every - 1:
             labels = labels.localCheckpoint(eager=True)
-    return labels
+    return _seal(labels, [e, init])
 
 
 def bellman_ford(
@@ -773,7 +803,7 @@ def bellman_ford(
         )
         if r % checkpoint_every == checkpoint_every - 1:
             dist = dist.localCheckpoint(eager=True)
-    return dist
+    return _seal(dist, [e])
 
 
 def k_core(
@@ -805,26 +835,31 @@ def k_core(
     # round 0 reads the edge list 3x (degree count, semi-join filter,
     # the fixpoint count) — pin it so an expensive upstream plan
     # computes once; later rounds operate on the cached pruned set
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
+    pin = e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
     for r in range(rounds):
         deg = e.groupBy("src").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src")
         pruned = e.join(keep, "src", "left_semi").join(
             keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
         )
+        pruned_pin = None
         if r % checkpoint_every == checkpoint_every - 1:
             pruned = pruned.localCheckpoint(eager=True)
         else:
-            pruned = pruned.cache()
-        if pruned.count() == e.count():
-            e = pruned
-            break
+            pruned_pin = pruned = pruned.cache()
+        done = pruned.count() == e.count()
+        if pin is not None:
+            pin.unpersist()  # previous round's edge set, now superseded
+        pin = pruned_pin
         e = pruned
-    return (
+        if done:
+            break
+    return _seal(
         e.groupBy("src")
         .agg(F.count("*").alias("degree"))
         .filter(F.col("degree") >= k)
-        .select(F.col("src").alias("vertex"), "degree")
+        .select(F.col("src").alias("vertex"), "degree"),
+        [pin] if pin is not None else [],
     )
 
 
@@ -870,11 +905,14 @@ def hits(
         .cache()
     )
     if verts.count() == 0:
-        return verts.select(
+        empty = verts.select(
             "vertex",
             F.lit(0).cast("long").alias("hub_scaled"),
             F.lit(0).cast("long").alias("auth_scaled"),
-        )
+        ).localCheckpoint(eager=True)
+        e.unpersist()
+        verts.unpersist()
+        return empty
     state = verts.select(
         "vertex",
         F.lit(scale).cast("long").alias("hub_scaled"),
@@ -939,6 +977,10 @@ def hits(
         state = hub.withColumnRenamed("__h__", "hub_scaled").join(
             auth.withColumnRenamed("__a__", "auth_scaled"), "vertex"
         )
+    # the final state derives only from the per-half-round checkpoint
+    # leaves, so the loop pins can be released without a seal pass
+    e.unpersist()
+    verts.unpersist()
     return state.select("vertex", "hub_scaled", "auth_scaled")
 
 

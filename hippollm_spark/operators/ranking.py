@@ -555,7 +555,18 @@ def mmr_rerank_quantized(
             F.when(
                 F.col("a") == F.col("b"), F.lit(None).cast("long")
             ).otherwise(
-                F.round(V.cosine_similarity(F.col("va"), F.col("vb")) * 1e6).cast("long")
+                # try_divide: a zero-norm embedding yields NULL (not an
+                # ANSI DIVIDE_BY_ZERO crash); the greedy treats the
+                # missing sim as 0, matching the float path's
+                # nrm[nrm == 0] = 1.0 guard. Identical to
+                # cosine_similarity for non-degenerate vectors.
+                F.round(
+                    F.try_divide(
+                        V.dot(F.col("va"), F.col("vb")),
+                        V.norm(F.col("va")) * V.norm(F.col("vb")),
+                    )
+                    * 1e6
+                ).cast("long")
             ).alias("sim_e6"),
         )
     )
@@ -586,7 +597,10 @@ def mmr_rerank_quantized(
             rows.append((qid, best_id, step + 1, best_s))
             remaining.remove(best_id)
             for cid in remaining:
-                s2 = sim[(cid, best_id)]
+                # NULL cosine (zero-norm embedding) never enters `sim`;
+                # treat it as similarity 0, like the float path's
+                # null-ignoring max — instead of a KeyError
+                s2 = sim.get((cid, best_id), 0)
                 max_sim[cid] = s2 if cid not in max_sim else max(max_sim[cid], s2)
         return pd.DataFrame(
             rows, columns=["query_id", "vec_id", "mmr_rank", "mmr_score_e12"]

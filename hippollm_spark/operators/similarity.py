@@ -777,6 +777,8 @@ def kmeans_fit(
     ]
     centroids: list[list[int]] = [list(map(int, v)) for v in init]
 
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
     def _assign(cents: list[list[int]]):
         if method == "pandas":
             # Same exact int64 arithmetic, computed in numpy: avoids
@@ -803,8 +805,10 @@ def kmeans_fit(
                         }
                     )
 
+            # id field keeps the caller's type (string entity names,
+            # ints, ...) — the SQL path preserves it implicitly
             return q.mapInPandas(
-                _score, "__id__ long, cluster int, dist_e12 long"
+                _score, f"__id__ {id_type}, cluster int, dist_e12 long"
             )
         pairs = F.array(
             *[

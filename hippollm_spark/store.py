@@ -282,9 +282,14 @@ class HippoStore:
             index.assigned, index.centroids, query_vec, k=k,
             nprobe=index.nprobe, id_col=id_col,
         ).select(id_col, "distance")
-        # ids + distance come from the probe; re-join the full rows
+        # ids + distance come from the probe; re-join the full rows.
+        # Re-select the table's own column order + distance so the
+        # layout matches the exact kNN path (the join-key reorder put
+        # the id first, breaking positional consumers when toggling
+        # use_index).
         return (
             table.join(F.broadcast(hits), id_col)
+            .select(*table.columns, "distance")
             .orderBy(F.asc("distance"), F.asc(id_col))
         )
 

@@ -179,3 +179,44 @@ def test_star_cc_capped_exit_keeps_one_row_per_entity(spark):
     out = connected_components_star(edges, max_rounds=1).collect()
     ents = [r["entity"] for r in out]
     assert len(ents) == len(set(ents)) == 20
+
+
+def test_iterative_graph_ops_release_cache_pins(spark):
+    """Regression: the loop-invariant .cache() pins in the iterative
+    graph ops were never unpersisted, so pinned edge/label blocks
+    accumulated across queries in a long session. Every op must leave
+    the SQL CacheManager as empty as it found it (results are sealed
+    via localCheckpoint, which does not pin through CacheManager)."""
+    from hippollm_spark.operators import graph
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+
+    edges = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "d"), (3, "e")],
+        "fact_id long, entity string",
+    )
+    sym = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("d", "e"), ("e", "d")],
+        "src string, dst string",
+    )
+    wed = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 3), ("b", "a", 2), ("c", "b", 3)],
+        "src string, dst string, w long",
+    )
+
+    checks = [
+        lambda: graph.connected_components(edges),
+        lambda: graph.connected_components_star(edges),
+        lambda: graph.shortest_paths(sym, ["a"], max_depth=4),
+        lambda: graph.label_propagation(sym, iterations=3),
+        lambda: graph.k_core(sym, 1, rounds=3),
+        lambda: graph.hits(sym, iterations=2),
+        lambda: graph.pagerank(sym, iterations=2),
+        lambda: graph.bellman_ford(wed, ["a"], rounds=3),
+    ]
+    for fn in checks:
+        out = fn()
+        assert out.count() > 0
+        assert cm.isEmpty(), f"cache pins leaked by {fn}"

@@ -302,3 +302,22 @@ def test_kmeans_pandas_assignment_matches_sql(spark):
     c_pd, a_pd = kmeans_fit(vecs, k=4, iterations=3, method="pandas")
     assert c_sql == c_pd
     assert sorted(map(tuple, a_sql.collect())) == sorted(map(tuple, a_pd.collect()))
+
+
+def test_kmeans_pandas_supports_string_ids(spark):
+    """Regression: the pandas path used to hardcode '__id__ long' in its
+    mapInPandas schema, crashing on string ids (entity names) with an
+    Arrow conversion error; it must preserve the caller's id type like
+    the SQL path does."""
+    from hippollm_spark.operators.similarity import kmeans_fit
+
+    rows = [
+        (f"ent_{i:02d}", [float((i * 7 + j * 3) % 11) - 5.0 for j in range(6)])
+        for i in range(20)
+    ]
+    vecs = spark.createDataFrame(rows, "name string, embedding array<double>")
+    c_sql, a_sql = kmeans_fit(vecs, k=3, iterations=2, id_col="name")
+    c_pd, a_pd = kmeans_fit(vecs, k=3, iterations=2, id_col="name", method="pandas")
+    assert c_sql == c_pd
+    assert dict(a_pd.dtypes)["__id__"] == "string"
+    assert sorted(map(tuple, a_sql.collect())) == sorted(map(tuple, a_pd.collect()))

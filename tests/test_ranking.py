@@ -291,3 +291,27 @@ def test_mmr_quantized_matches_float_selection(spark):
     # quantized scores are the exact integer form of the float scores
     for rf, rq in zip(f, q):
         assert abs(rf["mmr_score"] * 2e12 - 2 * rq["mmr_score_e12"]) <= 2e6
+
+
+def test_mmr_quantized_zero_norm_embedding_no_keyerror(spark):
+    """Regression: a zero-norm embedding yields NULL cosine for its
+    non-self pairs; the quantized greedy used to KeyError on the
+    missing sim entry. It must degrade like the float path (missing
+    sim treated as 0) and still return k rows."""
+    from hippollm_spark.operators.ranking import mmr_rerank_quantized
+
+    rows = [
+        (0, 1, 0.9, [1.0, 0.0]),
+        (0, 2, 0.8, [0.0, 0.0]),  # zero-norm -> NULL cosine vs others
+        (0, 3, 0.7, [0.0, 1.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "query_id int, vec_id long, score double, embedding array<double>"
+    )
+    out = (
+        mmr_rerank_quantized(cands, k=3, lambda_e6=500_000)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r["vec_id"] for r in out] == [1, 2, 3]  # rel order, sim-0 ties
+    assert len(out) == 3

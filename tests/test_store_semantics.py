@@ -166,3 +166,29 @@ def test_get_closest_indexed_matches_exact_at_full_probe(spark):
     assert [(r["id"], round(r["distance"], 6)) for r in exact_f] == [
         (r["id"], round(r["distance"], 6)) for r in idx_f
     ]
+
+
+def test_indexed_knn_preserves_column_order(spark):
+    """Regression: the indexed path used to return the join key (id)
+    first while the exact path keeps the table's column order —
+    positional consumers saw different layouts when toggling
+    use_index. Both paths must emit table columns + distance."""
+    from hippollm_spark.fixtures import DIM, paris_store
+    from hippollm_spark.store import HippoStore
+    from hippollm_spark.testing import hash_embedding, hash_embedding_udf
+
+    t = paris_store(spark)
+    store = HippoStore(
+        spark, entities=t["entities"], facts=t["facts"],
+        embed=hash_embedding_udf(DIM), dim=DIM,
+    )
+    store.build_vector_indexes(nlist=2, nprobe=2)
+    qv = hash_embedding("Paris (capital of France)", DIM)
+    assert (
+        store.get_closest_entities(qv, k=3, use_index=True).columns
+        == store.get_closest_entities(qv, k=3).columns
+    )
+    assert (
+        store.get_closest_facts(qv, k=2, use_index=True).columns
+        == store.get_closest_facts(qv, k=2).columns
+    )
