@@ -591,8 +591,19 @@ def annotate_documents(
     (see ``build_store_indexes``) routing C3/C4 candidate generation
     through the IVF probe instead of exact batch × store scans — the
     scale path for a store that no longer fits a per-batch full scan.
+    When not passed, the store's OWN indexes (built via
+    ``store.build_vector_indexes()``) are used automatically — the
+    reference's candidates are always index-served
+    (storage.py:124-133), so an indexed store should not need a flag;
+    exact scans remain the fallback for index-less stores. Indexes are
+    snapshots: rebuild after bulk appends (``annotate_stream``'s
+    ``use_ann_index`` rebuilds per epoch).
     """
     cfg = cfg or AnnotateConfig()
+    if fact_index is None:
+        fact_index = getattr(store, "fact_index", None)
+    if entity_index is None:
+        entity_index = getattr(store, "entity_index", None)
     if log is not None:
         from dataclasses import asdict
 

@@ -204,3 +204,39 @@ def test_vecindex_from_persisted_table_matches_build(spark):
     assert sorted(map(tuple, mem.topk(qs, k=5, metric="l2").collect())) == sorted(
         map(tuple, disk.topk(qs, k=5, metric="l2").collect())
     )
+
+
+def test_annotate_defaults_to_store_indexes_without_flag(spark, seeded_store, monkeypatch):
+    """An indexed store (build_vector_indexes) routes C3/C4 candidate
+    generation through its own IVF handles with NO flag at the call
+    site — the reference's candidates are always index-served
+    (storage.py:124-133). Verified by spying on VecIndex.topk (a
+    driver-side plan builder) and by the e2e outcome matching the
+    explicit-index run."""
+    docs = spark.createDataFrame(
+        [(100, "Paris article", "http://wiki/paris", DOC, None)],
+        "doc_id long, title string, url string, content string, date timestamp",
+    )
+    seeded_store.build_vector_indexes(nlist=2, nprobe=2)  # full probe = exact
+    calls = []
+    orig = VecIndex.topk
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(VecIndex, "topk", spy)
+    store = annotate_documents(
+        seeded_store,
+        docs,
+        ScriptedLLM(script=LLM_SCRIPT),
+        ScriptedNLI(table=NLI_TABLE),
+        hash_embedding_udf(DIM),
+        AnnotateConfig(splitter="paragraph", embed_dim=DIM),
+    )
+    assert len(calls) >= 2, "store indexes were not used by default"
+    texts = {r["text"] for r in store.facts.collect()}
+    assert "France's capital is Paris" not in texts
+    assert "The Eiffel Tower is in Paris" in texts
+    names = sorted(r["name"] for r in store.entities.collect())
+    assert names == ["Eiffel Tower", "France", "London", "Paris", "Seine", "UK"]
