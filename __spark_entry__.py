@@ -1824,6 +1824,9 @@ def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("revenue")
     )
+    # unpartitioned window over DAYS: bounded at ~|date range| rows
+    # (a few hundred at any sf — one row per day post-aggregate), never
+    # the event count, so the single-task sort is safe
     w = Window.orderBy("day")
     return daily.select(
         "day",
@@ -1885,6 +1888,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     lex = bm25_topk(docs, ["hash", "join", "vector"], k=50)
+    # unpartitioned window over a top-k result (k<=50 rows by
+    # construction) — bounded input, single tiny partition is fine
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lex_ranked = lex.withColumn("rank", F.row_number().over(w).cast("int"))
     queries = emb.filter(F.col("vec_id") == 3).select(
@@ -2128,6 +2133,8 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily.withColumn(
         "day_idx", F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
     )
+    # unpartitioned range window over DAYS (one row per day
+    # post-aggregate, bounded at ~|date range| regardless of sf)
     w = Window.orderBy("day_idx").rangeBetween(-6, 0)
     return daily.select(
         "day",
@@ -2765,6 +2772,8 @@ def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     terms = ["hash", "join", "vector"]
     res = bm25_topk(docs, terms, k=20)
+    # unpartitioned window over a top-k result (k<=50 rows by
+    # construction) — bounded input, single tiny partition is fine
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     results = res.select(
         F.lit(1).alias("query_id"),
@@ -2857,6 +2866,8 @@ def q_bm25_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     terms = ["hash", "join", "vector"]
     res = bm25_topk(docs, terms, k=20)
+    # unpartitioned window over a top-k result (k<=50 rows by
+    # construction) — bounded input, single tiny partition is fine
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     results = res.select(
         F.lit(1).alias("query_id"),
@@ -6807,12 +6818,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_containment": f"""
             {_SHINGLES},
-            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            -- join on the SAME 60-bit md5 digest Spark joins on, so
+            -- even a digest collision produces identical counts
+            ex AS (SELECT doc_id,
+                          ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+                   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
             sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
             p AS (
                 SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
                        CAST(count(*) AS BIGINT) AS inter
-                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+                FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
                 GROUP BY 1, 2
             )
             SELECT doc_inner, doc_outer,

@@ -346,6 +346,9 @@ def rfm_segments(
         ).alias("monetary"),
     )
     if method == "ntile":
+        # unpartitioned ntile windows run over the PER-USER aggregate
+        # (one row per user), not events; for catalogs where even that
+        # is huge, method='threshold' is the windowless path
         w_r = Window.orderBy(
             F.col("recency_days").desc(), F.col("user_id").asc()
         )

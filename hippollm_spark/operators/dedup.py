@@ -1214,14 +1214,30 @@ def containment_pairs(
 
     Same lossless shared-shingle blocking as `jaccard_dup_pairs`
     (containment > 0 ⟹ a shared shingle exists; `max_shingle_df`
-    caps stop-shingle blow-up identically). Output one row per
-    DIRECTED pair with containment ≥ threshold:
+    caps stop-shingle blow-up identically), with two pair-volume cuts
+    on top of it:
+
+    - the equi-join runs on a 60-bit md5 digest of the shingle (8-byte
+      shuffle keys + long-key hash join instead of n-gram strings; the
+      DuckDB twin replays the identical digest, so even the ~2⁻⁶¹
+      collision events agree across engines — the minhash-oracle
+      discipline), and
+    - set sizes ride along through the explode, so the containment
+      upper bound inter/|inner| ≤ |outer|/|inner| prunes pairs BEFORE
+      the counting aggregate (with a -1 slack so float roundoff can
+      never drop a boundary pair) and the per-pair size join
+      disappears entirely.
+
+    Output one row per DIRECTED pair with containment ≥ threshold:
     (doc_inner, doc_outer, n_inner, inter, containment) — doc_inner
     is the (near-)contained document.
     """
-    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("s"),
+    )
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("s")
@@ -1229,20 +1245,31 @@ def containment_pairs(
             .filter(F.col("df") > max_shingle_df)
         )
         ex = ex.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
-    a = ex.select(F.col("doc_id").alias("doc_inner"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_outer"), "s")
+    ex = ex.select(
+        "doc_id",
+        "n_sh",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).cache()  # both join sides scan it; one shingle+digest pass total
+    a = ex.select(
+        F.col("doc_id").alias("doc_inner"), F.col("n_sh").alias("n_inner"), "h"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_outer"), F.col("n_sh").alias("n_outer"), "h"
+    )
     inter = (
-        a.join(b, on="s")
-        .filter(F.col("doc_inner") != F.col("doc_outer"))
-        .groupBy("doc_inner", "doc_outer")
+        a.join(b, on="h")
+        .filter(
+            (F.col("doc_inner") != F.col("doc_outer"))
+            & (
+                F.col("n_outer").cast("double")
+                >= F.col("n_inner") * F.lit(float(threshold)) - F.lit(1.0)
+            )
+        )
+        .groupBy("doc_inner", "doc_outer", "n_inner")
         .agg(F.count("*").alias("inter"))
     )
-    na = sizes.select(
-        F.col("doc_id").alias("doc_inner"), F.col("n_sh").alias("n_inner")
-    )
     return (
-        inter.join(na, "doc_inner")
-        .withColumn(
+        inter.withColumn(
             "containment",
             F.round(F.col("inter") / F.col("n_inner"), 6),
         )

@@ -920,20 +920,20 @@ def hits(
     )
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
-        mx = df.agg(F.max(col).alias("__mx__"))
-        return (
-            df.crossJoin(F.broadcast(mx))
-            .withColumn(
-                col,
-                F.when(
-                    F.col("__mx__") > 0,
-                    F.expr(
-                        f"CAST((CAST({col} AS DECIMAL(38,0)) * {scale}) "
-                        f"div __mx__ AS BIGINT)"
-                    ),
-                ).otherwise(F.lit(0).cast("long")),
-            )
-            .drop("__mx__")
+        # df is a per-half-round checkpoint leaf, so the max is one
+        # cheap local-block scan; folding it into the expression as a
+        # driver literal (the kmeans centroid discipline) replaces the
+        # former 1-row crossJoin(broadcast) — no BroadcastExchange job,
+        # no BroadcastNestedLoopJoin node, 2 fewer jobs per round.
+        mx = df.agg(F.max(col)).first()[0]
+        if mx is None or mx <= 0:
+            return df.withColumn(col, F.lit(0).cast("long"))
+        return df.withColumn(
+            col,
+            F.expr(
+                f"CAST((CAST({col} AS DECIMAL(38,0)) * {scale}) "
+                f"div CAST({int(mx)} AS DECIMAL(38,0)) AS BIGINT)"
+            ),
         )
 
     for it in range(iterations):
@@ -954,7 +954,10 @@ def hits(
                 "vertex",
                 F.coalesce("__a__", F.lit(0)).cast("long").alias("__a__"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: _norm's max aggregate is the next action and
+            # materializes the checkpoint in the SAME job — one
+            # materialization per half-round instead of two
+            .localCheckpoint(eager=False)
         )
         auth = _norm(auth_pre, "__a__")  # projection over a leaf
         # hub pass: sum NEW authorities over out-edges
@@ -971,7 +974,7 @@ def hits(
                 "vertex",
                 F.coalesce("__h__", F.lit(0)).cast("long").alias("__h__"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hub = _norm(hub_pre, "__h__")
         state = hub.withColumnRenamed("__h__", "hub_scaled").join(
