@@ -12,10 +12,13 @@ container, so each decoder resolves in order:
   3. NotImplementedError naming the missing dependency.
 
 Dependency-free formats decode FOR REAL in any container:
-`decode_wav_stats` (stdlib ``wave``) and `decode_ppm_stats`
-(pure-python binary PGM/PPM) parse actual payloads — rate/channels/
-duration/RMS and dimensions/channel means — so the pipeline exercises
-genuine byte-level decoding end-to-end even without codec libraries.
+`decode_wav_stats` (stdlib ``wave``), `decode_ppm_stats` (pure-python
+binary PGM/PPM), and `decode_jpeg_stats` (pure-numpy T.81 baseline
+sequential JPEG: canonical Huffman, dequant, IDCT, chroma upsample,
+JFIF YCbCr) parse actual payloads — so the pipeline exercises genuine
+byte-level decoding end-to-end even without codec libraries.
+`hippollm_spark.testing.encode_baseline_jpeg` is the matching fixture
+encoder.
 
 At scale: media payloads dominate partition size — media tables should
 be written with small ``spark.sql.files.maxPartitionBytes`` and the
@@ -271,8 +274,17 @@ def phash_dup_pairs(
 
 # --------------------------------------------------------------------------
 # Real decoders for dependency-free formats (stdlib + numpy only).
-# Codec-bound formats (JPEG/MP3/H.264) stay behind the labeled stubs
-# above; WAV and PPM/PGM decode for real in any container.
+# WAV and PPM/PGM decode for real in any container; baseline JPEG
+# decodes for real below (pure numpy — see decode_jpeg_stats).
+# DECISION (round 6, closing the long-standing TODO): formats whose
+# decode is pure bit-plumbing over public specs (PNM, WAV, baseline
+# JFIF) get real in-repo decoders — they exercise the whole
+# mapInPandas pipeline with real pixels in any container; formats
+# whose decode is codec-LIBRARY work (progressive JPEG, MP3, H.264)
+# stay behind the labeled NotImplementedError gates + deterministic
+# fake twins, because a hand-rolled entropy/DSP stack would be
+# test-quality liability, not capability — a deployment drops in
+# PIL/ffmpeg via the same fake=False seam.
 # --------------------------------------------------------------------------
 
 def _parse_pnm(data: bytes):
@@ -389,4 +401,310 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
         _run,
         "media_id long, sample_rate int, n_channels int, n_frames bigint, "
         "duration_s double, rms double",
+    )
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG: a real pure-numpy decoder (ITU-T T.81 baseline
+# sequential DCT, JFIF color). No codec library — the entropy coding
+# is canonical Huffman over stuffed bytes and the transform is an 8x8
+# IDCT, both exactly spec'd; this is bit-plumbing, not DSP guesswork,
+# so it qualifies for a real in-repo decoder under the decision above.
+# Progressive / arithmetic / 12-bit / lossless JPEG are rejected with
+# a clear error (use the PIL seam).
+# --------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_DCT_A = np.array([
+    [((1 / np.sqrt(2)) if u == 0 else 1.0) / 2.0
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+
+class _HuffTable:
+    """Canonical Huffman table from DHT counts+symbols: decode walks
+    code-by-code using the per-length first-code/first-index arrays
+    (T.81 F.2.2.3), O(length) per symbol with no tree allocation."""
+
+    def __init__(self, counts, symbols):
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        self.symbols = symbols
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            self.valptr[length] = k
+            self.mincode[length] = code
+            code += n
+            k += n
+            self.maxcode[length] = code - 1 if n else -1
+            code <<= 1
+
+    def decode(self, br):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            if self.maxcode[length] >= 0 and code <= self.maxcode[length]:
+                if code >= self.mincode[length]:
+                    return self.symbols[
+                        self.valptr[length] + code - self.mincode[length]
+                    ]
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded bytes with 0xFF00
+    unstuffing and RSTn awareness (T.81 F.2.2.5)."""
+
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0x00
+                )
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF00 -> literal 0xFF byte
+                else:
+                    # a real marker: do NOT consume it; the spec pads the
+                    # tail of the entropy segment with 1-bits (F.2.2.5)
+                    b = 0xFF
+            else:
+                self.pos += 1
+            self.bits = b
+            self.nbits = 8
+        return self._pop()
+
+    def _pop(self) -> int:
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self) -> None:
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return
+        raise ValueError("expected restart marker in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF payload to an (h, w, c) uint8
+    array (c = 1 grayscale or 3 RGB via BT.601 full-range YCbCr).
+    Supports 4:4:4 / 4:2:2 / 4:2:0 subsampling and restart intervals;
+    raises ValueError for non-baseline frames (progressive SOF2 etc.)."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        i += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(data[i : i + 2], "big")
+        seg = data[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended) sequential
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "non-baseline JPEG (progressive/arithmetic/lossless); "
+                "route through the PIL seam (fake=False decoders)"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _HuffTable(counts, symbols)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tables = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tables >> 4, tables & 0xF))
+            return _decode_scan(
+                data, i + seglen, frame, scan, qt, huff, restart_interval
+            )
+        i += seglen
+    raise ValueError("no JPEG scan data found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = [s[0] for s in scan]
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * maxh, 8 * maxv
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    A = _DCT_A
+    coef = np.zeros(64, dtype=np.int64)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.align_and_expect_rst()
+                pred = [0] * len(comps)
+            for ci, (comp, dc_id, ac_id) in enumerate(scan):
+                dct = huff[(0, dc_id)]
+                act = huff[(1, ac_id)]
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef[:] = 0
+                        t = dct.decode(br)
+                        diff = _extend(br.receive(t), t) if t else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[k] = _extend(br.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coef * q
+                        spatial = A.T @ block.reshape(8, 8) @ A + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            n_mcu += 1
+    out = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, maxv // comp["v"], axis=0), maxh // comp["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        rgb = out[0][:, :, None]
+    else:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_stats(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode (pure numpy, `_decode_baseline_jpeg`):
+    width/height from the frame header, per-channel means over the
+    decoded pixels (floored at 6dp, engine-stable like
+    `decode_ppm_stats`). Output: (media_id, width, height,
+    mean ARRAY<DOUBLE>); undecodable / non-baseline payloads yield
+    NULL dimensions (route those through the PIL seam)."""
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                try:
+                    arr = _decode_baseline_jpeg(bytes(data or b""))
+                except (ValueError, IndexError, KeyError, StopIteration):
+                    rows.append((mid, None, None, None))
+                    continue
+                hh, ww, _c = arr.shape
+                sums = arr.astype(np.int64).sum(axis=(0, 1))
+                denom = hh * ww * 255
+                mean = [
+                    float(np.floor(s * 1_000_000 // denom) / 1_000_000)
+                    for s in sums
+                ]
+                rows.append((mid, ww, hh, mean))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean"]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        _run, "media_id long, width int, height int, mean array<double>"
     )

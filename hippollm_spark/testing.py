@@ -109,3 +109,250 @@ def fake_st_loader(model_name: str):
 
 def fake_ce_loader(model_name: str):
     return FakeCrossEncoderModel()
+
+
+# --------------------------------------------------------------------------
+# Test-support baseline JPEG ENCODER (pure numpy) — the fixture
+# generator for operators/multimodal._decode_baseline_jpeg. Emits
+# valid T.81 baseline-sequential JFIF streams with simple canonical
+# Huffman tables (flat 4-bit DC / 8-bit AC codes — any valid table is
+# legal; the decoder must honor whatever DHT declares). Supports
+# grayscale + RGB, 4:4:4 and 4:2:0, optional restart intervals.
+# Driver-side only (test fixtures), never shipped to executors.
+# --------------------------------------------------------------------------
+
+_JPEG_QL = [  # Annex K.1 luminance quantization table (row-major)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # Annex K.2 chrominance quantization table
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits
+
+
+def _jpeg_simple_hufftables():
+    """(counts, symbols, codemap) for flat canonical tables: DC
+    categories 0..11 at 4 bits, all 162 AC (run,size) symbols at
+    8 bits. Returns dicts keyed like DHT (class, id ignored here)."""
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    def codemap(counts, syms):
+        code, k, out = 0, 0, {}
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[syms[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+    return (
+        (dc_counts, dc_syms, codemap(dc_counts, dc_syms)),
+        (ac_counts, ac_syms, codemap(ac_counts, ac_syms)),
+    )
+
+
+def _jpeg_category(v: int) -> int:
+    t, a = 0, abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t
+
+
+def _jpeg_encode_block(bw, block, q, dc_map, ac_map, pred):
+    import numpy as np
+
+    from hippollm_spark.operators.multimodal import _DCT_A, _ZIGZAG
+
+    F = _DCT_A @ (block - 128.0) @ _DCT_A.T
+    # zigzag-order coefs (zz[k] = F_flat[_ZIGZAG[k]]) quantized by the
+    # zigzag-ordered table
+    zz = np.round(F.reshape(64)[_ZIGZAG] / q).astype(np.int64)
+    diff = int(zz[0]) - pred
+    t = _jpeg_category(diff)
+    code, ln = dc_map[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_map[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        code, ln = ac_map[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_map[0x00]  # EOB
+        bw.put(code, ln)
+    return int(zz[0])
+
+
+def encode_baseline_jpeg(
+    arr, *, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline-sequential JFIF byte stream (Annex K quant tables, simple
+    canonical Huffman tables, 4:4:4 or 4:2:0)."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_baseline_jpeg expects uint8")
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        sampling = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            def _down(p):
+                ph = p[: (h // 2) * 2, : (w // 2) * 2] if h >= 2 and w >= 2 else p
+                eh = ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
+                return eh.mean(axis=(1, 3))
+            planes = [y, _down(cb), _down(cr)]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [y, cb, cr]
+            sampling = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(subsampling)
+        qids = [0, 1, 1]
+    maxh = max(s[0] for s in sampling)
+    maxv = max(s[1] for s in sampling)
+    from hippollm_spark.operators.multimodal import _ZIGZAG
+
+    # quant tables stored/applied in ZIGZAG order
+    qz = [
+        np.array([_JPEG_QL[_ZIGZAG[k]] for k in range(64)], dtype=np.float64),
+        np.array([_JPEG_QC[_ZIGZAG[k]] for k in range(64)], dtype=np.float64),
+    ]
+    # pad each plane to its own block grid aligned to the MCU grid
+    mcus_x = -(-w // (8 * maxh))
+    mcus_y = -(-h // (8 * maxv))
+    padded = []
+    for p, (sh, sv) in zip(planes, sampling):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        pp = np.empty((th, tw))
+        ph, pw = p.shape
+        pp[:ph, :pw] = p
+        pp[ph:, :pw] = p[ph - 1 : ph, :]
+        pp[:, pw:] = pp[:, pw - 1 : pw]
+        padded.append(pp)
+
+    (dc_counts, dc_syms, dc_map), (ac_counts, ac_syms, ac_map) = (
+        _jpeg_simple_hufftables()
+    )
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(_JPEG_QL[_ZIGZAG[k]] for k in range(64)))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(_JPEG_QC[_ZIGZAG[k]] for k in range(64)))
+    ncomp = 1 if gray else 3
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    seg(0xC0, bytes(sof))
+    for cls, cnts, syms in (
+        (0x00, dc_counts, dc_syms),
+        (0x10, ac_counts, ac_syms),
+        (0x01, dc_counts, dc_syms),
+        (0x11, ac_counts, ac_syms),
+    ):
+        seg(0xC4, bytes([cls]) + bytes(cnts) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    n_mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                out.extend(bw.out)
+                bw = _JpegBitWriter()
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = sampling[ci]
+                q = qz[qids[ci]]
+                dmap = dc_map
+                amap = ac_map
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _jpeg_encode_block(
+                            bw, block, q, dmap, amap, preds[ci]
+                        )
+            n_mcu += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -7,7 +7,10 @@ can unpickle them."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
+from pyspark.sql import functions as F
 
 import hippollm_spark.pipelines.models as M
 from hippollm_spark.pipelines.models import CrossEncoderNLI, SentenceTransformerEmbed
@@ -87,3 +90,37 @@ def test_cross_encoder_drop_in_for_dedup_gate(spark):
     assert rows[2]["redundant"]
     assert rows[2]["dup_of"] is None and rows[2]["dup_of_ord"] == 1
     assert not rows[3]["redundant"]  # shares no first word with others
+
+
+@pytest.mark.skipif(
+    "HIPPODB_DO_LONG_TESTS" not in os.environ,
+    reason="real-model integration: set HIPPODB_DO_LONG_TESTS (and have "
+    "sentence-transformers + a model cache) to run — the reference's "
+    "long-test gate (tests/test_annotator.py:10-12)",
+)
+def test_real_sentence_transformer_and_cross_encoder(spark):
+    """Env-gated REAL-runtime integration (reference models:
+    all-MiniLM-L6-v2 embeddings dim 384 — storage.py:117-122;
+    nli-deberta-v3-base entailment — nlp_additional.py:9-34). Skipped
+    in this container (no model runtimes); with a cache present it
+    drives the identical wrappers every fake-loader test pins."""
+    pytest.importorskip("sentence_transformers")
+    emb = SentenceTransformerEmbed()  # real loader, default model
+    df = spark.createDataFrame(
+        [(1, "Paris is the capital of France"), (2, "The Seine is a river")],
+        "id long, text string",
+    )
+    out = df.withColumn("e", emb.udf()(F.col("text"))).collect()
+    assert all(len(r["e"]) == 384 for r in out)
+    # embeddings are text-dependent
+    assert out[0]["e"][:8] != out[1]["e"][:8]
+
+    nli = CrossEncoderNLI()  # real loader, default model
+    assert nli.detect_entailment(
+        "Paris is the capital of France", "Paris is in France"
+    )
+    assert not nli.detect_entailment(
+        "Paris is the capital of France", "Paris is in Spain"
+    )
+    s = nli.score("Paris is the capital of France", "Paris is in France")
+    assert s is not None and s > 0

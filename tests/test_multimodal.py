@@ -134,3 +134,98 @@ def test_decode_ppm_stats_real(spark):
     import math
     assert out[2]["mean"][0] == math.floor((10 + 20 + 30 + 40) / (4 * 255) * 1e6) / 1e6
     assert out[3]["width"] is None
+
+
+def test_jpeg_roundtrip_flat_and_smooth():
+    """Baseline JPEG decode is REAL: a flat-gray frame round-trips
+    exactly (single DC coefficient, quant 16 -> lossless for flat
+    blocks), a smooth gradient within ~2 gray levels (quantization
+    loss only). The encoder is the in-repo fixture generator — the
+    decoder honors whatever DQT/DHT the stream declares."""
+    import numpy as np
+
+    from hippollm_spark.testing import encode_baseline_jpeg
+
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    dec = MM._decode_baseline_jpeg(encode_baseline_jpeg(flat))
+    assert dec.shape == (16, 24, 1)
+    assert int(np.abs(dec[:, :, 0].astype(int) - 130).max()) == 0
+
+    x = np.linspace(0, 255, 40)
+    grad = np.clip(np.add.outer(np.linspace(0, 100, 24), x), 0, 255).astype(np.uint8)
+    dec = MM._decode_baseline_jpeg(encode_baseline_jpeg(grad))
+    assert np.abs(dec[:, :, 0].astype(float) - grad).mean() < 2.0
+
+
+def test_jpeg_roundtrip_color_subsampling_and_restart():
+    """RGB 4:4:4 and 4:2:0 decode through the MCU-interleaved path
+    with chroma upsampling; restart intervals decode bit-identically
+    to the same stream without them (DC predictors reset at RSTn)."""
+    import numpy as np
+
+    from hippollm_spark.testing import encode_baseline_jpeg
+
+    img = np.zeros((17, 19, 3), np.uint8)
+    img[:, :, 0] = 200
+    img[:8, :, 1] = 90
+    img[:, :9, 2] = 160
+    dec = MM._decode_baseline_jpeg(encode_baseline_jpeg(img, subsampling="444"))
+    assert dec.shape == (17, 19, 3)
+    assert np.abs(dec.astype(float) - img).mean() < 4.0
+
+    x = np.linspace(0, 200, 48)
+    sm = np.zeros((40, 48, 3), np.uint8)
+    sm[:, :, 0] = np.clip(np.add.outer(np.linspace(0, 55, 40), x), 0, 255)
+    sm[:, :, 1] = 120
+    sm[:, :, 2] = np.clip(255 - x, 0, 255)[None, :]
+    dec420 = MM._decode_baseline_jpeg(encode_baseline_jpeg(sm, subsampling="420"))
+    assert dec420.shape == (40, 48, 3)
+    assert np.abs(dec420.astype(float) - sm).mean() < 4.0
+
+    noise = (np.random.RandomState(7).rand(32, 32) * 255).astype(np.uint8)
+    plain = MM._decode_baseline_jpeg(encode_baseline_jpeg(noise))
+    rst = MM._decode_baseline_jpeg(encode_baseline_jpeg(noise, restart_interval=2))
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_rejects_non_baseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from hippollm_spark.testing import encode_baseline_jpeg
+
+    data = bytearray(encode_baseline_jpeg(np.full((8, 8), 99, np.uint8)))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="non-baseline"):
+        MM._decode_baseline_jpeg(bytes(data))
+    with _pytest.raises(ValueError, match="SOI"):
+        MM._decode_baseline_jpeg(b"not a jpeg")
+
+
+def test_decode_jpeg_stats_real(spark):
+    import math
+
+    import numpy as np
+
+    from hippollm_spark.testing import encode_baseline_jpeg
+
+    flat = np.full((8, 16), 100, dtype=np.uint8)
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[:, :, 0] = 255  # pure red
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(encode_baseline_jpeg(flat))),
+            (2, bytearray(encode_baseline_jpeg(rgb, subsampling="444"))),
+            (3, bytearray(b"JPEGJUNK")),
+        ],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r for r in MM.decode_jpeg_stats(rows).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (16, 8)
+    assert out[1]["mean"][0] == math.floor(100 / 255 * 1e6) / 1e6
+    assert (out[2]["width"], out[2]["height"]) == (8, 8)
+    # quantization keeps pure-red within a few levels
+    assert out[2]["mean"][0] > 0.97 and out[2]["mean"][1] < 0.03
+    assert out[3]["width"] is None
