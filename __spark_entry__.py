@@ -3163,113 +3163,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # Ordered for the driver's 50-query-per-round checked prefix (round 4):
-    # slots 0-25 = the 26 queries never driver-checked (r01-r03); 26-37 =
-    # queries whose implementation changed after their last driver row
-    # (pca_embeddings scalar output fix; windowless-sampler family); 38-49 =
-    # freshness re-checks of the dedup/ANN family. Driver-verified queries
-    # follow below the marker line.
-        "rfm_segments": q_rfm_segments,
-        "revenue_gini": q_revenue_gini,
-        "emb_quantize": q_emb_quantize,
-        "readability": q_readability,
-        "session_paths": q_session_paths,
-        "type_entropy": q_type_entropy,
-        "doc_containment": q_doc_containment,
-        "attribution_linear": q_attribution_linear,
-        "knn_labels": q_knn_labels,
-        "lang_psi": q_lang_psi,
-        "bm25_ndcg": q_bm25_ndcg,
-        "graph_hits": q_graph_hits,
-        "value_cusum": q_value_cusum,
-        "lang_source_assoc": q_lang_source_assoc,
-        "active_users": q_active_users,
-        "dow_profile": q_dow_profile,
-        "bm25_recall": q_bm25_recall,
-        "value_benford": q_value_benford,
-        "corpus_interleave": q_corpus_interleave,
-        "value_acf": q_value_acf,
-        "graph_walks": q_graph_walks,
-        "privacy_audit": q_privacy_audit,
-        "ppmi_terms": q_ppmi_terms,
-        "mad_outliers": q_mad_outliers,
-        "quality_deciles": q_quality_deciles,
-        "rolling_revenue_7d": q_rolling_revenue_7d,
+    # Ordered for the driver's 50-query-per-round checked prefix
+    # (round 6): slots 0-15 = queries whose implementation changed
+    # this round (new PQ/PCA oracles; digest-join containment;
+    # graph seal/unpersist + hits norm; kmeans pandas schema; MMR
+    # zero-norm guard); slots 16-49 = oldest driver rows (r01)
+    # refreshed first; everything below the marker has a newer row.
+        "ann_pq_topk": q_ann_pq_topk,
         "pca_embeddings": q_pca_embeddings,
-        "weighted_sample": q_weighted_sample,
-        "sample_stratified": q_sample_stratified,
-        "pack_chunks": q_pack_chunks,
-        "bitext_margin": q_bitext_margin,
-        "trimmed_value": q_trimmed_value,
-        "temperature_sample": q_temperature_sample,
-        "uniform_sample_k": q_uniform_sample_k,
-        "domain_cap": q_domain_cap,
-        "hash_split": q_hash_split,
-        "split_leakage": q_split_leakage,
-        "pack_bins": q_pack_bins,
-        "kmeans_clusters": q_kmeans_clusters,
+        "doc_containment": q_doc_containment,
+        "corpus_curation": q_corpus_curation,
+        "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
+        "graph_components_star": q_graph_components_star,
+        "graph_bfs": q_graph_bfs,
         "lpa_communities": q_lpa_communities,
         "graph_kcore": q_graph_kcore,
-        "dedup_groups": q_dedup_groups,
-        "graph_bfs": q_graph_bfs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_pq_topk": q_ann_pq_topk,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_sssp": q_graph_sssp,
+        "kmeans_clusters": q_kmeans_clusters,
         "mmr_rerank": q_mmr_rerank,
-        "incremental_dedup": q_incremental_dedup,
-        "graph_components_star": q_graph_components_star,
-        "corpus_curation": q_corpus_curation,
-        # --- driver-verified (r01-r03), outside the checked prefix ---
+    # --- freshness refreshes (oldest driver rows first) ---
         "emb_dup_pairs": q_emb_dup_pairs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q10": q_tpch_q10,
+        "running_revenue": q_running_revenue,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_rollup": q_tpch_rollup,
+        "window_topk": q_window_topk,
+        "quantiles": q_quantiles,
+        "asof_join": q_asof_join,
+        "approx_stats": q_approx_stats,
+        "zorder_key": q_zorder_key,
+    # --- driver-verified more recently, outside the checked prefix ---
+        "g2_explore": q_g2_explore,
+        "p1_entity_lookup": q_p1_entity_lookup,
+        "p2_fact_lookup": q_p2_fact_lookup,
+        "p4_union": q_p4_union,
+        "p5_intersection": q_p5_intersection,
+        "p6_lone_entities": q_p6_lone_entities,
+        "m1_upsert_guard": q_m1_upsert_guard,
+        "g1_neighbours": q_g1_neighbours,
+        "g3_cooccurrence": q_g3_cooccurrence,
+        "v3_knn": q_v3_knn,
+        "v4_filtered_knn": q_v4_filtered_knn,
+        "v5_union_knn": q_v5_union_knn,
+        "v6_intersection_knn": q_v6_intersection_knn,
         "contamination": q_contamination,
         "emb_centroids": q_emb_centroids,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_ppr": q_graph_ppr,
-        "graph_pagerank_weighted": q_graph_pagerank_weighted,
-        "graph_triangles": q_graph_triangles,
-        "sales_cube": q_sales_cube,
-        "winnow_pairs": q_winnow_pairs,
-        "tfidf_keywords": q_tfidf_keywords,
-        "pmi_collocations": q_pmi_collocations,
-        "classifier_score": q_classifier_score,
-        "dup_spans": q_dup_spans,
-        "merge_changes": q_merge_changes,
-        "winsorize_value": q_winsorize,
-        "max_concurrency": q_max_concurrency,
-        "entity_similarity": q_entity_similarity,
-        "markov_transitions": q_markov_transitions,
-        "basket_lift": q_basket_lift,
-        "snapshot_diff": q_snapshot_diff,
-        "phash_pairs": q_phash_pairs,
-        "score_buckets": q_score_buckets,
-        "event_mode": q_event_mode,
-        "lang_drift": q_lang_drift,
-        "profile_events": q_profile_events,
-        "epoch_upsample": q_epoch_upsample,
-        "graph_sssp": q_graph_sssp,
-        "rolling_anomaly": q_rolling_anomaly,
-        "lm_perplexity": q_lm_perplexity,
-        "training_mix": q_training_mix,
-        "value_ranks": q_value_ranks,
-        "churned_customers": q_churned_customers,
-        "length_batches": q_length_batches,
-        "negative_samples": q_negative_samples,
-        "ewma_value": q_ewma_value,
-        "ols_trend": q_ols_trend,
-        "corr_matrix": q_corr_matrix,
-        "auc_score": q_auc_score,
-        "golden_records": q_golden_records,
-        "domain_stats": q_domain_stats,
-        "ab_welch": q_ab_welch,
-        "conversion_chi2": q_conversion_chi2,
-        "chi2_keywords": q_chi2_keywords,
-        "global_shuffle": q_global_shuffle,
-        "ohlc_hourly": q_ohlc_hourly,
-        "ks_value": q_ks_value,
         "global_rank": q_global_rank,
         "prefix_revenue": q_prefix_revenue,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -3305,48 +3271,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q10": q_tpch_q10,
-        "running_revenue": q_running_revenue,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_rollup": q_tpch_rollup,
-        "window_topk": q_window_topk,
-        "quantiles": q_quantiles,
-        "asof_join": q_asof_join,
-        "approx_stats": q_approx_stats,
-        "zorder_key": q_zorder_key,
-        "g2_explore": q_g2_explore,
-        "p1_entity_lookup": q_p1_entity_lookup,
-        "p2_fact_lookup": q_p2_fact_lookup,
-        "p4_union": q_p4_union,
-        "p5_intersection": q_p5_intersection,
-        "p6_lone_entities": q_p6_lone_entities,
-        "m1_upsert_guard": q_m1_upsert_guard,
-        "g1_neighbours": q_g1_neighbours,
-        "g3_cooccurrence": q_g3_cooccurrence,
-        "v3_knn": q_v3_knn,
-        "v4_filtered_knn": q_v4_filtered_knn,
-        "v5_union_knn": q_v5_union_knn,
-        "v6_intersection_knn": q_v6_intersection_knn,
+        "graph_triangles": q_graph_triangles,
+        "sales_cube": q_sales_cube,
+        "winnow_pairs": q_winnow_pairs,
+        "tfidf_keywords": q_tfidf_keywords,
+        "pmi_collocations": q_pmi_collocations,
+        "classifier_score": q_classifier_score,
+        "dup_spans": q_dup_spans,
+        "merge_changes": q_merge_changes,
+        "winsorize_value": q_winsorize,
+        "max_concurrency": q_max_concurrency,
+        "entity_similarity": q_entity_similarity,
+        "markov_transitions": q_markov_transitions,
+        "basket_lift": q_basket_lift,
+        "snapshot_diff": q_snapshot_diff,
+        "phash_pairs": q_phash_pairs,
+        "score_buckets": q_score_buckets,
+        "event_mode": q_event_mode,
+        "lang_drift": q_lang_drift,
+        "profile_events": q_profile_events,
+        "epoch_upsample": q_epoch_upsample,
+        "rolling_anomaly": q_rolling_anomaly,
+        "lm_perplexity": q_lm_perplexity,
+        "training_mix": q_training_mix,
+        "value_ranks": q_value_ranks,
+        "churned_customers": q_churned_customers,
+        "length_batches": q_length_batches,
+        "negative_samples": q_negative_samples,
+        "ewma_value": q_ewma_value,
+        "ols_trend": q_ols_trend,
+        "corr_matrix": q_corr_matrix,
+        "auc_score": q_auc_score,
+        "golden_records": q_golden_records,
+        "domain_stats": q_domain_stats,
+        "ab_welch": q_ab_welch,
+        "conversion_chi2": q_conversion_chi2,
+        "chi2_keywords": q_chi2_keywords,
+        "global_shuffle": q_global_shuffle,
+        "ohlc_hourly": q_ohlc_hourly,
+        "ks_value": q_ks_value,
+        "rfm_segments": q_rfm_segments,
+        "revenue_gini": q_revenue_gini,
+        "emb_quantize": q_emb_quantize,
+        "readability": q_readability,
+        "session_paths": q_session_paths,
+        "type_entropy": q_type_entropy,
+        "attribution_linear": q_attribution_linear,
+        "knn_labels": q_knn_labels,
+        "lang_psi": q_lang_psi,
+        "bm25_ndcg": q_bm25_ndcg,
+        "value_cusum": q_value_cusum,
+        "lang_source_assoc": q_lang_source_assoc,
+        "active_users": q_active_users,
+        "dow_profile": q_dow_profile,
+        "bm25_recall": q_bm25_recall,
+        "value_benford": q_value_benford,
+        "corpus_interleave": q_corpus_interleave,
+        "value_acf": q_value_acf,
+        "graph_walks": q_graph_walks,
+        "privacy_audit": q_privacy_audit,
+        "ppmi_terms": q_ppmi_terms,
+        "mad_outliers": q_mad_outliers,
+        "quality_deciles": q_quality_deciles,
+        "rolling_revenue_7d": q_rolling_revenue_7d,
+        "weighted_sample": q_weighted_sample,
+        "sample_stratified": q_sample_stratified,
+        "pack_chunks": q_pack_chunks,
+        "bitext_margin": q_bitext_margin,
+        "trimmed_value": q_trimmed_value,
+        "temperature_sample": q_temperature_sample,
+        "uniform_sample_k": q_uniform_sample_k,
+        "domain_cap": q_domain_cap,
+        "hash_split": q_hash_split,
+        "split_leakage": q_split_leakage,
+        "pack_bins": q_pack_bins,
+        "dedup_groups": q_dedup_groups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 

@@ -158,9 +158,13 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Dat
 def phash64(media: DataFrame, *, fake: bool = True) -> DataFrame:
     """64-bit perceptual hash per media row → (media_id, phash BIGINT).
 
-    Real path (PIL importable, fake=False): 8×8 grayscale average-hash
-    — the standard aHash. Container fallback (fake=True): first 60
-    bits of md5 of the HEX encoding of the raw bytes (hex because
+    Real path (fake=False): 8×8 grayscale average-hash — the standard
+    aHash — over real pixels. Decode resolves PIL first (any format);
+    without PIL, the IN-REPO decoders handle baseline JPEG
+    (`_decode_baseline_jpeg`) and binary PNM (`_parse_pnm`), with an
+    8×8 box-average resample — so real perceptual hashing runs in this
+    container for those formats. Container fallback (fake=True): first
+    60 bits of md5 of the HEX encoding of the raw bytes (hex because
     DuckDB's md5 only accepts VARCHAR, and Spark and DuckDB agree on
     hex's uppercase form — verified), which keeps every downstream
     stage — the banding join, the hamming verify, the oracle —
@@ -169,7 +173,7 @@ def phash64(media: DataFrame, *, fake: bool = True) -> DataFrame:
 
     Pure column expression in the fake path (scan speed, no Python);
     the real path is an Arrow-batched mapInPandas like the other
-    decoders.
+    decoders; undecodable payloads yield NULL phash.
     """
     from pyspark.sql import functions as F
 
@@ -180,20 +184,54 @@ def phash64(media: DataFrame, *, fake: bool = True) -> DataFrame:
             .cast("long")
             .alias("phash"),
         )
-    if not _have_pil():
-        raise NotImplementedError("PIL not available; use fake=True")
+    use_pil = _have_pil()
 
-    import io
+    def _gray_pixels(data: bytes) -> np.ndarray:
+        """(h, w) float64 grayscale plane, whatever decoder works."""
+        if use_pil:  # pragma: no cover - no PIL in test container
+            import io
 
-    import PIL.Image
+            import PIL.Image
+
+            return np.asarray(
+                PIL.Image.open(io.BytesIO(data)).convert("L"), dtype=np.float64
+            )
+        if data[:2] in (b"P5", b"P6"):
+            arr, _w, _h = _parse_pnm(data)
+        else:
+            arr = _decode_baseline_jpeg(data)
+        arr = arr.astype(np.float64)
+        if arr.shape[2] == 3:
+            # BT.601 luma, matching PIL convert('L')
+            return (
+                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            )
+        return arr[:, :, 0]
+
+    def _box8(px: np.ndarray) -> np.ndarray:
+        """8×8 box-average resample (area interpolation by cell)."""
+        h, w = px.shape
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        out = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                cell = px[ys[i] : max(ys[i + 1], ys[i] + 1),
+                          xs[j] : max(xs[j + 1], xs[j] + 1)]
+                out[i, j] = cell.mean()
+        return out
 
     def _run(batches):
         for pdf in batches:
             hashes = []
             for data in pdf["data"]:
-                img = PIL.Image.open(io.BytesIO(bytes(data))).convert("L")
-                img = img.resize((8, 8))
-                px = np.asarray(img, dtype=np.float64)
+                try:
+                    px = _gray_pixels(bytes(data or b""))
+                except (ValueError, IndexError, KeyError):
+                    hashes.append(None)
+                    continue
+                if min(px.shape) >= 8:
+                    px = _box8(px)
                 bits = (px > px.mean()).flatten()
                 h = 0
                 for b in bits:

@@ -229,3 +229,38 @@ def test_decode_jpeg_stats_real(spark):
     # quantization keeps pure-red within a few levels
     assert out[2]["mean"][0] > 0.97 and out[2]["mean"][1] < 0.03
     assert out[3]["width"] is None
+
+
+def test_phash64_real_without_pil(spark):
+    """fake=False perceptual hashing runs on REAL pixels in this
+    container via the in-repo JPEG/PNM decoders: identical images
+    hash identically, a re-encode of the same scene stays within a
+    few bits, an unrelated pattern is far, junk yields NULL."""
+    import numpy as np
+
+    from hippollm_spark.testing import encode_baseline_jpeg
+
+    rng = np.random.RandomState(3)
+    base = np.clip(
+        np.add.outer(np.linspace(0, 180, 32), np.linspace(0, 60, 32))
+        + rng.rand(32, 32) * 8,
+        0, 255,
+    ).astype(np.uint8)
+    inverted = (255 - base).astype(np.uint8)
+    ppm = b"P5\n32 32\n255\n" + base.tobytes()
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(encode_baseline_jpeg(base))),
+            (2, bytearray(encode_baseline_jpeg(base))),       # identical bytes
+            (3, bytearray(ppm)),                              # same scene, PNM
+            (4, bytearray(encode_baseline_jpeg(inverted))),   # unrelated
+            (5, bytearray(b"JPEGJUNK")),
+        ],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r["phash"] for r in MM.phash64(rows, fake=False).collect()}
+    assert out[1] == out[2]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[1], out[3]) <= 6          # JPEG-vs-lossless same scene
+    assert ham(out[1], out[4]) >= 40         # inverted image: most bits flip
+    assert out[5] is None
