@@ -3185,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "kmeans_clusters": q_kmeans_clusters,
         "mmr_rerank": q_mmr_rerank,
+        "g2_explore": q_g2_explore,  # explore() sealed after the r6 rotation
     # --- freshness refreshes (oldest driver rows first) ---
         "emb_dup_pairs": q_emb_dup_pairs,
         "dedup_minhash": q_dedup_minhash,
@@ -3221,7 +3222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": q_approx_stats,
         "zorder_key": q_zorder_key,
     # --- driver-verified more recently, outside the checked prefix ---
-        "g2_explore": q_g2_explore,
         "p1_entity_lookup": q_p1_entity_lookup,
         "p2_fact_lookup": q_p2_fact_lookup,
         "p4_union": q_p4_union,

@@ -95,6 +95,7 @@ def explore(
     visited = spark.createDataFrame([(o,) for o in origins], "entity string")
     frontier = visited
     results = None
+    pins = []  # per-hop cache pins, released at exit via _seal
     for depth in range(1, max_depth + 1):
         fr = frontier.select(F.col("entity").alias("src"))
         links = (
@@ -129,6 +130,7 @@ def explore(
         # job fuse it with the first-discovery window.
         if depth < max_depth:
             links = links.cache()
+            pins.append(links)
             if depth >= checkpoint_after:
                 links = links.localCheckpoint(eager=True)
         results = links if results is None else results.unionByName(links)
@@ -141,6 +143,7 @@ def explore(
             .cache()
         )
         visited = visited.unionByName(next_frontier).cache()
+        pins.extend([next_frontier, visited])
         frontier = next_frontier
         if frontier.isEmpty():
             break
@@ -151,11 +154,16 @@ def explore(
     # Keep first (shallowest) discovery of each (src,dst) pair. min_by
     # instead of a row_number window: a hash aggregate with partial
     # (map-side) combine, no sort — (src,dst,depth) is unique per hop so
-    # there are no ties for min_by to break arbitrarily.
-    return (
+    # there are no ties for min_by to break arbitrarily. _seal
+    # materializes that final aggregate once (the work the caller's
+    # action would do anyway lands here) and releases the per-hop cache
+    # pins, so traversals don't accumulate pinned hop blocks across a
+    # long session.
+    return _seal(
         results.groupBy("src", "dst")
         .agg(F.min_by(F.struct("n_facts", "fact_ids", "depth"), "depth").alias("__f__"))
-        .select("src", "dst", "__f__.n_facts", "__f__.fact_ids", "__f__.depth")
+        .select("src", "dst", "__f__.n_facts", "__f__.fact_ids", "__f__.depth"),
+        pins,
     )
 
 

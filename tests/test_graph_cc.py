@@ -215,6 +215,7 @@ def test_iterative_graph_ops_release_cache_pins(spark):
         lambda: graph.hits(sym, iterations=2),
         lambda: graph.pagerank(sym, iterations=2),
         lambda: graph.bellman_ford(wed, ["a"], rounds=3),
+        lambda: graph.explore(edges, ["a"], max_depth=3, max_relations=None),
     ]
     for fn in checks:
         out = fn()
