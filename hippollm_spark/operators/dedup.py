@@ -1249,7 +1249,10 @@ def containment_pairs(
         "doc_id",
         "n_sh",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
-    ).cache()  # both join sides scan it; one shingle+digest pass total
+    ).localCheckpoint(eager=False)
+    # ^ both join sides scan it: lazy localCheckpoint materializes the
+    # shingle+digest pass ONCE at first use and its blocks are
+    # GC-managed — unlike cache(), no CacheManager pin to leak
     a = ex.select(
         F.col("doc_id").alias("doc_inner"), F.col("n_sh").alias("n_inner"), "h"
     )
