@@ -1268,6 +1268,41 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) serving scan, HASH-ORACLED: coarse centroids +
+    residual codebooks trained once (tools/train_pq_pca_assets.py,
+    seed 42 at sf0.01) and persisted e6-quantized; the query prunes to
+    the nprobe=4 of nlist=16 inverted lists nearest the query (75% of
+    the corpus never scored — the partition pruning that makes 100-TB
+    ANN affordable), PQ-encodes residuals, and scores with per-list
+    integer ADC LUTs. Every step is exact BIGINT with (dist, id)
+    tie-breaks, so DuckDB replays coarse argmin, probe selection,
+    residual encode, and LUT gather bit-for-bit at any sf."""
+    from hippollm_spark.operators.similarity import (
+        ivfpq_scan_quantized,
+        load_ivfpq_e6,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    art = load_ivfpq_e6()
+    q_e6 = emb.filter("vec_id = 3").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("q")
+    ).first()["q"]
+    import numpy as np
+
+    return ivfpq_scan_quantized(
+        emb,
+        np.array(art["coarse_e6"]),
+        np.array(art["codebooks_e6"]),
+        np.array(q_e6, dtype=np.int64),
+        k=10,
+        nprobe=4,
+    )
+
+
 def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact baseline)."""
     from hippollm_spark.operators.dedup import embedding_dup_pairs
@@ -3208,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graph seal/unpersist + hits norm; kmeans pandas schema; MMR
     # zero-norm guard); slots 16-49 = oldest driver rows (r01)
     # refreshed first; everything below the marker has a newer row.
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "pca_embeddings": q_pca_embeddings,
         "doc_containment": q_doc_containment,
@@ -3694,6 +3730,103 @@ def _pq_oracle_sql() -> str:
         GROUP BY e.vec_id
         ORDER BY dist_e12, vec_id
         LIMIT 10
+    """
+
+
+def _ivfpq_oracle_sql(nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB replica of q_ann_ivfpq_topk from the SAME persisted e6
+    artifacts (hippollm_spark/assets/ivfpq_e6.json): coarse argmin per
+    vector with (dist, list) tie-break, probe selection as a
+    row_number over centroid distances to the query, residual PQ
+    encode over only the probed lists' vectors, per-list LUT join.
+    All exact BIGINT — bit-identical to the Spark scan at any sf."""
+    from hippollm_spark.operators.similarity import load_ivfpq_e6
+
+    art = load_ivfpq_e6()
+    dsub, d = art["dsub"], art["dsub"] * art["m"]
+    cent_rows = []
+    for l, ce in enumerate(art["coarse_e6"]):
+        lst = ", ".join(str(int(x)) for x in ce)
+        cent_rows.append(f"({l}, [{lst}]::BIGINT[])")
+    cent_vals = ",\n            ".join(cent_rows)
+    cb_rows = []
+    for j, book in enumerate(art["codebooks_e6"]):
+        for cid, centv in enumerate(book):
+            lst = ", ".join(str(int(x)) for x in centv)
+            cb_rows.append(f"({j}, {cid}, [{lst}]::BIGINT[])")
+    cb_vals = ",\n            ".join(cb_rows)
+    qcdist = " + ".join(
+        f"(q.ve[{i}] - cent.ce[{i}]) * (q.ve[{i}] - cent.ce[{i}])"
+        for i in range(1, d + 1)
+    )
+    vcdist = " + ".join(
+        f"(v.ve[{i}] - cent.ce[{i}]) * (v.ve[{i}] - cent.ce[{i}])"
+        for i in range(1, d + 1)
+    )
+    rdist = " + ".join(
+        f"((c.ve[cb.j * {dsub} + {t}] - c.centv[cb.j * {dsub} + {t}]) - cb.ce[{t}])"
+        f" * ((c.ve[cb.j * {dsub} + {t}] - c.centv[cb.j * {dsub} + {t}]) - cb.ce[{t}])"
+        for t in range(1, dsub + 1)
+    )
+    qrdist = " + ".join(
+        f"((q.ve[cb.j * {dsub} + {t}] - cent.ce[cb.j * {dsub} + {t}]) - cb.ce[{t}])"
+        f" * ((q.ve[cb.j * {dsub} + {t}] - cent.ce[cb.j * {dsub} + {t}]) - cb.ce[{t}])"
+        for t in range(1, dsub + 1)
+    )
+    return f"""
+        WITH cent(l, ce) AS (VALUES
+            {cent_vals}),
+        cb(j, cid, ce) AS (VALUES
+            {cb_vals}),
+        v AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
+            FROM embeddings
+        ),
+        q AS (SELECT ve FROM v WHERE vec_id = 3),
+        probed AS (
+            SELECT l FROM (
+                SELECT cent.l,
+                       row_number() OVER (ORDER BY {qcdist}, cent.l) AS rn
+                FROM cent CROSS JOIN q
+            ) WHERE rn <= {nprobe}
+        ),
+        assign AS (
+            SELECT vec_id, l FROM (
+                SELECT v.vec_id, cent.l,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {vcdist}, cent.l) AS rn
+                FROM v CROSS JOIN cent
+            ) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT v.vec_id, a.l, v.ve, cent.ce AS centv
+            FROM v
+            JOIN assign a USING (vec_id)
+            JOIN probed USING (l)
+            JOIN cent ON cent.l = a.l
+        ),
+        enc AS (
+            SELECT vec_id, l, j, cid FROM (
+                SELECT c.vec_id, c.l, cb.j, cb.cid,
+                       row_number() OVER (PARTITION BY c.vec_id, cb.j
+                                          ORDER BY {rdist}, cb.cid) AS rn
+                FROM cand c CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT p.l, cb.j, cb.cid, {qrdist} AS d
+            FROM probed p
+            JOIN cent ON cent.l = p.l
+            CROSS JOIN cb CROSS JOIN q
+        )
+        SELECT e.vec_id, CAST(sum(lut.d) AS BIGINT) AS dist_e12
+        FROM enc e
+        JOIN lut ON lut.l = e.l AND lut.j = e.j AND lut.cid = e.cid
+        GROUP BY e.vec_id
+        ORDER BY dist_e12, vec_id
+        LIMIT {k}
     """
 
 
@@ -5777,6 +5910,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "ann_pq_topk": _pq_oracle_sql(),
+        "ann_ivfpq_topk": _ivfpq_oracle_sql(4, 10),
         "pca_embeddings": _pca_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(4),
         "ewma_value": """

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "mmr_rerank",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "winnow_pairs",
     "graph_components",
     "graph_components_star",

@@ -678,6 +678,112 @@ def pq_adc_scan_quantized(
     )
 
 
+def load_ivfpq_e6() -> dict:
+    """Load the persisted integer IVF-PQ artifact (coarse centroids +
+    residual codebooks from tools/train_pq_pca_assets.py, e6-quantized).
+    See load_pq_codebooks_e6 for the discipline."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "assets", "ivfpq_e6.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def ivfpq_scan_quantized(
+    vecs: DataFrame,
+    coarse_e6: np.ndarray,
+    codebooks_e6: np.ndarray,
+    query_e6: Sequence[int],
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer IVF-PQ (IVFADC) serving scan against frozen e6
+    artifacts: coarse-assign every vector to its nearest centroid,
+    keep only the ``nprobe`` lists nearest the query (the partition
+    pruning that makes 100-TB ANN affordable — (nlist−nprobe)/nlist of
+    the corpus is never scored), PQ-encode the RESIDUAL
+    (x − centroid) per subspace, and score with per-list asymmetric
+    LUTs built from the query's residual in each probed list (Jegou
+    et al., TPAMI 2011 §IV). Every arithmetic step is int64 with
+    (dist, id) tie-breaks, so DuckDB replays the whole scan — coarse
+    argmin, probe selection, residual encode, LUT gather — bit-for-bit
+    from the same literals at any sf.
+
+    At deployment the codes table is precomputed and list-partitioned
+    (codes are m bytes/vector; probed lists prune at the partition
+    level); here encode is fused into the single Arrow pass for the
+    serving shape, and the coarse argmin doubles as the probe filter.
+    Output: (id, dist_e12 BIGINT) ascending approximate residual-ADC
+    distance, tie-break id.
+    """
+    cents = np.asarray(coarse_e6, dtype=np.int64)
+    cb = np.asarray(codebooks_e6, dtype=np.int64)
+    nlist = cents.shape[0]
+    m, ksub, dsub = cb.shape
+    q = np.asarray(list(query_e6), dtype=np.int64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != {m * dsub}")
+    nprobe = min(nprobe, nlist)
+    # probe selection: exact integer distances, (dist, list_id) order
+    qd = ((cents - q) ** 2).sum(1)
+    probed = np.lexsort((np.arange(nlist), qd))[:nprobe]
+    probed_set = set(int(x) for x in probed)
+    # per-list LUTs from the query's residual in that list
+    luts = {}
+    for l in probed:
+        qres = q - cents[l]
+        luts[int(l)] = np.stack(
+            [
+                ((cb[j] - qres[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
+                for j in range(m)
+            ]
+        )  # (m, ksub) int64
+
+    quant = vecs.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("__v__"),
+    )
+
+    @F.pandas_udf("long")
+    def _scan(ve: pd.Series) -> pd.Series:
+        if len(ve) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        mat = np.array(ve.tolist(), dtype=np.int64)
+        d2c = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2c.argmin(1)  # first-min = lowest list id on ties
+        out = np.full(len(mat), -1, dtype=np.int64)  # -1 = pruned
+        for l in probed_set:
+            mask = assign == l
+            if not mask.any():
+                continue
+            res = mat[mask] - cents[l]
+            total = np.zeros(mask.sum(), dtype=np.int64)
+            lut = luts[l]
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                total += lut[j, d.argmin(1)]
+            out[mask] = total
+        return pd.Series(out)
+
+    return (
+        quant.withColumn("dist_e12", _scan(F.col("__v__")))
+        .filter(F.col("dist_e12") >= 0)
+        .orderBy(F.asc("dist_e12"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "dist_e12")
+    )
+
+
 def pca_project_quantized(
     vecs: DataFrame,
     mean_e6: Sequence[int],

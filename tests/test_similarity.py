@@ -370,3 +370,62 @@ def test_pca_project_quantized_tracks_float_projection(spark, embeddings):
     got = np.array(out["proj_e12"].tolist(), dtype=np.float64) / 1e12
     assert np.abs(got - expected).max() < 1e-3
     assert out.shape[0] == embeddings.count()
+
+
+def test_ivfpq_scan_quantized_recall_and_prune(spark, embeddings):
+    """IVF-PQ serving scan: (a) full-width probe (nprobe=nlist) finds
+    the exact-kNN winner set with decent recall despite PQ loss,
+    (b) pruned probes return a subset of the full-width candidates
+    with identical distances for surviving ids (the LUT for a list
+    doesn't depend on nprobe), (c) the query's own vector wins rank 1."""
+    art = similarity.load_ivfpq_e6()
+    cents = np.array(art["coarse_e6"], dtype=np.int64)
+    cb = np.array(art["codebooks_e6"], dtype=np.int64)
+    quant = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("ve"),
+    ).toPandas()
+    ids = quant["vec_id"].to_numpy()
+    q_e6 = np.array(quant["ve"][ids == 3].iloc[0], dtype=np.int64)
+
+    full = {
+        r["vec_id"]: r["dist_e12"]
+        for r in similarity.ivfpq_scan_quantized(
+            embeddings, cents, cb, q_e6, k=20, nprobe=cents.shape[0]
+        ).collect()
+    }
+    pruned = {
+        r["vec_id"]: r["dist_e12"]
+        for r in similarity.ivfpq_scan_quantized(
+            embeddings, cents, cb, q_e6, k=20, nprobe=2
+        ).collect()
+    }
+    # surviving ids keep their exact distances under pruning
+    for vid, dist in pruned.items():
+        if vid in full:
+            assert full[vid] == dist
+    # rank-1 is the query's own vector (it lives in the top probed list)
+    best = min(full, key=lambda v: (full[v], v))
+    assert best == 3
+
+    # recall vs exact float kNN at k=10
+    mat = np.array(
+        embeddings.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    qf = mat[3]
+    d2 = ((mat - qf) ** 2).sum(1)
+    exact10 = set(np.lexsort((np.arange(len(d2)), d2))[:10].tolist())
+    approx10 = set(
+        r["vec_id"]
+        for r in similarity.ivfpq_scan_quantized(
+            embeddings, cents, cb, q_e6, k=10, nprobe=cents.shape[0]
+        ).collect()
+    )
+    # modest bar: the artifacts are trained at sf0.01 and this fixture
+    # is sf0.001 (different vectors), so this asserts sane-not-broken
+    # recall; bit-level correctness is the driver's oracle hash.
+    assert len(exact10 & approx10) >= 3, (exact10, approx10)

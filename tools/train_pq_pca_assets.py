@@ -60,6 +60,51 @@ def main(sf_dir: str) -> None:
             f,
         )
 
+    # IVF-PQ (FAISS-style IVFADC): coarse centroids over the raw
+    # vectors, then per-subspace codebooks over the RESIDUALS
+    # (x − coarse_centroid) — residual PQ is what keeps ADC accurate
+    # once lists are pruned (Jegou et al. 2011 §IV).
+    import numpy as np_  # noqa: F811 - local alias for clarity
+
+    sample = np.array(
+        [r[0] for r in emb.select("embedding").limit(100_000).collect()],
+        dtype=np.float64,
+    )
+    from hippollm_spark.operators.similarity import _lloyd
+
+    rng = np.random.RandomState(42)
+    nlist = 16
+    coarse = _lloyd(sample, nlist, iters=8, rng=rng)  # (nlist, 64)
+    assign = (
+        ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(-1).argmin(1)
+    )
+    residuals = sample - coarse[assign]
+    m, ksub, dsub = 8, 32, 8
+    rcb = np.stack(
+        [
+            _lloyd(residuals[:, j * dsub : (j + 1) * dsub], ksub, 5, rng)
+            for j in range(m)
+        ]
+    )
+    with open(os.path.join(ASSET_DIR, "ivfpq_e6.json"), "w") as f:
+        json.dump(
+            {
+                "nlist": nlist,
+                "m": m,
+                "ksub": ksub,
+                "dsub": dsub,
+                "trained_on": os.path.basename(os.path.normpath(sf_dir)),
+                "seed": 42,
+                "coarse_e6": np.round(coarse * 1_000_000.0)
+                .astype(np.int64)
+                .tolist(),
+                "codebooks_e6": np.round(rcb * 1_000_000.0)
+                .astype(np.int64)
+                .tolist(),
+            },
+            f,
+        )
+
     model = pca_fit(emb, 8)
     mean_e6 = np.round(model["mean"] * 1_000_000.0).astype(np.int64)
     comps_e6 = np.round(model["components"] * 1_000_000.0).astype(np.int64)
