@@ -1198,6 +1198,133 @@ def ivf_topk_indexed(
     )
 
 
+def save_ivfpq_index(
+    spark,
+    vecs: DataFrame,
+    table_prefix: str,
+    coarse_e6: np.ndarray,
+    codebooks_e6: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVFADC codes table: (list_id INT, id, pq_code BINARY
+    of m bytes) BUCKETED BY list_id — the at-rest form of
+    `ivfpq_scan_quantized`, whose fused encode is the single-query
+    serving shape. At 100 TB the codes table is the only thing a probe
+    reads: m bytes/vector, bucket-pruned to nprobe/nlist
+    (`SelectedBucketsCount`), float vectors never touched. Encoding is
+    the same exact-int64 arithmetic as the fused scan, so
+    `ivfpq_topk_indexed` reproduces it bit-for-bit."""
+    from hippollm_spark.session import drop_table
+
+    cents = np.asarray(coarse_e6, dtype=np.int64)
+    cb = np.asarray(codebooks_e6, dtype=np.int64)
+    nlist = cents.shape[0]
+    m, ksub, dsub = cb.shape
+    drop_table(spark, f"{table_prefix}_pqcodes")
+
+    quant = vecs.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("__v__"),
+    )
+
+    @F.pandas_udf("struct<list_id:int, pq_code:binary>")
+    def _enc(ve: pd.Series) -> pd.DataFrame:
+        if len(ve) == 0:
+            return pd.DataFrame({"list_id": [], "pq_code": []})
+        mat = np.array(ve.tolist(), dtype=np.int64)
+        d2c = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2c.argmin(1).astype(np.int32)
+        codes = np.empty((len(mat), m), dtype=np.uint8)
+        for l in np.unique(assign):
+            mask = assign == l
+            res = mat[mask] - cents[l]
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                codes[mask, j] = d.argmin(1)
+        return pd.DataFrame(
+            {"list_id": assign, "pq_code": [c.tobytes() for c in codes]}
+        )
+
+    out = quant.select(id_col, _enc(F.col("__v__")).alias("__e__")).select(
+        F.col("__e__.list_id").alias("list_id"),
+        F.col(id_col),
+        F.col("__e__.pq_code").alias("pq_code"),
+    )
+    (
+        out.write.mode("overwrite")
+        .bucketBy(max(nlist, 1), "list_id")
+        .sortBy("list_id")
+        .saveAsTable(f"{table_prefix}_pqcodes")
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    table_prefix: str,
+    coarse_e6: np.ndarray,
+    codebooks_e6: np.ndarray,
+    query_e6: Sequence[int],
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVFADC codes table: driver picks the nprobe
+    nearest lists in exact ints, the scan carries a LITERAL
+    ``list_id IN (...)`` so bucket pruning reads only those buckets'
+    m-byte codes, and a pandas pass gathers per-list integer LUTs —
+    bit-identical output to `ivfpq_scan_quantized` at the same nprobe
+    (parity-tested), minus the encode cost: the repeat-query operating
+    point."""
+    cents = np.asarray(coarse_e6, dtype=np.int64)
+    cb = np.asarray(codebooks_e6, dtype=np.int64)
+    nlist = cents.shape[0]
+    m, ksub, dsub = cb.shape
+    q = np.asarray(list(query_e6), dtype=np.int64)
+    nprobe = min(nprobe, nlist)
+    qd = ((cents - q) ** 2).sum(1)
+    probed = np.lexsort((np.arange(nlist), qd))[:nprobe]
+    luts = {}
+    for l in probed:
+        qres = q - cents[l]
+        luts[int(l)] = np.stack(
+            [
+                ((cb[j] - qres[j * dsub : (j + 1) * dsub]) ** 2).sum(1)
+                for j in range(m)
+            ]
+        )
+
+    pruned = spark.table(f"{table_prefix}_pqcodes").filter(
+        F.col("list_id").isin([int(x) for x in probed])
+    )
+
+    @F.pandas_udf("long")
+    def _adc(list_id: pd.Series, code: pd.Series) -> pd.Series:
+        if len(code) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        arr = np.frombuffer(b"".join(code.tolist()), dtype=np.uint8).reshape(-1, m)
+        ls = list_id.to_numpy()
+        out = np.zeros(len(arr), dtype=np.int64)
+        for l in np.unique(ls):
+            mask = ls == l
+            lut = luts[int(l)]
+            out[mask] = lut[np.arange(m)[None, :], arr[mask]].sum(1)
+        return pd.Series(out)
+
+    return (
+        pruned.withColumn("dist_e12", _adc(F.col("list_id"), F.col("pq_code")))
+        .orderBy(F.asc("dist_e12"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "dist_e12")
+    )
+
+
 def bitext_margin_pairs(
     src: DataFrame,
     tgt: DataFrame,

@@ -429,3 +429,32 @@ def test_ivfpq_scan_quantized_recall_and_prune(spark, embeddings):
     # is sf0.001 (different vectors), so this asserts sane-not-broken
     # recall; bit-level correctness is the driver's oracle hash.
     assert len(exact10 & approx10) >= 3, (exact10, approx10)
+
+
+def test_ivfpq_persisted_index_matches_fused_scan(spark, embeddings):
+    """save_ivfpq_index -> ivfpq_topk_indexed is bit-identical to the
+    fused ivfpq_scan_quantized at the same nprobe (same exact-int
+    encode at rest), and the probe's plan bucket-prunes on list_id."""
+    art = similarity.load_ivfpq_e6()
+    cents = np.array(art["coarse_e6"], dtype=np.int64)
+    cb = np.array(art["codebooks_e6"], dtype=np.int64)
+    quant = embeddings.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0, 0) as long)) as ve",
+    ).filter("vec_id = 3").first()
+    q_e6 = np.array(quant["ve"], dtype=np.int64)
+
+    similarity.save_ivfpq_index(spark, embeddings, "ivfpq_t", cents, cb)
+    fused = [
+        (r["vec_id"], r["dist_e12"])
+        for r in similarity.ivfpq_scan_quantized(
+            embeddings, cents, cb, q_e6, k=12, nprobe=3
+        ).collect()
+    ]
+    indexed_df = similarity.ivfpq_topk_indexed(
+        spark, "ivfpq_t", cents, cb, q_e6, k=12, nprobe=3
+    )
+    indexed = [(r["vec_id"], r["dist_e12"]) for r in indexed_df.collect()]
+    assert indexed == fused
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan[:2000]
