@@ -3267,6 +3267,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
+        "contamination": q_contamination,  # dedup-path pins converted after the r6 rotation
+        "dup_spans": q_dup_spans,  # dedup-path pins converted after the r6 rotation
+        "dedup_groups": q_dedup_groups,  # dedup-path pins converted after the r6 rotation
+        "incremental_dedup": q_incremental_dedup,  # dedup-path pins converted after the r6 rotation
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3309,7 +3313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_filtered_knn": q_v4_filtered_knn,
         "v5_union_knn": q_v5_union_knn,
         "v6_intersection_knn": q_v6_intersection_knn,
-        "contamination": q_contamination,
         "emb_centroids": q_emb_centroids,
         "global_rank": q_global_rank,
         "prefix_revenue": q_prefix_revenue,
@@ -3352,7 +3355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "pmi_collocations": q_pmi_collocations,
         "classifier_score": q_classifier_score,
-        "dup_spans": q_dup_spans,
         "merge_changes": q_merge_changes,
         "winsorize_value": q_winsorize,
         "max_concurrency": q_max_concurrency,
@@ -3420,9 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "split_leakage": q_split_leakage,
         "pack_bins": q_pack_bins,
-        "dedup_groups": q_dedup_groups,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "incremental_dedup": q_incremental_dedup,
     }
 
 

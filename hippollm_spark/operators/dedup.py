@@ -160,7 +160,8 @@ def jaccard_dup_pairs(
     set sizes → filter. Exact because J(a,b) > 0 ⟹ a,b share a shingle.
     Output: (doc_a, doc_b, jaccard DOUBLE rounded to 6dp), doc_a < doc_b.
     """
-    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
+    sh = sh.localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
@@ -355,7 +356,8 @@ def _band_rows(
     (doc_id, band_idx, band_hash) rows — used by the one-shot
     similarity join and by the persisted incremental index."""
     rows = num_hashes // bands
-    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
+    sh = sh.localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
     hexpr = _shingle_hash_expr(shingle_hash)
     packed = _packed_hashes(sh, hexpr, partitions)
     a, b = _minhash_params(num_hashes)
@@ -610,7 +612,9 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs over the 64-bit blake2b simhash (the fast
     Arrow-vectorized fingerprint). Output: (doc_a, doc_b, hamming)."""
-    fp = simhash64(docs, id_col=id_col, text_col=text_col).cache()
+    fp = simhash64(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
     return simhash_block_pairs(fp, max_hamming, n_bits=64)
 
 
@@ -736,7 +740,7 @@ def dedup_canonicalize(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
+    pin = labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
@@ -748,7 +752,7 @@ def dedup_canonicalize(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "doc_id")
         )
-        merged = (
+        merged_cache = merged = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -761,6 +765,8 @@ def dedup_canonicalize(
         if it % checkpoint_every == checkpoint_every - 1:
             merged = merged.localCheckpoint(eager=True)
         changed = merged.filter(F.col("__chg__")).limit(1).count()
+        pin.unpersist()  # previous round's label table, now superseded
+        pin = merged_cache
         labels = merged.drop("__chg__")
         if changed == 0:
             break
@@ -772,7 +778,9 @@ def dedup_canonicalize(
     # convergence counts already materialized every row, so this
     # checkpoint costs one tiny job and makes the result a leaf.
     out = labels.withColumnRenamed("label", "canonical_id")
-    return out.localCheckpoint(eager=True)
+    sealed = out.localCheckpoint(eager=True)
+    pin.unpersist()  # sealed result is a leaf; release the last pin
+    return sealed
 
 
 def apply_dedup(
@@ -816,8 +824,8 @@ def cross_jaccard_pairs(
     broadcast: the join runs map-side with NO shuffle of the corpus.
     Output: (corpus_id, bench_id, jaccard DOUBLE rounded to 6dp).
     """
-    shc = with_shingles(corpus, n, id_col=id_col, text_col=text_col).cache()
-    shb = with_shingles(benchmark, n, id_col=id_col, text_col=text_col).cache()
+    shc = with_shingles(corpus, n, id_col=id_col, text_col=text_col).localCheckpoint(eager=False)
+    shb = with_shingles(benchmark, n, id_col=id_col, text_col=text_col).localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
     exc = shc.select(F.col("doc_id").alias("corpus_id"), F.explode("shingles").alias("s"))
     exb = shb.select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
@@ -956,7 +964,7 @@ def edit_distance_pairs(
     ).filter(F.col("__rs__").isNotNull())
     groups = rows.groupBy(F.col("__rs__").alias("__s__")).agg(
         F.collect_list("__rid__").alias("__ids__")
-    ).cache()
+    ).localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
     src = groups.select(F.col("__s__").alias("__id__"), F.col("__s__"))
 
     def _segments(length: int) -> list[tuple[int, int]]:
