@@ -3267,6 +3267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
+        "graph_walks": q_graph_walks,  # walk/triangle pins reworked after the r6 rotation
+        "graph_triangles": q_graph_triangles,  # walk/triangle pins reworked after the r6 rotation
         "contamination": q_contamination,  # dedup-path pins converted after the r6 rotation
         "dup_spans": q_dup_spans,  # dedup-path pins converted after the r6 rotation
         "dedup_groups": q_dedup_groups,  # dedup-path pins converted after the r6 rotation
@@ -3349,7 +3351,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
-        "graph_triangles": q_graph_triangles,
         "sales_cube": q_sales_cube,
         "winnow_pairs": q_winnow_pairs,
         "tfidf_keywords": q_tfidf_keywords,
@@ -3405,7 +3406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_benford": q_value_benford,
         "corpus_interleave": q_corpus_interleave,
         "value_acf": q_value_acf,
-        "graph_walks": q_graph_walks,
         "privacy_audit": q_privacy_audit,
         "ppmi_terms": q_ppmi_terms,
         "mad_outliers": q_mad_outliers,

@@ -537,7 +537,9 @@ def triangle_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=False)
+        # ^ consumed by deg, the wedge join, and the closing semi-join:
+        #   one materialization, GC-managed blocks, no CacheManager pin
     )
     deg = (
         canon.select(F.col("a").alias("v"))
@@ -560,7 +562,7 @@ def triangle_stats(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
-    ).cache()
+    ).localCheckpoint(eager=False)
     x = oriented.alias("x")
     y = oriented.alias("y")
     wedge_pairs = (
@@ -1062,6 +1064,7 @@ def random_walks(
     # power-law degrees
     vdeg = adj.select("v", "__deg__").distinct()
     cur = frontier
+    pins = []  # cache-round frontier pins, released by the exit seal
     for t in range(1, walk_length + 1):
         h = F.md5(
             F.concat_ws(
@@ -1094,8 +1097,9 @@ def random_walks(
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.cache()
+            pins.append(nxt)
         results = results.unionByName(
             nxt.select("walk_id", F.lit(t).alias("step"), "vertex")
         )
         cur = nxt
-    return results
+    return _seal(results, pins)

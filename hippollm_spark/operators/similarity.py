@@ -965,7 +965,12 @@ def kmeans_fit(
             for dim, s, n in dims:
                 new_c[cid][dim] = _tdiv(s, n)
         centroids = new_c
-    return centroids, _assign(centroids)
+    # seal the final assignment (its inputs are cache-resident, so
+    # this is one cheap materialization) and release the quantized
+    # table pin — no CacheManager entry outlives the call
+    final = _assign(centroids).localCheckpoint(eager=True)
+    q.unpersist()
+    return centroids, final
 
 
 def pca_fit(

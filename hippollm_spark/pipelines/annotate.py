@@ -608,7 +608,7 @@ def annotate_documents(
         from dataclasses import asdict
 
         log.log("annotate_start", cfg=asdict(cfg))
-    ctxs = contextualize(docs, llm, cfg.ctx_size).cache()
+    ctxs = contextualize(docs, llm, cfg.ctx_size).localCheckpoint(eager=False)
     splitter = get_splitter(cfg.splitter)
     if cfg.splitter == "paragraph":
         chunks = splitter(docs)
@@ -637,13 +637,16 @@ def annotate_documents(
     reformed = reformulate(raw_facts, ctxs, llm, cfg.inference_partitions)
     gated = dedup_facts(
         reformed, store, llm, nli, embed, cfg.k_dedup, index=fact_index
-    ).cache()
+    ).localCheckpoint(eager=False)
+    # ^ lazy checkpoint, not cache: same materialize-once guarantee for
+    #   the multi-consumer frames (LLM stages must not re-run), but the
+    #   blocks are GC-managed instead of pinned in CacheManager
     fresh = gated.filter(~F.col("redundant"))
 
     mentions = extract_entities(fresh, llm)
     resolved = resolve_entities(
         mentions, store, llm, nli, embed, cfg.k_link, index=entity_index
-    ).cache()
+    ).localCheckpoint(eager=False)
 
     new_entities = resolved.filter("is_new").select(
         F.col("resolved").alias("name"), F.lit("").alias("description")

@@ -270,7 +270,7 @@ def read_docs_jsonl(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        .cache()
+        .localCheckpoint(eager=False)
     )
     good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"
@@ -310,7 +310,7 @@ def read_docs_csv(
         .option("header", str(header).lower())
         .option("sep", sep)
         .csv(path)
-        .cache()
+        .localCheckpoint(eager=False)
     )
     good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"
