@@ -160,8 +160,12 @@ def jaccard_dup_pairs(
     set sizes → filter. Exact because J(a,b) > 0 ⟹ a,b share a shingle.
     Output: (doc_a, doc_b, jaccard DOUBLE rounded to 6dp), doc_a < doc_b.
     """
-    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
-    sh = sh.localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
+    # .cache(), not localCheckpoint: the pin materializes inline with the
+    # first consumer's stage (pipelined) instead of as a separate blocking
+    # job, and the columnar batches serve both consumers. Session-scoped
+    # CacheManager pin — released by spark.catalog.clearCache() (bench.py
+    # does this between queries) or the caller's unpersist.
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
@@ -356,8 +360,8 @@ def _band_rows(
     (doc_id, band_idx, band_hash) rows — used by the one-shot
     similarity join and by the persisted incremental index."""
     rows = num_hashes // bands
-    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
-    sh = sh.localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
+    # .cache() for pipelined inline materialization (see jaccard_dup_pairs).
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
     hexpr = _shingle_hash_expr(shingle_hash)
     packed = _packed_hashes(sh, hexpr, partitions)
     a, b = _minhash_params(num_hashes)
@@ -612,9 +616,8 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs over the 64-bit blake2b simhash (the fast
     Arrow-vectorized fingerprint). Output: (doc_a, doc_b, hamming)."""
-    fp = simhash64(docs, id_col=id_col, text_col=text_col).localCheckpoint(
-        eager=False
-    )  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
+    # .cache() for pipelined inline materialization (see jaccard_dup_pairs).
+    fp = simhash64(docs, id_col=id_col, text_col=text_col).cache()
     return simhash_block_pairs(fp, max_hamming, n_bits=64)
 
 
@@ -824,8 +827,9 @@ def cross_jaccard_pairs(
     broadcast: the join runs map-side with NO shuffle of the corpus.
     Output: (corpus_id, bench_id, jaccard DOUBLE rounded to 6dp).
     """
-    shc = with_shingles(corpus, n, id_col=id_col, text_col=text_col).localCheckpoint(eager=False)
-    shb = with_shingles(benchmark, n, id_col=id_col, text_col=text_col).localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
+    # .cache() for pipelined inline materialization (see jaccard_dup_pairs).
+    shc = with_shingles(corpus, n, id_col=id_col, text_col=text_col).cache()
+    shb = with_shingles(benchmark, n, id_col=id_col, text_col=text_col).cache()
     exc = shc.select(F.col("doc_id").alias("corpus_id"), F.explode("shingles").alias("s"))
     exb = shb.select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
@@ -964,7 +968,7 @@ def edit_distance_pairs(
     ).filter(F.col("__rs__").isNotNull())
     groups = rows.groupBy(F.col("__rs__").alias("__s__")).agg(
         F.collect_list("__rid__").alias("__ids__")
-    ).localCheckpoint(eager=False)  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
+    ).cache()  # pipelined inline materialization (see jaccard_dup_pairs)
     src = groups.select(F.col("__s__").alias("__id__"), F.col("__s__"))
 
     def _segments(length: int) -> list[tuple[int, int]]:

@@ -537,9 +537,10 @@ def triangle_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .cache()
         # ^ consumed by deg, the wedge join, and the closing semi-join:
-        #   one materialization, GC-managed blocks, no CacheManager pin
+        #   inline pipelined materialization; session-scoped pin, released
+        #   by the caller's clearCache (bench.py does so between queries)
     )
     deg = (
         canon.select(F.col("a").alias("v"))
@@ -562,7 +563,7 @@ def triangle_stats(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
-    ).localCheckpoint(eager=False)
+    ).cache()
     x = oriented.alias("x")
     y = oriented.alias("y")
     wedge_pairs = (

@@ -106,11 +106,14 @@ def curate_corpus(
             (F.col("quality_score_e8") >= min_quality_e8)
             & (F.col("lang_pred") != "und")
         )
-    ).localCheckpoint(eager=False)  # GC-managed blocks, no CacheManager pin
+    ).cache()
+    # .cache(), not localCheckpoint: inline pipelined materialization and
+    # columnar pruned reads for the two filter consumers. Session-scoped
+    # pins; bench.py clearCache()s between queries, callers may unpersist.
     bench = keep.filter(F.col("doc_id") % bench_mod == 0)
     corpus = keep.filter(F.col("doc_id") % bench_mod != 0)
 
-    surv = exact_dedup(corpus).localCheckpoint(eager=False)
+    surv = exact_dedup(corpus).cache()
     if near_dup_method == "minhash":
         pairs = minhash_lsh_pairs(surv, threshold=jaccard_threshold, n=3)
     elif near_dup_method == "jaccard":
@@ -119,9 +122,7 @@ def curate_corpus(
         )
     else:
         raise ValueError(f"unknown near_dup_method {near_dup_method!r}")
-    surv = apply_dedup(surv, dedup_canonicalize(pairs)).localCheckpoint(
-        eager=False
-    )  # multi-consumer reuse; GC-managed blocks, no CacheManager pin
+    surv = apply_dedup(surv, dedup_canonicalize(pairs)).cache()
 
     cont = cross_jaccard_pairs(
         surv, bench, threshold=contamination_threshold, n=3,
