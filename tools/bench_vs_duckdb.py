@@ -39,16 +39,43 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     print(f"{'query':24s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
     worst = []
+    import gc
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # bench.py's protocol, per query: one warm run (JIT, codegen,
+        # python-worker spinup), then clear every cache/checkpoint block
+        # so the timed run pays its own materialization but nobody
+        # else's — without the clear, pins left by earlier queries
+        # inflate later Spark walls 3-5x (measured: dedup_jaccard 15.7s
+        # polluted vs ~3s isolated), corrupting the ratio this tool
+        # exists to report.
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
+        gc.collect()
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t_s = time.time() - t0
         if name in oracles:
+            # Warm-then-time for DuckDB too, but only when the first run
+            # is fast: plan-compile/buffer-pool overhead only moves the
+            # needle at sub-second scale, and some oracles are enormous
+            # by design (graph_hits' unrolled HUGEINT recurrence runs
+            # ~10 min at sf0.1 — re-running it doubles that for a
+            # rounding-error correction).
             t0 = time.time()
             con.execute(oracles[name]).fetchall()
             t_d = time.time() - t0
+            if t_d < 5.0:
+                t0 = time.time()
+                con.execute(oracles[name]).fetchall()
+                t_d = time.time() - t0
             ratio = t_s / max(t_d, 1e-9)
             print(f"{name:24s} {t_s:8.2f} {t_d:8.2f} {ratio:7.1f}x")
             if ratio > 2:
