@@ -3273,6 +3273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,  # dedup-path pins converted after the r6 rotation
         "dedup_groups": q_dedup_groups,  # dedup-path pins converted after the r6 rotation
         "incremental_dedup": q_incremental_dedup,  # dedup-path pins converted after the r6 rotation
+        "golden_records": q_golden_records,  # jaccard/canonicalize pins restored to cache late r6
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,  # edit-distance group pin restored to cache late r6
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3337,7 +3339,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "value_histogram": q_value_histogram,
         "standardize": q_standardize,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "events_enriched": q_events_enriched,
         "events_json_props": q_events_json_props,
         "sessionization": q_sessionization,
@@ -3380,7 +3381,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "corr_matrix": q_corr_matrix,
         "auc_score": q_auc_score,
-        "golden_records": q_golden_records,
         "domain_stats": q_domain_stats,
         "ab_welch": q_ab_welch,
         "conversion_chi2": q_conversion_chi2,
