@@ -1261,10 +1261,11 @@ def containment_pairs(
         "doc_id",
         "n_sh",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
-    ).localCheckpoint(eager=False)
-    # ^ both join sides scan it: lazy localCheckpoint materializes the
-    # shingle+digest pass ONCE at first use and its blocks are
-    # GC-managed — unlike cache(), no CacheManager pin to leak
+    ).cache()
+    # ^ both join sides scan it: the cache materializes the
+    # shingle+digest pass once, inline with the first side's stage
+    # (pipelined — see the materialization policy in DESIGN.md §5);
+    # session-scoped pin, cleared by bench.py between queries
     a = ex.select(
         F.col("doc_id").alias("doc_inner"), F.col("n_sh").alias("n_inner"), "h"
     )
