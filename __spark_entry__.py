@@ -2240,6 +2240,21 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: the
+    exact fixed-point Lloyd clustering (same k=8, 3 rounds and integer
+    discipline as q_kmeans_clusters), then one keeper per cluster —
+    the member closest to its final centroid, ties to the smallest id
+    — with the member count alongside. The oracle replays the shared
+    unrolled chain and the same keeper window, all exact BIGINT."""
+    from hippollm_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iterations=3, method="pandas").orderBy(
+        "cluster"
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix per user stream:
     lead window with (ts, event_id) tie-break, map-side pair counts,
@@ -3275,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,  # dedup-path pins converted after the r6 rotation
         "golden_records": q_golden_records,  # jaccard/canonicalize pins restored to cache late r6
         "fuzzy_name_pairs": q_fuzzy_name_pairs,  # edit-distance group pin restored to cache late r6
+        "semantic_dedup": q_semantic_dedup,  # new late r6: SemDeDup keeper-per-cluster
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3608,14 +3624,15 @@ def _lpa_oracle_sql(iterations: int = 3) -> str:
     """
 
 
-def _kmeans_oracle_sql(k: int = 8, d: int = 64, iterations: int = 3) -> str:
-    """DuckDB replica of q_kmeans_clusters: the identical fixed-point
-    Lloyd recurrence unrolled one assignment+update CTE pair per
-    round. Every operation is exact BIGINT math; the means use the
-    same sign-wrapped truncating division as the Spark side (on the
-    positive domain DuckDB's `//` and Spark/python truncation agree,
-    so wrapping negatives through abs removes the floor-vs-trunc
-    divergence)."""
+def _kmeans_chain_sql(k: int, d: int, iterations: int) -> tuple[str, str]:
+    """Shared DuckDB replica of the fixed-point Lloyd recurrence
+    (quantize → unrolled assignment+update CTE pair per round): returns
+    (with_prefix, dist_expr) so q_kmeans_clusters and q_semantic_dedup
+    compose their own final SELECT over the same exact-BIGINT chain.
+    The means use the same sign-wrapped truncating division as the
+    Spark side (on the positive domain DuckDB's `//` and Spark/python
+    truncation agree, so wrapping negatives through abs removes the
+    floor-vs-trunc divergence)."""
     dist = " + ".join(
         f"(v.ve[{j}] - c.ce[{j}]) * (v.ve[{j}] - c.ce[{j}])"
         for j in range(1, d + 1)
@@ -3656,24 +3673,61 @@ def _kmeans_oracle_sql(k: int = 8, d: int = 64, iterations: int = 3) -> str:
             ) m ON c.cid = m.cid
         )""")
     chain = ",\n        ".join(ctes)
-    return f"""
+    prefix = f"""
         WITH v AS (
             SELECT vec_id,
                    list_transform(embedding::DOUBLE[],
                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
             FROM embeddings
         ),
-        {chain}
+        {chain},
+        assign_final AS (
+            SELECT vec_id, cid, dist
+            FROM (
+                SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM (SELECT v.vec_id, c.cid, {dist} AS dist
+                      FROM v CROSS JOIN c{iterations} c)
+            )
+            WHERE rn = 1
+        )"""
+    return prefix, dist
+
+
+def _kmeans_oracle_sql(k: int = 8, d: int = 64, iterations: int = 3) -> str:
+    """DuckDB replica of q_kmeans_clusters: the shared Lloyd chain's
+    final assignment, one row per vector."""
+    prefix, _dist = _kmeans_chain_sql(k, d, iterations)
+    return f"""{prefix}
         SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS dist_e12
+        FROM assign_final
+        ORDER BY vec_id
+    """
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = 8, d: int = 64, iterations: int = 3
+) -> str:
+    """DuckDB replica of q_semantic_dedup: the shared Lloyd chain's
+    final assignment reduced to one keeper per cluster — smallest
+    (dist, vec_id) — with the member count carried alongside. Every
+    quantity is exact BIGINT, so the row set hash-matches Spark."""
+    prefix, _dist = _kmeans_chain_sql(k, d, iterations)
+    return f"""{prefix}
+        SELECT CAST(cid AS INT) AS cluster,
+               vec_id AS keeper_id,
+               n_members,
+               dist AS dist_e12
         FROM (
             SELECT vec_id, cid, dist,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, cid) AS rn
-            FROM (SELECT v.vec_id, c.cid, {dist} AS dist
-                  FROM v CROSS JOIN c{iterations} c)
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY dist, vec_id) AS krn,
+                   count(*) OVER (PARTITION BY cid) AS n_members
+            FROM assign_final
         )
-        WHERE rn = 1
-        ORDER BY vec_id
+        WHERE krn = 1
+        ORDER BY cluster
     """
 
 
@@ -5909,6 +5963,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
+        "semantic_dedup": _semantic_dedup_oracle_sql(8, 64, 3),
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(4, 10),
         "pca_embeddings": _pca_oracle_sql(),

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "quality_deciles",
     "rolling_revenue_7d",
     "kmeans_clusters",
+    "semantic_dedup",
     "markov_transitions",
     "basket_lift",
     "snapshot_diff",

@@ -973,6 +973,57 @@ def kmeans_fit(
     return centroids, final
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sql",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023: prune
+    semantic duplicates by clustering the embedding space and keeping
+    one representative per cluster — the curation step between exact/
+    near-dedup and training-mix construction). Built on `kmeans_fit`'s
+    exact fixed-point Lloyd, so the whole operator is deterministic,
+    integer, and hash-comparable across engines: the representative of
+    each cluster is the member with the smallest (dist_e12, id) against
+    the FINAL centroids.
+
+    100-TB shape: clustering cost is kmeans_fit's (one narrow
+    (cluster, dim) partial-sum shuffle per round); the representative
+    pick is one k-partition window over the assignment table and the
+    member counts are a k-row aggregate joined broadcast — nothing
+    here scales with pair count, unlike similarity-join dedup.
+    Real deployments raise k to ~sqrt(n) so cluster sizes stay
+    bounded; k is a plain parameter here.
+
+    Output: one row per non-empty cluster —
+    (cluster INT, keeper_id <id type>, n_members BIGINT,
+    dist_e12 BIGINT), keeper_id being the survivor; members minus
+    keepers are the semantic-duplicate candidates to drop.
+    """
+    from pyspark.sql import Window
+
+    _cents, assigned = kmeans_fit(
+        vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
+    )
+    w = Window.partitionBy("cluster").orderBy("dist_e12", "__id__")
+    ranked = assigned.withColumn("__rn__", F.row_number().over(w))
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        ranked.filter(F.col("__rn__") == 1)
+        .join(F.broadcast(counts), "cluster")
+        .select(
+            "cluster",
+            F.col("__id__").alias("keeper_id"),
+            "n_members",
+            "dist_e12",
+        )
+    )
+
+
 def pca_fit(
     vecs: DataFrame,
     k: int,

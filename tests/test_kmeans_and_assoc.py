@@ -321,3 +321,41 @@ def test_kmeans_pandas_supports_string_ids(spark):
     assert c_sql == c_pd
     assert dict(a_pd.dtypes)["__id__"] == "string"
     assert sorted(map(tuple, a_sql.collect())) == sorted(map(tuple, a_pd.collect()))
+
+
+def test_semantic_dedup_keeps_nearest_member_per_cluster(spark):
+    """SemDeDup keeper selection: one row per non-empty cluster, the
+    keeper is the member with the smallest (dist_e12, id), and
+    n_members partitions the input exactly."""
+    from hippollm_spark.operators.similarity import kmeans_fit, semantic_dedup
+
+    pts = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),
+        (2, [0.1, -0.1]), (3, [10.2, 9.9]),
+        (4, [-0.2, 0.1]), (5, [9.8, 10.1]),
+        (6, [0.05, 0.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, k=2, iterations=3).collect()
+    assert len(out) == 2
+    assert sum(r["n_members"] for r in out) == len(pts)
+
+    # replicate the keeper choice from the assignment table itself
+    _c, assigned = kmeans_fit(df, k=2, iterations=3)
+    rows = [(r["__id__"], r["cluster"], r["dist_e12"]) for r in assigned.collect()]
+    for kr in out:
+        members = [(d, i) for i, c, d in rows if c == kr["cluster"]]
+        assert (kr["dist_e12"], kr["keeper_id"]) == min(members)
+        assert kr["n_members"] == len(members)
+
+
+def test_semantic_dedup_sql_and_pandas_paths_agree(spark):
+    from hippollm_spark.operators.similarity import semantic_dedup
+
+    pts = [(i, [float(i % 3), float(i % 5)]) for i in range(20)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, semantic_dedup(df, k=3, iterations=2).collect()))
+    b = sorted(
+        map(tuple, semantic_dedup(df, k=3, iterations=2, method="pandas").collect())
+    )
+    assert a == b
