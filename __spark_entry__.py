@@ -2255,6 +2255,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded SemDeDup over the embeddings table: cluster with the
+    exact Lloyd fit, then survivors = each cluster's keeper plus the
+    members farther than eps from it (squared-L2, e12 integer units;
+    eps=1.6e12 sits just below the observed median keeper distance, so
+    the prune is substantive at any sf). Fully integer → hash oracle."""
+    from hippollm_spark.operators.similarity import semantic_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_prune(
+            emb, eps_e12=1_600_000_000_000, k=8, iterations=3, method="pandas"
+        )
+        .withColumnRenamed("__id__", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix per user stream:
     lead window with (ts, event_id) tie-break, map-side pair counts,
@@ -3291,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,  # jaccard/canonicalize pins restored to cache late r6
         "fuzzy_name_pairs": q_fuzzy_name_pairs,  # edit-distance group pin restored to cache late r6
         "semantic_dedup": q_semantic_dedup,  # new late r6: SemDeDup keeper-per-cluster
+        "semantic_prune": q_semantic_prune,  # new late r6: thresholded SemDeDup survivors
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3693,6 +3712,42 @@ def _kmeans_chain_sql(k: int, d: int, iterations: int) -> tuple[str, str]:
             WHERE rn = 1
         )"""
     return prefix, dist
+
+
+def _semantic_prune_oracle_sql(
+    eps_e12: int, k: int = 8, d: int = 64, iterations: int = 3
+) -> str:
+    """DuckDB replica of q_semantic_prune: shared Lloyd chain → keeper
+    per cluster → survivors = keeper OR distance-to-keeper > eps, the
+    distance recomputed as the identical unrolled BIGINT sum over the
+    two quantized-vector aliases."""
+    prefix, _dist = _kmeans_chain_sql(k, d, iterations)
+    distk = " + ".join(
+        f"(va.ve[{j}] - vk.ve[{j}]) * (va.ve[{j}] - vk.ve[{j}])"
+        for j in range(1, d + 1)
+    )
+    return f"""{prefix},
+        keep AS (
+            SELECT cid, vec_id AS keeper_id
+            FROM (
+                SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY cid
+                                          ORDER BY dist, vec_id) AS krn
+                FROM assign_final
+            )
+            WHERE krn = 1
+        )
+        SELECT a.vec_id,
+               CAST(a.cid AS INT) AS cluster,
+               {distk} AS dist_keeper_e12,
+               CASE WHEN a.vec_id = kp.keeper_id THEN 1 ELSE 0 END AS is_keeper
+        FROM assign_final a
+        JOIN keep kp ON a.cid = kp.cid
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vk ON vk.vec_id = kp.keeper_id
+        WHERE a.vec_id = kp.keeper_id OR {distk} > {int(eps_e12)}
+        ORDER BY a.vec_id
+    """
 
 
 def _kmeans_oracle_sql(k: int = 8, d: int = 64, iterations: int = 3) -> str:
@@ -5964,6 +6019,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "semantic_dedup": _semantic_dedup_oracle_sql(8, 64, 3),
+        "semantic_prune": _semantic_prune_oracle_sql(1_600_000_000_000, 8, 64, 3),
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(4, 10),
         "pca_embeddings": _pca_oracle_sql(),

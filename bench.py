@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "rolling_revenue_7d",
     "kmeans_clusters",
     "semantic_dedup",
+    "semantic_prune",
     "markov_transitions",
     "basket_lift",
     "snapshot_diff",

@@ -1024,6 +1024,81 @@ def semantic_dedup(
     )
 
 
+def semantic_prune(
+    vectors: DataFrame,
+    eps_e12: int,
+    k: int = 8,
+    iterations: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sql",
+) -> DataFrame:
+    """Thresholded SemDeDup: where `semantic_dedup` keeps exactly one
+    representative per cluster, this keeps the keeper PLUS every member
+    farther than ``eps_e12`` (squared-L2 in e12 integer units) from its
+    cluster's keeper — members inside the radius are the semantic
+    duplicates being pruned, members outside carry real variation and
+    survive. This is the SemDeDup paper's epsilon-dedup reduced to
+    keeper-anchored form so the within-cluster cost is O(cluster size),
+    not O(cluster size²).
+
+    All arithmetic is the exact e6-quantized integer discipline of
+    `kmeans_fit` (distance to the keeper is an integer zip_with fold
+    over the quantized vectors), so the survivor set hash-matches the
+    DuckDB replay bit-for-bit.
+
+    100-TB shape: one k-partition window for the keepers, one k-row
+    broadcast of keeper vectors, one scan-speed distance map over the
+    members — nothing pairwise.
+
+    Output, one row per SURVIVOR: (id, cluster INT,
+    dist_keeper_e12 BIGINT, is_keeper INT 0/1).
+    """
+    from pyspark.sql import Window
+
+    _cents, assigned = kmeans_fit(
+        vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
+    )
+    w = Window.partitionBy("cluster").orderBy("dist_e12", "__id__")
+    keepers = (
+        assigned.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("cluster", F.col("__id__").alias("__kid__"))
+    )
+    q = vectors.select(
+        F.col(id_col).alias("__id__"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * 1_000_000.0, 0).cast("long"),
+        ).alias("__v__"),
+    )
+    kv = keepers.join(
+        q.select(F.col("__id__").alias("__kid__"), F.col("__v__").alias("__kv__")),
+        "__kid__",
+    )
+    j = assigned.select("__id__", "cluster").join(q, "__id__").join(
+        F.broadcast(kv), "cluster"
+    )
+    dist_keeper = F.aggregate(
+        F.zip_with("__v__", "__kv__", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        j.select(
+            "__id__",
+            "cluster",
+            dist_keeper.alias("dist_keeper_e12"),
+            (F.col("__id__") == F.col("__kid__")).cast("int").alias("is_keeper"),
+        )
+        .filter(
+            (F.col("is_keeper") == 1)
+            | (F.col("dist_keeper_e12") > F.lit(int(eps_e12)))
+        )
+    )
+
+
 def pca_fit(
     vecs: DataFrame,
     k: int,

@@ -359,3 +359,34 @@ def test_semantic_dedup_sql_and_pandas_paths_agree(spark):
         map(tuple, semantic_dedup(df, k=3, iterations=2, method="pandas").collect())
     )
     assert a == b
+
+
+def test_semantic_prune_survivors(spark):
+    """Thresholded SemDeDup: keepers always survive; a member survives
+    iff its exact integer distance to the keeper exceeds eps; with
+    eps=0 everything survives."""
+    from hippollm_spark.operators.similarity import semantic_dedup, semantic_prune
+
+    pts = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),
+        (2, [0.1, -0.1]), (3, [10.2, 9.9]),
+        (4, [-0.2, 0.1]), (5, [9.8, 10.1]),
+        (6, [3.0, 3.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+
+    everyone = semantic_prune(df, eps_e12=0, k=2, iterations=3).collect()
+    assert len(everyone) == len(pts)
+
+    keepers = {r["keeper_id"] for r in semantic_dedup(df, k=2, iterations=3).collect()}
+    # huge eps: only the keepers survive
+    only_keepers = semantic_prune(df, eps_e12=10**18, k=2, iterations=3).collect()
+    assert {r["__id__"] for r in only_keepers} == keepers
+    assert all(r["is_keeper"] == 1 for r in only_keepers)
+
+    # mid eps: survivors = keepers + far members, checked row by row
+    eps = 5 * 10**12
+    surv = semantic_prune(df, eps_e12=eps, k=2, iterations=3).collect()
+    for r in everyone:
+        expect = r["is_keeper"] == 1 or r["dist_keeper_e12"] > eps
+        assert (r["__id__"] in {s["__id__"] for s in surv}) == expect
