@@ -2273,6 +2273,22 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample over the embeddings: 20 per
+    semantic cluster (k=8 exact Lloyd), drawn by salted-md5 rank within
+    the cluster — the deterministic training-mix sampler that keeps
+    rare modes represented. Oracle replays the shared Lloyd chain plus
+    the identical md5-rank window."""
+    from hippollm_spark.operators.similarity import cluster_stratified_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        cluster_stratified_sample(emb, 20, k=8, iterations=3, method="pandas")
+        .withColumnRenamed("__id__", "vec_id")
+        .orderBy("cluster", "sample_key")
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix per user stream:
     lead window with (ts, event_id) tie-break, map-side pair counts,
@@ -3310,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": q_fuzzy_name_pairs,  # edit-distance group pin restored to cache late r6
         "semantic_dedup": q_semantic_dedup,  # new late r6: SemDeDup keeper-per-cluster
         "semantic_prune": q_semantic_prune,  # new late r6: thresholded SemDeDup survivors
+        "cluster_sample": q_cluster_sample,  # new late r6: cluster-balanced diversity sample
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3747,6 +3764,29 @@ def _semantic_prune_oracle_sql(
         JOIN v vk ON vk.vec_id = kp.keeper_id
         WHERE a.vec_id = kp.keeper_id OR {distk} > {int(eps_e12)}
         ORDER BY a.vec_id
+    """
+
+
+def _cluster_sample_oracle_sql(
+    n_per_cluster: int, k: int = 8, d: int = 64, iterations: int = 3
+) -> str:
+    """DuckDB replica of q_cluster_sample: shared Lloyd chain → per
+    cluster the n smallest salted-md5 keys (hex-string ordering is
+    engine-independent, the uniform_sample_k discipline)."""
+    prefix, _dist = _kmeans_chain_sql(k, d, iterations)
+    return f"""{prefix}
+        SELECT vec_id, CAST(cid AS INT) AS cluster, sample_key
+        FROM (
+            SELECT vec_id, cid,
+                   md5('strat|' || vec_id::VARCHAR) AS sample_key,
+                   row_number() OVER (
+                       PARTITION BY cid
+                       ORDER BY md5('strat|' || vec_id::VARCHAR), vec_id
+                   ) AS rn
+            FROM assign_final
+        )
+        WHERE rn <= {int(n_per_cluster)}
+        ORDER BY cluster, sample_key
     """
 
 
@@ -6020,6 +6060,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(8, 64, 3),
         "semantic_dedup": _semantic_dedup_oracle_sql(8, 64, 3),
         "semantic_prune": _semantic_prune_oracle_sql(1_600_000_000_000, 8, 64, 3),
+        "cluster_sample": _cluster_sample_oracle_sql(20, 8, 64, 3),
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(4, 10),
         "pca_embeddings": _pca_oracle_sql(),

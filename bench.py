@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "semantic_dedup",
     "semantic_prune",
+    "cluster_sample",
     "markov_transitions",
     "basket_lift",
     "snapshot_diff",

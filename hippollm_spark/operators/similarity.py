@@ -1099,6 +1099,48 @@ def semantic_prune(
     )
 
 
+def cluster_stratified_sample(
+    vectors: DataFrame,
+    n_per_cluster: int,
+    k: int = 8,
+    iterations: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sql",
+    salt: str = "strat",
+) -> DataFrame:
+    """Diversity sampling for training-mix construction: a uniform
+    sample over-represents the dense regions of embedding space, so
+    draw n per SEMANTIC CLUSTER instead — the cluster-balanced sample
+    that keeps rare modes in the mix. Deterministic end to end: the
+    clustering is `kmeans_fit`'s exact fixed-point Lloyd and the draw
+    within each cluster is the smallest salted-md5 keys (the same
+    rank-hash discipline as `sampling.uniform_sample_k`), so reruns —
+    and the DuckDB oracle — reproduce the identical sample.
+
+    100-TB shape: clustering cost is kmeans_fit's; the draw is one
+    k-partition window over the sealed assignment table (k bounded,
+    never the corpus).
+
+    Output, ≤ n_per_cluster rows per non-empty cluster:
+    (id, cluster INT, sample_key STRING).
+    """
+    from pyspark.sql import Window
+
+    _cents, assigned = kmeans_fit(
+        vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
+    )
+    key = F.md5(F.concat(F.lit(salt + "|"), F.col("__id__").cast("string")))
+    w = Window.partitionBy("cluster").orderBy("sample_key", "__id__")
+    return (
+        assigned.withColumn("sample_key", key)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= int(n_per_cluster))
+        .select("__id__", "cluster", "sample_key")
+    )
+
+
 def pca_fit(
     vecs: DataFrame,
     k: int,

@@ -390,3 +390,31 @@ def test_semantic_prune_survivors(spark):
     for r in everyone:
         expect = r["is_keeper"] == 1 or r["dist_keeper_e12"] > eps
         assert (r["__id__"] in {s["__id__"] for s in surv}) == expect
+
+
+def test_cluster_stratified_sample_caps_and_determinism(spark):
+    """At most n per cluster, every sampled row's key is among the n
+    smallest salted-md5 keys of its cluster, and a rerun reproduces
+    the identical sample."""
+    import hashlib
+
+    from hippollm_spark.operators.similarity import (
+        cluster_stratified_sample,
+        kmeans_fit,
+    )
+
+    pts = [(i, [float(i % 4), float((i * 7) % 11)]) for i in range(30)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+
+    out = cluster_stratified_sample(df, 3, k=3, iterations=2).collect()
+    _c, assigned = kmeans_fit(df, k=3, iterations=2)
+    by_cluster: dict[int, list] = {}
+    for r in assigned.collect():
+        key = hashlib.md5(f"strat|{r['__id__']}".encode()).hexdigest()
+        by_cluster.setdefault(r["cluster"], []).append((key, r["__id__"]))
+    for c, members in by_cluster.items():
+        want = {i for _, i in sorted(members)[:3]}
+        got = {r["__id__"] for r in out if r["cluster"] == c}
+        assert got == want
+    rerun = cluster_stratified_sample(df, 3, k=3, iterations=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
