@@ -230,7 +230,13 @@ def phash64(media: DataFrame, *, fake: bool = True) -> DataFrame:
                 except (ValueError, IndexError, KeyError):
                     hashes.append(None)
                     continue
-                if min(px.shape) >= 8:
+                # ALWAYS resample to 8×8 — _box8's max(hi, lo+1) cell
+                # slicing handles dimensions < 8 (cells repeat rows/
+                # cols), and skipping it on small images would emit
+                # h*w hash bits: > 64 bits overflows the long column
+                # at Arrow conversion, < 64 breaks the 64-bit band
+                # extraction in phash_dup_pairs.
+                if px.shape != (8, 8):
                     px = _box8(px)
                 bits = (px > px.mean()).flatten()
                 h = 0

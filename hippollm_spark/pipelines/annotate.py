@@ -595,9 +595,14 @@ def annotate_documents(
     ``store.build_vector_indexes()``) are used automatically — the
     reference's candidates are always index-served
     (storage.py:124-133), so an indexed store should not need a flag;
-    exact scans remain the fallback for index-less stores. Indexes are
-    snapshots: rebuild after bulk appends (``annotate_stream``'s
-    ``use_ann_index`` rebuilds per epoch).
+    exact scans remain the fallback for index-less stores. Staleness
+    is impossible by construction: the store invalidates its index
+    handles whenever ``entities``/``facts`` are reassigned (property
+    setters in store.py), so an append since the last
+    ``build_vector_indexes()`` means the auto-fallback sees ``None``
+    and takes the exact scan — never a snapshot that is silently
+    missing the new rows. Rebuild to re-enable the probed path
+    (``annotate_stream``'s ``use_ann_index`` rebuilds per epoch).
     """
     cfg = cfg or AnnotateConfig()
     if fact_index is None:

@@ -41,20 +41,44 @@ class HippoStore:
         dim: int = 384,
     ) -> None:
         self.spark = spark
-        self.entities = (
+        self._entities = (
             entities
             if entities is not None
             else spark.createDataFrame([], ENTITIES_SCHEMA)
         )
-        self.facts = (
+        self._facts = (
             facts if facts is not None else spark.createDataFrame([], FACTS_SCHEMA)
         )
         self.embed = embed  # Column-producing fn (e.g. testing.hash_embedding_udf(dim))
         self.dim = dim
         # optional ANN handles (build_vector_indexes) — the Spark
-        # analogue of the reference's per-collection HNSW indexes
+        # analogue of the reference's per-collection HNSW indexes.
+        # INVALIDATED automatically whenever the backing DataFrame is
+        # reassigned (the property setters below): an IVF index is a
+        # snapshot, and rows appended after the build would be
+        # invisible to the probe — silently serving a stale index
+        # could miss the true nearest duplicate in the annotate
+        # dedup/resolve gates. Rebuild via build_vector_indexes().
         self.entity_index = None
         self.fact_index = None
+
+    @property
+    def entities(self) -> DataFrame:
+        return self._entities
+
+    @entities.setter
+    def entities(self, df: DataFrame) -> None:
+        self._entities = df
+        self.entity_index = None  # snapshot index no longer covers the new frame
+
+    @property
+    def facts(self) -> DataFrame:
+        return self._facts
+
+    @facts.setter
+    def facts(self, df: DataFrame) -> None:
+        self._facts = df
+        self.fact_index = None  # snapshot index no longer covers the new frame
 
     # -- derived state ------------------------------------------------------
 
@@ -71,8 +95,13 @@ class HippoStore:
         eager localCheckpoint. A production deployment would use a
         table format (Delta/Iceberg) or versioned directories instead;
         the semantics here are the same."""
+        # materialization (same rows, truncated lineage) keeps any
+        # built index valid — restore the handles around the setter's
+        # blanket invalidation
+        ent_idx, fct_idx = self.entity_index, self.fact_index
         self.entities = self.entities.localCheckpoint(eager=True)
         self.facts = self.facts.localCheckpoint(eager=True)
+        self.entity_index, self.fact_index = ent_idx, fct_idx
         self.entities.write.mode("overwrite").parquet(os.path.join(path, "entities.parquet"))
         self.facts.write.mode("overwrite").parquet(os.path.join(path, "facts.parquet"))
 

@@ -240,3 +240,27 @@ def test_annotate_defaults_to_store_indexes_without_flag(spark, seeded_store, mo
     assert "The Eiffel Tower is in Paris" in texts
     names = sorted(r["name"] for r in store.entities.collect())
     assert names == ["Eiffel Tower", "France", "London", "Paris", "Seine", "UK"]
+
+
+def test_store_indexes_invalidated_on_append(spark, seeded_store):
+    """Index handles are snapshots: ANY reassignment of the backing
+    frame (add_facts/add_entities or direct set) clears them, so the
+    annotate auto-fallback can never probe an index that is missing
+    rows appended after the build — it falls back to the exact scan
+    instead (the staleness hazard flagged in round-6 advice)."""
+    seeded_store.build_vector_indexes(nlist=2, nprobe=2)
+    assert seeded_store.fact_index is not None
+    assert seeded_store.entity_index is not None
+    new_facts = spark.createDataFrame(
+        [("A brand new fact", ["Paris"], [])],
+        "text string, entities array<string>, sources array<struct<"
+        "name:string,description:string,url:string,date:timestamp,"
+        "pos_start:int,pos_end:int>>",
+    )
+    seeded_store.add_facts(new_facts)
+    assert seeded_store.fact_index is None, "fact append must invalidate fact_index"
+    assert seeded_store.entity_index is not None, "entity index untouched by fact append"
+    seeded_store.add_entities(
+        spark.createDataFrame([("Lyon", "a city")], "name string, description string")
+    )
+    assert seeded_store.entity_index is None, "entity append must invalidate entity_index"

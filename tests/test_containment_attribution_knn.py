@@ -33,6 +33,44 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert jaccard_dup_pairs(docs, threshold=0.5, n=3).count() == 0
 
 
+def test_containment_digest_join_matches_string_join(spark):
+    """Pin the digest-collision assumption (round-6 advice): the
+    production path equi-joins on a 60-bit md5 digest of each shingle;
+    a collision between two distinct shingles shared by a pair would
+    inflate `inter` identically on both engines, so the DuckDB oracle
+    structurally cannot catch it. This parity test CAN: it recomputes
+    containment joining on the raw shingle STRING over the real test
+    corpus (sf0.001 documents, 500 rows) and asserts the full outputs
+    are identical."""
+    import os
+
+    from hippollm_spark.operators.dedup import with_shingles
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    fast = containment_pairs(docs, threshold=0.5, n=3)
+
+    # string-join replica: identical logic, raw `s` as the join key
+    sh = with_shingles(docs, 3)
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_inner"), F.col("n_sh").alias("n_inner"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_outer"), F.col("n_sh").alias("n_outer"), "s")
+    slow = (
+        a.join(b, on="s")
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .groupBy("doc_inner", "doc_outer", "n_inner")
+        .agg(F.count("*").alias("inter"))
+        .withColumn("containment", F.round(F.col("inter") / F.col("n_inner"), 6))
+        .filter((F.col("containment") >= 0.5) & (F.col("n_inner") > 0))
+        .select("doc_inner", "doc_outer", "n_inner", "inter", "containment")
+    )
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, slow.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_linear_attribution_hand_computed(spark):
     t0 = datetime(2024, 1, 1, 12, 0, 0)
     rows = [

@@ -264,3 +264,30 @@ def test_phash64_real_without_pil(spark):
     assert ham(out[1], out[3]) <= 6          # JPEG-vs-lossless same scene
     assert ham(out[1], out[4]) >= 40         # inverted image: most bits flip
     assert out[5] is None
+
+
+def test_phash64_small_dimensions(spark):
+    """Images with a dimension < 8 must still resample to exactly 64
+    bits: a 100×4 PGM would otherwise emit 400 hash bits (overflowing
+    the long column at Arrow conversion) and a 4×4 only 16 (breaking
+    the 64-bit band extraction in phash_dup_pairs)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    wide = rng.randint(0, 256, size=(4, 100), dtype=np.uint8)   # h=4, w=100
+    tall = rng.randint(0, 256, size=(100, 4), dtype=np.uint8)   # h=100, w=4
+    tiny = rng.randint(0, 256, size=(4, 4), dtype=np.uint8)
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(b"P5\n100 4\n255\n" + wide.tobytes())),
+            (2, bytearray(b"P5\n4 100\n255\n" + tall.tobytes())),
+            (3, bytearray(b"P5\n4 4\n255\n" + tiny.tobytes())),
+        ],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r["phash"] for r in MM.phash64(rows, fake=False).collect()}
+    for mid, h in out.items():
+        assert h is not None, mid
+        assert -(1 << 63) <= h < (1 << 63), mid  # fits signed 64-bit
+    # distinct content should not collapse to one hash
+    assert len(set(out.values())) == 3
