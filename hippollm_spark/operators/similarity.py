@@ -973,6 +973,26 @@ def kmeans_fit(
     return centroids, final
 
 
+def _keepers(assigned: DataFrame) -> DataFrame:
+    """One keeper per cluster — the member with the smallest
+    (dist_e12, id) against the final centroids — as a struct-min
+    AGGREGATE, not a window: min over a 2-field struct is O(1) state
+    per group and map-side combinable, so a skewed embedding mode
+    (90% of rows in one cluster) costs a partial-agg scan instead of
+    one straggler task sorting the whole hot cluster. Returns
+    (cluster, __kid__, keeper_dist_e12, n_members)."""
+    agg = assigned.groupBy("cluster").agg(
+        F.min(F.struct(F.col("dist_e12"), F.col("__id__"))).alias("__kp__"),
+        F.count("*").alias("n_members"),
+    )
+    return agg.select(
+        "cluster",
+        F.col("__kp__.__id__").alias("__kid__"),
+        F.col("__kp__.dist_e12").alias("keeper_dist_e12"),
+        "n_members",
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     k: int = 8,
@@ -981,6 +1001,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "sql",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023: prune
     semantic duplicates by clustering the embedding space and keeping
@@ -993,34 +1014,31 @@ def semantic_dedup(
 
     100-TB shape: clustering cost is kmeans_fit's (one narrow
     (cluster, dim) partial-sum shuffle per round); the representative
-    pick is one k-partition window over the assignment table and the
-    member counts are a k-row aggregate joined broadcast — nothing
-    here scales with pair count, unlike similarity-join dedup.
-    Real deployments raise k to ~sqrt(n) so cluster sizes stay
-    bounded; k is a plain parameter here.
+    pick and the member counts are ONE struct-min/count aggregate over
+    the assignment table (`_keepers` — map-side combinable, O(1) state
+    per group, no per-cluster window sort, so a skewed mode never
+    makes a straggler) — nothing here scales with pair count, unlike
+    similarity-join dedup. Real deployments raise k to ~sqrt(n) so
+    keeper output stays small; k is a plain parameter here.
+
+    ``assigned``: pass a precomputed `kmeans_fit` assignment
+    (__id__, cluster, dist_e12) to skip the fit — the fit-once
+    serve-many shape when several curation ops share one clustering.
 
     Output: one row per non-empty cluster —
     (cluster INT, keeper_id <id type>, n_members BIGINT,
     dist_e12 BIGINT), keeper_id being the survivor; members minus
     keepers are the semantic-duplicate candidates to drop.
     """
-    from pyspark.sql import Window
-
-    _cents, assigned = kmeans_fit(
-        vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
-    )
-    w = Window.partitionBy("cluster").orderBy("dist_e12", "__id__")
-    ranked = assigned.withColumn("__rn__", F.row_number().over(w))
-    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
-    return (
-        ranked.filter(F.col("__rn__") == 1)
-        .join(F.broadcast(counts), "cluster")
-        .select(
-            "cluster",
-            F.col("__id__").alias("keeper_id"),
-            "n_members",
-            "dist_e12",
+    if assigned is None:
+        _cents, assigned = kmeans_fit(
+            vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
         )
+    return _keepers(assigned).select(
+        "cluster",
+        F.col("__kid__").alias("keeper_id"),
+        "n_members",
+        F.col("keeper_dist_e12").alias("dist_e12"),
     )
 
 
@@ -1033,6 +1051,7 @@ def semantic_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "sql",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Thresholded SemDeDup: where `semantic_dedup` keeps exactly one
     representative per cluster, this keeps the keeper PLUS every member
@@ -1048,24 +1067,20 @@ def semantic_prune(
     over the quantized vectors), so the survivor set hash-matches the
     DuckDB replay bit-for-bit.
 
-    100-TB shape: one k-partition window for the keepers, one k-row
-    broadcast of keeper vectors, one scan-speed distance map over the
-    members — nothing pairwise.
+    100-TB shape: one struct-min aggregate for the keepers (`_keepers`
+    — no per-cluster window sort, skew-proof), one k-row broadcast of
+    keeper vectors, one scan-speed distance map over the members —
+    nothing pairwise. ``assigned`` injects a precomputed fit (see
+    `semantic_dedup`).
 
     Output, one row per SURVIVOR: (id, cluster INT,
     dist_keeper_e12 BIGINT, is_keeper INT 0/1).
     """
-    from pyspark.sql import Window
-
-    _cents, assigned = kmeans_fit(
-        vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
-    )
-    w = Window.partitionBy("cluster").orderBy("dist_e12", "__id__")
-    keepers = (
-        assigned.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select("cluster", F.col("__id__").alias("__kid__"))
-    )
+    if assigned is None:
+        _cents, assigned = kmeans_fit(
+            vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
+        )
+    keepers = _keepers(assigned).select("cluster", "__kid__")
     q = vectors.select(
         F.col(id_col).alias("__id__"),
         F.transform(
@@ -1109,6 +1124,7 @@ def cluster_stratified_sample(
     vec_col: str = "embedding",
     method: str = "sql",
     salt: str = "strat",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Diversity sampling for training-mix construction: a uniform
     sample over-represents the dense regions of embedding space, so
@@ -1119,26 +1135,33 @@ def cluster_stratified_sample(
     rank-hash discipline as `sampling.uniform_sample_k`), so reruns —
     and the DuckDB oracle — reproduce the identical sample.
 
-    100-TB shape: clustering cost is kmeans_fit's; the draw is one
-    k-partition window over the sealed assignment table (k bounded,
-    never the corpus).
+    100-TB shape: clustering cost is kmeans_fit's; the draw routes
+    through `sampling.cap_per_group` — a group-keyed DISTRIBUTED rank
+    (range exchange + broadcast offsets), so a hot cluster spreads
+    across many tasks instead of sorting inside one window task.
+    ``assigned`` injects a precomputed fit (see `semantic_dedup`).
 
     Output, ≤ n_per_cluster rows per non-empty cluster:
     (id, cluster INT, sample_key STRING).
     """
-    from pyspark.sql import Window
+    from hippollm_spark.operators.sampling import cap_per_group
 
-    _cents, assigned = kmeans_fit(
-        vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
+    if assigned is None:
+        _cents, assigned = kmeans_fit(
+            vectors, k, iterations, id_col=id_col, vec_col=vec_col, method=method
+        )
+    # cap_per_group's selection key md5(salt || '|' || id) is the
+    # identical string this operator has always used, so the drawn set
+    # (and the DuckDB oracle's md5-rank replay) is unchanged.
+    capped = cap_per_group(
+        assigned.select("__id__", "cluster"),
+        "cluster",
+        int(n_per_cluster),
+        id_col="__id__",
+        salt=salt,
     )
     key = F.md5(F.concat(F.lit(salt + "|"), F.col("__id__").cast("string")))
-    w = Window.partitionBy("cluster").orderBy("sample_key", "__id__")
-    return (
-        assigned.withColumn("sample_key", key)
-        .withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= int(n_per_cluster))
-        .select("__id__", "cluster", "sample_key")
-    )
+    return capped.select("__id__", "cluster", key.alias("sample_key"))
 
 
 def pca_fit(

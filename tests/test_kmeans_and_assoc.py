@@ -418,3 +418,66 @@ def test_cluster_stratified_sample_caps_and_determinism(spark):
         assert got == want
     rerun = cluster_stratified_sample(df, 3, k=3, iterations=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_semantic_family_skewed_cluster_no_window(spark):
+    """Skew shape + plan shape: with 90% of rows in ONE cluster the
+    keeper pick and the sample draw must not funnel the hot cluster
+    through a single window-sort task — the keeper is a struct-min
+    AGGREGATE and the draw is the distributed group rank, so none of
+    the three executed plans may contain a WindowExec partitioned by
+    cluster. Results on the skewed input are cross-checked against a
+    python replica."""
+    import hashlib
+
+    from hippollm_spark.operators.similarity import (
+        cluster_stratified_sample,
+        kmeans_fit,
+        semantic_dedup,
+        semantic_prune,
+    )
+
+    # 90 points near the origin (one hot cluster), 10 near (50, 50)
+    pts = [(i, [float(i % 5) / 10.0, float(i % 7) / 10.0]) for i in range(90)]
+    pts += [(90 + i, [50.0 + i % 3, 50.0 + i % 2]) for i in range(10)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+
+    _c, assigned = kmeans_fit(df, k=2, iterations=2)
+    assigned = assigned.localCheckpoint(eager=True)
+    rows = [(r["__id__"], r["cluster"], r["dist_e12"]) for r in assigned.collect()]
+    sizes = {}
+    for _i, c, _d in rows:
+        sizes[c] = sizes.get(c, 0) + 1
+    assert max(sizes.values()) >= 85, "fixture must actually be skewed"
+
+    ded = semantic_dedup(df, assigned=assigned)
+    pru = semantic_prune(df, eps_e12=10**11, k=2, assigned=assigned)
+    sam = cluster_stratified_sample(df, 5, assigned=assigned)
+    for frame in (ded, pru):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan[:2000]
+    # the draw goes through cap_per_group/distributed_rank: its only
+    # window is the per-range-slice one keyed by (__pid__, cluster) —
+    # a hot cluster spans MANY __pid__ slices, never one sort task
+    sam_plan = sam._jdf.queryExecution().executedPlan().toString()
+    for line in sam_plan.splitlines():
+        if "Window" in line and "window" not in line.split("Window")[0]:
+            assert "__pid__" in line, line
+
+    # keeper replica
+    keepers = {}
+    for i, c, d in rows:
+        if c not in keepers or (d, i) < keepers[c]:
+            keepers[c] = (d, i)
+    got = {r["cluster"]: (r["dist_e12"], r["keeper_id"]) for r in ded.collect()}
+    assert got == keepers
+
+    # draw replica: 5 smallest salted-md5 keys per cluster
+    by_cluster: dict[int, list] = {}
+    for i, c, _d in rows:
+        key = hashlib.md5(f"strat|{i}".encode()).hexdigest()
+        by_cluster.setdefault(c, []).append((key, i))
+    out = sam.collect()
+    for c, members in by_cluster.items():
+        want = {i for _, i in sorted(members)[:5]}
+        assert {r["__id__"] for r in out if r["cluster"] == c} == want

@@ -23,6 +23,8 @@ QUERIES = [
     # controls (unchanged in the diff)
     "window_topk", "tpch_q13", "rolling_revenue_7d",
 ]
+if os.environ.get("AB_QUERIES"):
+    QUERIES = [q for q in os.environ["AB_QUERIES"].split(",") if q]
 
 import importlib.util
 
