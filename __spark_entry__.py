@@ -2978,7 +2978,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return hits(e, iterations=3).orderBy("vertex")
+    return hits(e, iterations=3, pre_deduped=True).orderBy("vertex")
 
 
 def q_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:

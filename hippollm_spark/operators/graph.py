@@ -881,6 +881,7 @@ def hits(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """HITS hubs-and-authorities in exact scaled-integer arithmetic
     (the `pagerank` determinism discipline): per round, auth(v) =
@@ -896,26 +897,43 @@ def hits(
     HUGEINT ``//`` for the non-negative values here.
 
     Shape per round: two join+agg passes over the edge list (one per
-    direction), each a narrow-key hash shuffle; one 1-row max
-    broadcast per normalization. Lineage is cut EVERY half-round (the
-    mid-round auth feeds two consumers and each round nests 4 joins —
-    with the default every-3 cut cadence Catalyst re-analysis alone
-    cost 200s at sf0.01; per-half-round checkpoints bring the same
-    run to seconds, the `dedup_canonicalize` lesson).
+    direction), each a broadcast join of the ≤|V|-row state against
+    the cached edge list + one narrow-key partial-agg shuffle; the
+    state/raw frames are EXPLICIT broadcasts — they are checkpoint
+    leaves (ExistingRDD scans), which have no size statistics, so
+    without the hint every engine-side planner falls back to a full
+    edge-list exchange per half-round. Lineage is cut EVERY half-round
+    (the mid-round auth feeds two consumers and each round nests 4
+    joins — with the default every-3 cut cadence Catalyst re-analysis
+    alone cost 200s at sf0.01; per-half-round checkpoints bring the
+    same run to seconds, the `dedup_canonicalize` lesson).
+
+    Loop-scoped planner tuning: the 2·iterations jobs have a KNOWN
+    shape (broadcast join + one small fixed shuffle each), so AQE
+    re-planning per job buys nothing and costs a scheduling round-trip
+    per stage; the loop disables it and sizes
+    ``spark.sql.shuffle.partitions`` to |E|/250k (floor 8, ceiling the
+    session setting — at 100-TB edge counts this keeps the session's
+    own sizing). Both confs are restored on exit, exception or not.
+
+    ``pre_deduped=True`` skips the defensive edge dedup when the
+    caller's edge list is already distinct — one full |E| shuffle
+    saved (the co-occurrence/TPC-H graph builders all end in
+    ``.distinct()``).
     Output: (vertex, hub_scaled BIGINT, auth_scaled BIGINT).
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not pre_deduped:
+        e = e.distinct()
+    e = e.cache()
+    n_e = e.count()
     verts = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
         .cache()
     )
-    if verts.count() == 0:
+    if n_e == 0:
         empty = verts.select(
             "vertex",
             F.lit(0).cast("long").alias("hub_scaled"),
@@ -947,50 +965,67 @@ def hits(
             ),
         )
 
-    for it in range(iterations):
-        # authority pass: sum hubs over in-edges. Checkpoint the RAW
-        # sums BEFORE _norm: the max aggregate and the normalization
-        # both read them, and without the cut each would recompute the
-        # join+agg (and nest the plan another level).
-        auth_raw = (
-            e.join(
-                state.select(F.col("vertex").alias("src"), "hub_scaled"), "src"
+    spark = edges.sparkSession
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, min(int(sp0), n_e // 250_000))),
+        )
+        for it in range(iterations):
+            # authority pass: sum hubs over in-edges. Checkpoint the
+            # RAW sums BEFORE _norm: the max aggregate and the
+            # normalization both read them, and without the cut each
+            # would recompute the join+agg (and nest the plan another
+            # level).
+            auth_raw = (
+                e.join(
+                    F.broadcast(
+                        state.select(F.col("vertex").alias("src"), "hub_scaled")
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum("hub_scaled").alias("__a__"))
             )
-            .groupBy("dst")
-            .agg(F.sum("hub_scaled").alias("__a__"))
-        )
-        auth_pre = (
-            verts.join(auth_raw, verts.vertex == auth_raw.dst, "left")
-            .select(
-                "vertex",
-                F.coalesce("__a__", F.lit(0)).cast("long").alias("__a__"),
+            auth_pre = (
+                verts.join(F.broadcast(auth_raw), verts.vertex == auth_raw.dst, "left")
+                .select(
+                    "vertex",
+                    F.coalesce("__a__", F.lit(0)).cast("long").alias("__a__"),
+                )
+                # lazy: _norm's max aggregate is the next action and
+                # materializes the checkpoint in the SAME job — one
+                # materialization per half-round instead of two
+                .localCheckpoint(eager=False)
             )
-            # lazy: _norm's max aggregate is the next action and
-            # materializes the checkpoint in the SAME job — one
-            # materialization per half-round instead of two
-            .localCheckpoint(eager=False)
-        )
-        auth = _norm(auth_pre, "__a__")  # projection over a leaf
-        # hub pass: sum NEW authorities over out-edges
-        hub_raw = (
-            e.join(
-                auth.select(F.col("vertex").alias("dst"), "__a__"), "dst"
+            auth = _norm(auth_pre, "__a__")  # projection over a leaf
+            # hub pass: sum NEW authorities over out-edges
+            hub_raw = (
+                e.join(
+                    F.broadcast(auth.select(F.col("vertex").alias("dst"), "__a__")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.sum("__a__").alias("__h__"))
             )
-            .groupBy("src")
-            .agg(F.sum("__a__").alias("__h__"))
-        )
-        hub_pre = (
-            verts.join(hub_raw, verts.vertex == hub_raw.src, "left")
-            .select(
-                "vertex",
-                F.coalesce("__h__", F.lit(0)).cast("long").alias("__h__"),
+            hub_pre = (
+                verts.join(F.broadcast(hub_raw), verts.vertex == hub_raw.src, "left")
+                .select(
+                    "vertex",
+                    F.coalesce("__h__", F.lit(0)).cast("long").alias("__h__"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
-        hub = _norm(hub_pre, "__h__")
-        state = hub.withColumnRenamed("__h__", "hub_scaled").join(
-            auth.withColumnRenamed("__a__", "auth_scaled"), "vertex"
-        )
+            hub = _norm(hub_pre, "__h__")
+            state = hub.withColumnRenamed("__h__", "hub_scaled").join(
+                F.broadcast(auth.withColumnRenamed("__a__", "auth_scaled")), "vertex"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", sp0)
     # the final state derives only from the per-half-round checkpoint
     # leaves, so the loop pins can be released without a seal pass
     e.unpersist()
