@@ -1226,24 +1226,45 @@ def containment_pairs(
 
     Same lossless shared-shingle blocking as `jaccard_dup_pairs`
     (containment > 0 ⟹ a shared shingle exists; `max_shingle_df`
-    caps stop-shingle blow-up identically), with two pair-volume cuts
-    on top of it:
+    caps stop-shingle blow-up identically), with three pair-volume
+    cuts on top of it:
 
-    - the equi-join runs on a 60-bit md5 digest of the shingle (8-byte
-      shuffle keys + long-key hash join instead of n-gram strings; the
-      DuckDB twin replays the identical digest, so even the ~2⁻⁶¹
-      collision events agree across engines — the minhash-oracle
-      discipline), and
-    - set sizes ride along through the explode, so the containment
-      upper bound inter/|inner| ≤ |outer|/|inner| prunes pairs BEFORE
-      the counting aggregate (with a -1 slack so float roundoff can
-      never drop a boundary pair) and the per-pair size join
-      disappears entirely.
+    - keys are a 60-bit md5 digest of the shingle (8-byte shuffle
+      keys instead of n-gram strings; the DuckDB twin replays the
+      identical digest, so even the ~2⁻⁶¹ collision events agree
+      across engines — the minhash-oracle discipline; a string-join
+      parity test pins the collision-free assumption on the test
+      corpus),
+    - GROUP-THEN-PAIR instead of a self-join: digests shuffle ONCE
+      into per-digest member lists and candidate pairs are emitted
+      map-side after the exchange (the winnow_dup_pairs shape) —
+      the self-join shuffled the exploded table twice and built a
+      hash relation of it besides. Intersections are counted
+      UNDIRECTED (d1 < d2) and both directed rows are derived from
+      the one count post-agg, halving the pair-row volume again;
+      a pair-row survives pre-agg only if EITHER direction could
+      still clear the containment bound inter ≤ min(n1, n2) (with a
+      -1 slack so float roundoff can never drop a boundary pair),
+    - set sizes ride along through the explode, so no per-pair size
+      join anywhere.
+
+    A member list is all docs sharing one digest — bounded by
+    ``max_shingle_df`` when set, which is the 100-TB dial (a stop
+    shingle otherwise collects its whole document frequency into one
+    aggregation state, exactly as it exploded the self-join before).
+    The shingling scan is repartitioned to the session's default
+    parallelism when the input arrives in fewer partitions (a single
+    parquet file at test scale serialized the whole md5 pass onto
+    one core).
 
     Output one row per DIRECTED pair with containment ≥ threshold:
     (doc_inner, doc_outer, n_inner, inter, containment) — doc_inner
     is the (near-)contained document.
     """
+    t = float(threshold)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
     ex = sh.select(
         "doc_id",
@@ -1261,31 +1282,52 @@ def containment_pairs(
         "doc_id",
         "n_sh",
         F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
-    ).cache()
-    # ^ both join sides scan it: the cache materializes the
-    # shingle+digest pass once, inline with the first side's stage
-    # (pipelined — see the materialization policy in DESIGN.md §5);
-    # session-scoped pin, cleared by bench.py between queries
-    a = ex.select(
-        F.col("doc_id").alias("doc_inner"), F.col("n_sh").alias("n_inner"), "h"
     )
-    b = ex.select(
-        F.col("doc_id").alias("doc_outer"), F.col("n_sh").alias("n_outer"), "h"
+    members = ex.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "n_sh")).alias("ms")
     )
-    inter = (
-        a.join(b, on="h")
+    und = (
+        members.select(F.explode("ms").alias("m1"), "ms")
+        .select(
+            F.col("m1.doc_id").alias("d1"),
+            F.col("m1.n_sh").alias("n1"),
+            F.explode("ms").alias("m2"),
+        )
         .filter(
-            (F.col("doc_inner") != F.col("doc_outer"))
+            (F.col("d1") < F.col("m2.doc_id"))
             & (
-                F.col("n_outer").cast("double")
-                >= F.col("n_inner") * F.lit(float(threshold)) - F.lit(1.0)
+                (F.col("m2.n_sh").cast("double") >= F.col("n1") * t - 1.0)
+                | (F.col("n1").cast("double") >= F.col("m2.n_sh") * t - 1.0)
             )
         )
-        .groupBy("doc_inner", "doc_outer", "n_inner")
+        .groupBy(
+            "d1",
+            "n1",
+            F.col("m2.doc_id").alias("d2"),
+            F.col("m2.n_sh").alias("n2"),
+        )
         .agg(F.count("*").alias("inter"))
     )
+    both = und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("d1").alias("doc_inner"),
+                    F.col("d2").alias("doc_outer"),
+                    F.col("n1").alias("n_inner"),
+                    "inter",
+                ),
+                F.struct(
+                    F.col("d2").alias("doc_inner"),
+                    F.col("d1").alias("doc_outer"),
+                    F.col("n2").alias("n_inner"),
+                    "inter",
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     return (
-        inter.withColumn(
+        both.withColumn(
             "containment",
             F.round(F.col("inter") / F.col("n_inner"), 6),
         )
