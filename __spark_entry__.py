@@ -1412,6 +1412,26 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline WITH the SemDeDup stage (keeper-anchored
+    epsilon-prune over the shared corpus-wide Lloyd fit) inserted
+    between decontamination and packing — the SemDeDup paper's
+    placement in a training-data pipeline. The fit is injected from
+    the `_kmeans_assigned` memo (the same one clustering serves four
+    other queries); the DuckDB oracle replays the full composition:
+    every curation stage + the unrolled exact-BIGINT Lloyd chain +
+    the keeper window + the distance-to-keeper prune.
+    Output: (lang, n_docs, n_tokens, n_chunks) of the pruned corpus."""
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        embeddings=_t(spark, sf_dir, "embeddings"),
+        semantic_eps_e12=1_600_000_000_000,
+        semantic_assigned=_kmeans_assigned(spark, sf_dir),
+    )
+
+
 def q_ingest_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 bulk entity ingest (reference storage.py:183-199 as a batch):
     guarded insert of 15k customer rows against a 10% pre-seeded store,
@@ -3371,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,  # new late r6: SemDeDup keeper-per-cluster
         "semantic_prune": q_semantic_prune,  # new late r6: thresholded SemDeDup survivors
         "cluster_sample": q_cluster_sample,  # new late r6: cluster-balanced diversity sample
+        "corpus_curation_semantic": q_corpus_curation_semantic,  # new r7: SemDeDup curation stage
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3704,7 +3725,9 @@ def _lpa_oracle_sql(iterations: int = 3) -> str:
     """
 
 
-def _kmeans_chain_sql(k: int, d: int, iterations: int) -> tuple[str, str]:
+def _kmeans_chain_sql(
+    k: int, d: int, iterations: int, *, leading: bool = True
+) -> tuple[str, str]:
     """Shared DuckDB replica of the fixed-point Lloyd recurrence
     (quantize → unrolled assignment+update CTE pair per round): returns
     (with_prefix, dist_expr) so q_kmeans_clusters and q_semantic_dedup
@@ -3712,7 +3735,9 @@ def _kmeans_chain_sql(k: int, d: int, iterations: int) -> tuple[str, str]:
     The means use the same sign-wrapped truncating division as the
     Spark side (on the positive domain DuckDB's `//` and Spark/python
     truncation agree, so wrapping negatives through abs removes the
-    floor-vs-trunc divergence)."""
+    floor-vs-trunc divergence). ``leading=False`` omits the WITH
+    keyword so the chain can be appended to an existing CTE block
+    (the corpus_curation_semantic composition)."""
     dist = " + ".join(
         f"(v.ve[{j}] - c.ce[{j}]) * (v.ve[{j}] - c.ce[{j}])"
         for j in range(1, d + 1)
@@ -3753,8 +3778,9 @@ def _kmeans_chain_sql(k: int, d: int, iterations: int) -> tuple[str, str]:
             ) m ON c.cid = m.cid
         )""")
     chain = ",\n        ".join(ctes)
+    lead = "WITH " if leading else ""
     prefix = f"""
-        WITH v AS (
+        {lead}v AS (
             SELECT vec_id,
                    list_transform(embedding::DOUBLE[],
                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
@@ -4237,6 +4263,180 @@ def oracle_sql() -> dict[str, str]:
     es = "['el','la','de','que','los','con','una','por']"
     fr = "['le','la','les','des','est','dans','une','pour']"
     de = "['der','die','das','und','ist','mit','ein','nicht']"
+    # Shared CTE block replaying the curation pipeline through the
+    # decontaminated `clean` survivor set — composed by BOTH
+    # corpus_curation (packing tail over `clean`) and
+    # corpus_curation_semantic (Lloyd chain + keeper-anchored
+    # epsilon-prune between `clean` and the packing tail).
+    curation_prefix = f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id, text, lang, length(text) AS n_chars,
+                       string_split({_NORM}, ' ') AS toks,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+                       round(len(list_filter(toks, t -> list_contains({en}, t)))
+                             / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
+                       round(len(list_distinct(toks))
+                             / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
+                FROM base
+            ),
+            score AS (
+                SELECT doc_id, n_tokens,
+                       (least(n_tokens * 10000, 1000000) * 25
+                        + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
+                        + least(CAST(round(stopword_ratio * 1000000) AS BIGINT) * 5, 1000000) * 20
+                        + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS q
+                FROM feat
+            ),
+            lidh AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains({de}, x))) AS h_de,
+                       len(list_filter(toks, x -> list_contains({en}, x))) AS h_en,
+                       len(list_filter(toks, x -> list_contains({es}, x))) AS h_es,
+                       len(list_filter(toks, x -> list_contains({fr}, x))) AS h_fr
+                FROM base
+            ),
+            lid AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+                            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                            WHEN h_es >= h_fr THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM lidh
+            ),
+            keep AS (
+                SELECT b.doc_id, b.text, b.lang, b.toks, l.lang_pred, s.n_tokens
+                FROM base b
+                JOIN score s ON s.doc_id = b.doc_id
+                JOIN lid l ON l.doc_id = b.doc_id
+                WHERE s.q >= 55000000 AND l.lang_pred != 'und'
+            ),
+            corpus AS (SELECT * FROM keep WHERE doc_id % 20 != 0),
+            bench AS (SELECT * FROM keep WHERE doc_id % 20 = 0),
+            edwin AS (
+                SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id, md5({_NORM}) AS h FROM corpus)
+                GROUP BY h
+            ),
+            surv1 AS (SELECT c.* FROM corpus c JOIN edwin USING (doc_id)),
+            shs AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM surv1
+            ),
+            exs AS (SELECT doc_id, unnest(shingles) AS s FROM shs),
+            szs AS (SELECT doc_id, len(shingles) AS n FROM shs),
+            jp AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            jpairs AS (
+                SELECT doc_a, doc_b FROM jp
+                JOIN szs na ON na.doc_id = doc_a
+                JOIN szs nb ON nb.doc_id = doc_b
+                WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
+            ),
+            ee AS (
+                SELECT doc_a AS a, doc_b AS b FROM jpairs
+                UNION SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM ee
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN ee e ON r.b = e.a
+            ),
+            jdrops AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+            surv2 AS (
+                SELECT * FROM surv1
+                WHERE doc_id NOT IN (SELECT doc_id FROM jdrops)
+            ),
+            shb AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3
+                                THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                                ELSE [array_to_string(toks, ' ')] END
+                       ) AS shingles
+                FROM bench
+            ),
+            exs2 AS (
+                SELECT * FROM exs WHERE doc_id IN (SELECT doc_id FROM surv2)
+            ),
+            exb AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM shb),
+            szb AS (SELECT doc_id AS bench_id, len(shingles) AS n FROM shb),
+            cp AS (
+                SELECT e.doc_id AS corpus_id, b.bench_id, count(*) AS inter
+                FROM exs2 e JOIN exb b USING (s) GROUP BY 1, 2
+            ),
+            conts AS (
+                SELECT DISTINCT corpus_id AS doc_id FROM cp
+                JOIN szs nc ON nc.doc_id = corpus_id
+                JOIN szb nb ON nb.bench_id = cp.bench_id
+                WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
+            ),
+            clean AS (
+                SELECT * FROM surv2
+                WHERE doc_id NOT IN (SELECT doc_id FROM conts)
+            )"""
+    packing_tail = """,
+            p AS (
+                SELECT doc_id, lang, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS st
+                FROM {src}
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   count(DISTINCT st // 2048)::BIGINT AS n_chunks
+            FROM p GROUP BY 1 ORDER BY 1
+        """
+    chain_core, _ = _kmeans_chain_sql(8, 64, 3, leading=False)
+    distk = " + ".join(
+        f"(va.ve[{j}] - vk.ve[{j}]) * (va.ve[{j}] - vk.ve[{j}])"
+        for j in range(1, 65)
+    )
+    semantic_ctes = f""",
+            {chain_core},
+            afc AS (
+                SELECT a.* FROM assign_final a
+                JOIN clean c ON a.vec_id = c.doc_id
+            ),
+            keepc AS (
+                SELECT cid, vec_id AS keeper_id
+                FROM (
+                    SELECT vec_id, cid, dist,
+                           row_number() OVER (PARTITION BY cid
+                                              ORDER BY dist, vec_id) AS krn
+                    FROM afc
+                )
+                WHERE krn = 1
+            ),
+            semsurv AS (
+                SELECT a.vec_id AS doc_id
+                FROM afc a
+                JOIN keepc kp ON a.cid = kp.cid
+                JOIN v va ON va.vec_id = a.vec_id
+                JOIN v vk ON vk.vec_id = kp.keeper_id
+                WHERE a.vec_id = kp.keeper_id OR {distk} > 1600000000000
+            ),
+            clean2 AS (
+                SELECT * FROM clean
+                WHERE doc_id IN (SELECT doc_id FROM semsurv)
+            )"""
     return {
         "trimmed_value": """
             WITH ranked AS (
@@ -5048,141 +5248,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
             ORDER BY corpus_id, bench_id
         """,
-        "corpus_curation": f"""
-            WITH RECURSIVE base AS (
-                SELECT doc_id, text, lang, length(text) AS n_chars,
-                       string_split({_NORM}, ' ') AS toks,
-                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
-                FROM documents
-            ),
-            feat AS (
-                SELECT doc_id, len(toks) AS n_tokens,
-                       round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
-                       round(len(list_filter(toks, t -> list_contains({en}, t)))
-                             / greatest(len(toks), 1)::DOUBLE, 6) AS stopword_ratio,
-                       round(len(list_distinct(toks))
-                             / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
-                FROM base
-            ),
-            score AS (
-                SELECT doc_id, n_tokens,
-                       (least(n_tokens * 10000, 1000000) * 25
-                        + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
-                        + least(CAST(round(stopword_ratio * 1000000) AS BIGINT) * 5, 1000000) * 20
-                        + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS q
-                FROM feat
-            ),
-            lidh AS (
-                SELECT doc_id,
-                       len(list_filter(toks, x -> list_contains({de}, x))) AS h_de,
-                       len(list_filter(toks, x -> list_contains({en}, x))) AS h_en,
-                       len(list_filter(toks, x -> list_contains({es}, x))) AS h_es,
-                       len(list_filter(toks, x -> list_contains({fr}, x))) AS h_fr
-                FROM base
-            ),
-            lid AS (
-                SELECT doc_id,
-                       CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
-                            WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-                            WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-                            WHEN h_es >= h_fr THEN 'es'
-                            ELSE 'fr' END AS lang_pred
-                FROM lidh
-            ),
-            keep AS (
-                SELECT b.doc_id, b.text, b.lang, b.toks, l.lang_pred, s.n_tokens
-                FROM base b
-                JOIN score s ON s.doc_id = b.doc_id
-                JOIN lid l ON l.doc_id = b.doc_id
-                WHERE s.q >= 55000000 AND l.lang_pred != 'und'
-            ),
-            corpus AS (SELECT * FROM keep WHERE doc_id % 20 != 0),
-            bench AS (SELECT * FROM keep WHERE doc_id % 20 = 0),
-            edwin AS (
-                SELECT min(doc_id) AS doc_id
-                FROM (SELECT doc_id, md5({_NORM}) AS h FROM corpus)
-                GROUP BY h
-            ),
-            surv1 AS (SELECT c.* FROM corpus c JOIN edwin USING (doc_id)),
-            shs AS (
-                SELECT doc_id,
-                       list_distinct(
-                           CASE WHEN len(toks) >= 3
-                                THEN list_transform(range(1, len(toks) - 1),
-                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                                ELSE [array_to_string(toks, ' ')] END
-                       ) AS shingles
-                FROM surv1
-            ),
-            exs AS (SELECT doc_id, unnest(shingles) AS s FROM shs),
-            szs AS (SELECT doc_id, len(shingles) AS n FROM shs),
-            jp AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            jpairs AS (
-                SELECT doc_a, doc_b FROM jp
-                JOIN szs na ON na.doc_id = doc_a
-                JOIN szs nb ON nb.doc_id = doc_b
-                WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
-            ),
-            ee AS (
-                SELECT doc_a AS a, doc_b AS b FROM jpairs
-                UNION SELECT doc_b, doc_a FROM jpairs
-            ),
-            reach(a, b) AS (
-                SELECT a, b FROM ee
-                UNION
-                SELECT r.a, e.b FROM reach r JOIN ee e ON r.b = e.a
-            ),
-            jdrops AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
-            surv2 AS (
-                SELECT * FROM surv1
-                WHERE doc_id NOT IN (SELECT doc_id FROM jdrops)
-            ),
-            shb AS (
-                SELECT doc_id,
-                       list_distinct(
-                           CASE WHEN len(toks) >= 3
-                                THEN list_transform(range(1, len(toks) - 1),
-                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                                ELSE [array_to_string(toks, ' ')] END
-                       ) AS shingles
-                FROM bench
-            ),
-            exs2 AS (
-                SELECT * FROM exs WHERE doc_id IN (SELECT doc_id FROM surv2)
-            ),
-            exb AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM shb),
-            szb AS (SELECT doc_id AS bench_id, len(shingles) AS n FROM shb),
-            cp AS (
-                SELECT e.doc_id AS corpus_id, b.bench_id, count(*) AS inter
-                FROM exs2 e JOIN exb b USING (s) GROUP BY 1, 2
-            ),
-            conts AS (
-                SELECT DISTINCT corpus_id AS doc_id FROM cp
-                JOIN szs nc ON nc.doc_id = corpus_id
-                JOIN szb nb ON nb.bench_id = cp.bench_id
-                WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
-            ),
-            clean AS (
-                SELECT * FROM surv2
-                WHERE doc_id NOT IN (SELECT doc_id FROM conts)
-            ),
-            p AS (
-                SELECT doc_id, lang, n_tokens,
-                       coalesce(sum(n_tokens) OVER (
-                           PARTITION BY lang ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                       ), 0) AS st
-                FROM clean
-            )
-            SELECT lang, count(*) AS n_docs,
-                   sum(n_tokens)::BIGINT AS n_tokens,
-                   count(DISTINCT st // 2048)::BIGINT AS n_chunks
-            FROM p GROUP BY 1 ORDER BY 1
-        """,
+        "corpus_curation": curation_prefix + packing_tail.format(src="clean"),
+        "corpus_curation_semantic": (
+            curation_prefix + semantic_ctes + packing_tail.format(src="clean2")
+        ),
         "ingest_m1": """
             WITH base AS (
                 SELECT c_name AS name,

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "emb_centroids",
     "ingest_m1",
     "corpus_curation",
+    "corpus_curation_semantic",
     "text_quality",
     "text_langid",
     "scrub_pii",

@@ -45,6 +45,12 @@ def curate_corpus(
     boilerplate_seg_tokens: int | None = None,
     boilerplate_max_df: int = 2,
     near_dup_method: str = "jaccard",
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    semantic_eps_e12: int | None = None,
+    semantic_k: int = 8,
+    semantic_iterations: int = 3,
+    semantic_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Run the curation pipeline; returns the per-language summary
     (lang, n_docs, n_tokens, n_chunks) of the surviving corpus — the
@@ -77,6 +83,21 @@ def curate_corpus(
     longs instead of exploded shingle strings. Pair recall is the only
     difference, and planted-dup recall is tested in
     tools/scale_probe.py and tests/test_dedup.py.
+
+    ``semantic_eps_e12`` (optional) inserts a SEMANTIC dedup stage —
+    SemDeDup's keeper-anchored epsilon-prune
+    (`operators.similarity.semantic_prune`) — between decontamination
+    and packing, the paper's placement (prune semantic near-duplicates
+    of the already exact/near-deduped training corpus before the mix
+    is constructed). Requires ``embeddings`` (one row per doc,
+    ``emb_id_col`` aligned with doc_id). The cluster space is fitted
+    over ALL provided embeddings (the corpus-wide semantic model, so a
+    precomputed assignment can be injected via ``semantic_assigned``
+    and shared with other curation ops — fit once, serve many); the
+    keeper pick and the prune run WITHIN the decontaminated survivor
+    set only. All arithmetic is the exact fixed-point integer
+    discipline of `kmeans_fit`, so the end-to-end oracle replays this
+    stage too.
 
     ``max_shingle_df`` is the stop-shingle skew guard for BOTH
     similarity joins and is MANDATORY at scale: boilerplate n-grams
@@ -133,6 +154,41 @@ def curate_corpus(
         "doc_id",
         "left_anti",
     )
+
+    if semantic_eps_e12 is not None:
+        from hippollm_spark.operators.similarity import kmeans_fit, semantic_prune
+
+        if embeddings is None and semantic_assigned is None:
+            raise ValueError(
+                "semantic_eps_e12 needs `embeddings` (or a precomputed "
+                "`semantic_assigned`)"
+            )
+        vecs = embeddings.select(
+            F.col(emb_id_col).alias("doc_id"), "embedding"
+        )
+        assigned = semantic_assigned
+        if assigned is None:
+            _cents, assigned = kmeans_fit(
+                vecs,
+                k=semantic_k,
+                iterations=semantic_iterations,
+                id_col="doc_id",
+                method="pandas",
+            )
+        # restrict to the decontaminated survivors: keepers and the
+        # epsilon rule are evaluated within the training corpus only
+        assigned_c = assigned.join(
+            clean.select(F.col("doc_id").alias("__id__")), "__id__", "semi"
+        )
+        surv_sem = semantic_prune(
+            vecs,
+            eps_e12=semantic_eps_e12,
+            id_col="doc_id",
+            assigned=assigned_c,
+        )
+        clean = clean.join(
+            surv_sem.select(F.col("__id__").alias("doc_id")), "doc_id", "semi"
+        )
 
     # Pack by the corpus's shard column (per-language token streams);
     # the predicted language was the GATE, the table's lang column is

@@ -137,6 +137,66 @@ def test_curate_corpus_end_to_end(spark):
     assert out[0]["n_chunks"] == 1
 
 
+def test_curate_corpus_semantic_stage(spark):
+    """The SemDeDup stage prunes members within eps of their cluster's
+    keeper but never the keeper itself; eps=0 keeps everything (every
+    non-keeper is farther than 0 unless identical), a huge eps keeps
+    exactly one doc per cluster present in the clean set; omitting the
+    knob reproduces the plain pipeline; asking for it without
+    embeddings raises."""
+    import pytest
+
+    from hippollm_spark.pipelines.curate import curate_corpus
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog in the meadow of the farm",
+        3: "the spark catalyst optimizer is the engine that plans the query with the codegen",
+        9: "the rain in the north falls on the hills and the rivers run to the sea",
+        11: "the cat sleeps with the dog near the fire and the mouse watches the cheese",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # two tight semantic clusters: {1, 11} near (1,0), {3, 9} near (0,1)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (11, [1.01, 0.02]),
+            (3, [0.0, 1.0]),
+            (9, [0.02, 1.01]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    plain = curate_corpus(docs, min_quality_e8=50_000_000).collect()
+    assert plain[0]["n_docs"] == 4
+
+    # eps large enough to swallow each cluster -> one keeper per cluster
+    pruned = curate_corpus(
+        docs,
+        min_quality_e8=50_000_000,
+        embeddings=emb,
+        semantic_eps_e12=10**10,
+        semantic_k=2,
+        semantic_iterations=2,
+    ).collect()
+    assert pruned[0]["n_docs"] == 2
+
+    # eps=0: nothing inside the radius, everything survives
+    keep_all = curate_corpus(
+        docs,
+        min_quality_e8=50_000_000,
+        embeddings=emb,
+        semantic_eps_e12=0,
+        semantic_k=2,
+        semantic_iterations=2,
+    ).collect()
+    assert keep_all[0]["n_docs"] == 4
+
+    with pytest.raises(ValueError, match="embeddings"):
+        curate_corpus(docs, semantic_eps_e12=1).collect()
+
+
 def test_curate_corpus_with_shingle_cap_same_result(spark):
     """The stop-shingle skew guard must not change the outcome when the
     cap is above every real shingle's document frequency."""
