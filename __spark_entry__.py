@@ -1342,6 +1342,40 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-R serving path: the nprobe=8 ADC scan produces a
+    100-deep shortlist whose rows are re-scored with the EXACT integer
+    distance (one broadcast semi-join + O(100·d) map — the page of
+    full vectors a deployment fetches for the shortlist). Converts
+    PQ-distortion-limited ranking into coarse-quantizer-limited
+    recall (the measured curve is in COVERAGE.md); every step exact
+    BIGINT, so DuckDB replays shortlist AND re-rank bit-for-bit."""
+    from hippollm_spark.operators.similarity import (
+        ivfpq_topk_rerank,
+        load_ivfpq_e6,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    art = load_ivfpq_e6()
+    q_e6 = emb.filter("vec_id = 3").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("q")
+    ).first()["q"]
+    import numpy as np
+
+    return ivfpq_topk_rerank(
+        emb,
+        np.array(art["coarse_e6"]),
+        np.array(art["codebooks_e6"]),
+        np.array(q_e6, dtype=np.int64),
+        k=10,
+        nprobe=8,
+        rerank=100,
+    )
+
+
 def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact baseline)."""
     from hippollm_spark.operators.dedup import embedding_dup_pairs
@@ -3392,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_prune": q_semantic_prune,  # new late r6: thresholded SemDeDup survivors
         "cluster_sample": q_cluster_sample,  # new late r6: cluster-balanced diversity sample
         "corpus_curation_semantic": q_corpus_curation_semantic,  # new r7: SemDeDup curation stage
+        "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # new r7: IVFADC-R exact re-rank
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3952,13 +3987,18 @@ def _pq_oracle_sql() -> str:
     """
 
 
-def _ivfpq_oracle_sql(nprobe: int = 4, k: int = 10) -> str:
+def _ivfpq_oracle_sql(
+    nprobe: int = 4, k: int = 10, rerank: int | None = None
+) -> str:
     """DuckDB replica of q_ann_ivfpq_topk from the SAME persisted e6
     artifacts (hippollm_spark/assets/ivfpq_e6.json): coarse argmin per
     vector with (dist, list) tie-break, probe selection as a
     row_number over centroid distances to the query, residual PQ
     encode over only the probed lists' vectors, per-list LUT join.
-    All exact BIGINT — bit-identical to the Spark scan at any sf."""
+    All exact BIGINT — bit-identical to the Spark scan at any sf.
+    With ``rerank`` set, the ADC ranking becomes a rerank-deep
+    shortlist whose rows are re-scored with the exact integer
+    distance (IVFADC-R) — the q_ann_ivfpq_rerank twin."""
     from hippollm_spark.operators.similarity import load_ivfpq_e6
 
     art = load_ivfpq_e6()
@@ -4045,6 +4085,69 @@ def _ivfpq_oracle_sql(nprobe: int = 4, k: int = 10) -> str:
         JOIN lut ON lut.l = e.l AND lut.j = e.j AND lut.cid = e.cid
         GROUP BY e.vec_id
         ORDER BY dist_e12, vec_id
+        LIMIT {k}
+    """ if rerank is None else f"""
+        WITH cent(l, ce) AS (VALUES
+            {cent_vals}),
+        cb(j, cid, ce) AS (VALUES
+            {cb_vals}),
+        v AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
+            FROM embeddings
+        ),
+        q AS (SELECT ve FROM v WHERE vec_id = 3),
+        probed AS (
+            SELECT l FROM (
+                SELECT cent.l,
+                       row_number() OVER (ORDER BY {qcdist}, cent.l) AS rn
+                FROM cent CROSS JOIN q
+            ) WHERE rn <= {nprobe}
+        ),
+        assign AS (
+            SELECT vec_id, l FROM (
+                SELECT v.vec_id, cent.l,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {vcdist}, cent.l) AS rn
+                FROM v CROSS JOIN cent
+            ) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT v.vec_id, a.l, v.ve, cent.ce AS centv
+            FROM v
+            JOIN assign a USING (vec_id)
+            JOIN probed USING (l)
+            JOIN cent ON cent.l = a.l
+        ),
+        enc AS (
+            SELECT vec_id, l, j, cid FROM (
+                SELECT c.vec_id, c.l, cb.j, cb.cid,
+                       row_number() OVER (PARTITION BY c.vec_id, cb.j
+                                          ORDER BY {rdist}, cb.cid) AS rn
+                FROM cand c CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT p.l, cb.j, cb.cid, {qrdist} AS d
+            FROM probed p
+            JOIN cent ON cent.l = p.l
+            CROSS JOIN cb CROSS JOIN q
+        ),
+        short AS (
+            SELECT e.vec_id, CAST(sum(lut.d) AS BIGINT) AS adc
+            FROM enc e
+            JOIN lut ON lut.l = e.l AND lut.j = e.j AND lut.cid = e.cid
+            GROUP BY e.vec_id
+            ORDER BY adc, vec_id
+            LIMIT {int(rerank)}
+        )
+        SELECT s.vec_id,
+               CAST({" + ".join(f"(va.ve[{i}] - q.ve[{i}]) * (va.ve[{i}] - q.ve[{i}])" for i in range(1, d + 1))} AS BIGINT) AS dist_e12
+        FROM short s
+        JOIN v va ON va.vec_id = s.vec_id
+        CROSS JOIN q
+        ORDER BY dist_e12, s.vec_id
         LIMIT {k}
     """
 
@@ -6176,6 +6279,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_sample": _cluster_sample_oracle_sql(20, 8, 64, 3),
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(4, 10),
+        "ann_ivfpq_rerank": _ivfpq_oracle_sql(8, 10, rerank=100),
         "pca_embeddings": _pca_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(4),
         "ewma_value": """

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "ingest_m1",
     "corpus_curation",
     "corpus_curation_semantic",
+    "ann_ivfpq_rerank",
     "text_quality",
     "text_langid",
     "scrub_pii",

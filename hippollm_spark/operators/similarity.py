@@ -784,6 +784,67 @@ def ivfpq_scan_quantized(
     )
 
 
+def ivfpq_topk_rerank(
+    vecs: DataFrame,
+    coarse_e6: np.ndarray,
+    codebooks_e6: np.ndarray,
+    query_e6: Sequence[int],
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC-R (Jegou et al., TPAMI 2011 §V): the `ivfpq_scan_quantized`
+    ADC pass produces a ``rerank``-deep shortlist, whose ``rerank``
+    rows are then re-scored with the EXACT integer distance and cut to
+    top-k — the standard serving refinement that converts PQ's
+    distortion-limited ranking into a coarse-quantizer-limited one
+    (measured on the sf0.1 table: re-rank recovers ≥95% of whatever
+    the probed lists admit; see the recall table in COVERAGE.md).
+
+    Scale shape: the ADC scan stays the only corpus-wide pass (list-
+    pruned, m-byte codes); the re-rank is one broadcast semi-join of
+    ``rerank`` ids against the store plus an O(rerank·d) exact-distance
+    map — at deployment this is the page of full vectors fetched for
+    the shortlist, never the corpus. All integer, (dist, id)
+    tie-breaks, so DuckDB replays shortlist AND re-rank bit-for-bit.
+    Output: (id, dist_e12 BIGINT exact) ascending, tie-break id.
+    """
+    q = np.asarray(list(query_e6), dtype=np.int64)
+    short = ivfpq_scan_quantized(
+        vecs, coarse_e6, codebooks_e6, query_e6,
+        k=int(rerank), nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    qlit = F.array(*[F.lit(int(x)) for x in q])
+    exact = (
+        vecs.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.transform(
+                        F.col(vec_col),
+                        lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast(
+                            "long"
+                        ),
+                    ),
+                    qlit,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist_e12"),
+        )
+    )
+    return (
+        exact.orderBy(F.asc("dist_e12"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "dist_e12")
+    )
+
+
 def pca_project_quantized(
     vecs: DataFrame,
     mean_e6: Sequence[int],
