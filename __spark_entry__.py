@@ -3385,17 +3385,73 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Ordered for the driver's 50-query-per-round checked prefix
-    # (round 6): slots 0-15 = queries whose implementation changed
-    # this round (new PQ/PCA oracles; digest-join containment;
-    # graph seal/unpersist + hits norm; kmeans pandas schema; MMR
-    # zero-norm guard); slots 16-49 = oldest driver rows (r01)
-    # refreshed first; everything below the marker has a newer row.
-        "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    # (round 7): slots 0-10 = queries whose implementation or oracle
+    # changed this round (semantic-family shared fit + struct-min
+    # keepers + cap_per_group draw; containment group-then-pair; hits
+    # broadcast/AQE loop tuning; phash small-dim resample; curation
+    # oracle refactor + NEW corpus_curation_semantic; NEW
+    # ann_ivfpq_rerank + its generator touching ann_ivfpq_topk);
+    # slots 11-49 = the r01/r02-era rows that have never been
+    # re-checked since (the staleness debt called out in VERDICT r6
+    # item 1) — tpch q22/q2/q11/q12/q16/q20/q21, rollup/window/
+    # quantiles/asof/zorder, the P/M/G/V relational families, then the
+    # oldest r02 rows. Everything below the marker has a newer row.
+        "corpus_curation_semantic": q_corpus_curation_semantic,  # NEW r7
+        "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # NEW r7
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,  # oracle generator touched r7
+        "kmeans_clusters": q_kmeans_clusters,  # shared-fit memo r7
+        "semantic_dedup": q_semantic_dedup,  # struct-min keeper r7
+        "semantic_prune": q_semantic_prune,  # struct-min keeper r7
+        "cluster_sample": q_cluster_sample,  # cap_per_group draw r7
+        "doc_containment": q_doc_containment,  # group-then-pair rework r7
+        "graph_hits": q_graph_hits,  # broadcast/AQE loop tuning r7
+        "corpus_curation": q_corpus_curation,  # oracle prefix refactor r7
+        "phash_pairs": q_phash_pairs,  # phash small-dim resample r7
+    # --- freshness refreshes: r01-era rows, never re-checked ---
+        "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_rollup": q_tpch_rollup,
+        "window_topk": q_window_topk,
+        "quantiles": q_quantiles,
+        "asof_join": q_asof_join,
+        "approx_stats": q_approx_stats,
+        "zorder_key": q_zorder_key,
+        "p1_entity_lookup": q_p1_entity_lookup,
+        "p2_fact_lookup": q_p2_fact_lookup,
+        "p4_union": q_p4_union,
+        "p5_intersection": q_p5_intersection,
+        "p6_lone_entities": q_p6_lone_entities,
+        "m1_upsert_guard": q_m1_upsert_guard,
+        "g1_neighbours": q_g1_neighbours,
+        "g3_cooccurrence": q_g3_cooccurrence,
+        "v3_knn": q_v3_knn,
+        "v4_filtered_knn": q_v4_filtered_knn,
+        "v5_union_knn": q_v5_union_knn,
+        "v6_intersection_knn": q_v6_intersection_knn,
+    # --- r02-era rows, oldest first ---
+        "emb_centroids": q_emb_centroids,
+        "global_rank": q_global_rank,
+        "prefix_revenue": q_prefix_revenue,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_click_join": q_stream_click_join,
+        "boilerplate_removal": q_boilerplate_removal,
+        "ingest_m1": q_ingest_m1,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "scrub_pii": q_scrub_pii,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "split_naive": q_split_naive,
+    # --- driver-verified more recently, outside the checked prefix ---
+        "split_paragraphs": q_split_paragraphs,
         "ann_pq_topk": q_ann_pq_topk,
         "pca_embeddings": q_pca_embeddings,
-        "doc_containment": q_doc_containment,
-        "corpus_curation": q_corpus_curation,
-        "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
         "graph_components_star": q_graph_components_star,
         "graph_bfs": q_graph_bfs,
@@ -3405,28 +3461,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_sssp": q_graph_sssp,
-        "kmeans_clusters": q_kmeans_clusters,
         "mmr_rerank": q_mmr_rerank,
-        "g2_explore": q_g2_explore,  # explore() sealed after the r6 rotation
-    # --- freshness refreshes (oldest driver rows first) ---
+        "g2_explore": q_g2_explore,
         "emb_dup_pairs": q_emb_dup_pairs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_exact": q_dedup_exact,
-        "graph_walks": q_graph_walks,  # walk/triangle pins reworked after the r6 rotation
-        "graph_triangles": q_graph_triangles,  # walk/triangle pins reworked after the r6 rotation
-        "contamination": q_contamination,  # dedup-path pins converted after the r6 rotation
-        "dup_spans": q_dup_spans,  # dedup-path pins converted after the r6 rotation
-        "dedup_groups": q_dedup_groups,  # dedup-path pins converted after the r6 rotation
-        "incremental_dedup": q_incremental_dedup,  # dedup-path pins converted after the r6 rotation
-        "golden_records": q_golden_records,  # jaccard/canonicalize pins restored to cache late r6
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,  # edit-distance group pin restored to cache late r6
-        "semantic_dedup": q_semantic_dedup,  # new late r6: SemDeDup keeper-per-cluster
-        "semantic_prune": q_semantic_prune,  # new late r6: thresholded SemDeDup survivors
-        "cluster_sample": q_cluster_sample,  # new late r6: cluster-balanced diversity sample
-        "corpus_curation_semantic": q_corpus_curation_semantic,  # new r7: SemDeDup curation stage
-        "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # new r7: IVFADC-R exact re-rank
+        "graph_walks": q_graph_walks,
+        "graph_triangles": q_graph_triangles,
+        "contamination": q_contamination,
+        "dup_spans": q_dup_spans,
+        "dedup_groups": q_dedup_groups,
+        "incremental_dedup": q_incremental_dedup,
+        "golden_records": q_golden_records,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q4": q_tpch_q4,
@@ -3443,47 +3492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "tpch_rollup": q_tpch_rollup,
-        "window_topk": q_window_topk,
-        "quantiles": q_quantiles,
-        "asof_join": q_asof_join,
-        "approx_stats": q_approx_stats,
-        "zorder_key": q_zorder_key,
-    # --- driver-verified more recently, outside the checked prefix ---
-        "p1_entity_lookup": q_p1_entity_lookup,
-        "p2_fact_lookup": q_p2_fact_lookup,
-        "p4_union": q_p4_union,
-        "p5_intersection": q_p5_intersection,
-        "p6_lone_entities": q_p6_lone_entities,
-        "m1_upsert_guard": q_m1_upsert_guard,
-        "g1_neighbours": q_g1_neighbours,
-        "g3_cooccurrence": q_g3_cooccurrence,
-        "v3_knn": q_v3_knn,
-        "v4_filtered_knn": q_v4_filtered_knn,
-        "v5_union_knn": q_v5_union_knn,
-        "v6_intersection_knn": q_v6_intersection_knn,
-        "emb_centroids": q_emb_centroids,
-        "global_rank": q_global_rank,
-        "prefix_revenue": q_prefix_revenue,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_click_join": q_stream_click_join,
-        "boilerplate_removal": q_boilerplate_removal,
-        "ingest_m1": q_ingest_m1,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "scrub_pii": q_scrub_pii,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "split_naive": q_split_naive,
-        "split_paragraphs": q_split_paragraphs,
         "events_windowed": q_events_windowed,
         "gap_fill": q_gap_fill,
         "heavy_hitters": q_heavy_hitters,
@@ -3516,7 +3524,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": q_markov_transitions,
         "basket_lift": q_basket_lift,
         "snapshot_diff": q_snapshot_diff,
-        "phash_pairs": q_phash_pairs,
         "score_buckets": q_score_buckets,
         "event_mode": q_event_mode,
         "lang_drift": q_lang_drift,
@@ -3710,11 +3717,11 @@ def _pagerank_oracle_sql(
             SELECT eb AS src, ea AS dst FROM pairs"""
         deg_sql = "SELECT src, count(*) AS outdeg FROM e GROUP BY src"
     return f"""
-        WITH ed AS ({_EDGES_SQL}),
-        pairs AS ({pairs_sql}),
-        e AS ({e_sql}),
-        verts AS (SELECT DISTINCT src AS vertex FROM e),
-        deg AS ({deg_sql}),
+        WITH ed AS MATERIALIZED ({_EDGES_SQL}),
+        pairs AS MATERIALIZED ({pairs_sql}),
+        e AS MATERIALIZED ({e_sql}),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM e),
+        deg AS MATERIALIZED ({deg_sql}),
         c AS (SELECT count(*) AS n FROM verts),
         {chain}
         SELECT vertex, rank_scaled FROM pr{iterations}
@@ -3743,18 +3750,18 @@ def _lpa_oracle_sql(iterations: int = 3) -> str:
         )""")
     chain = ",\n        ".join(ctes)
     return f"""
-        WITH ed AS ({_EDGES_SQL}),
-        pairs AS (
+        WITH ed AS MATERIALIZED ({_EDGES_SQL}),
+        pairs AS MATERIALIZED (
             SELECT DISTINCT a.entity AS ea, b.entity AS eb
             FROM ed a JOIN ed b
               ON a.fact_id = b.fact_id AND a.entity < b.entity
         ),
-        e AS (
+        e AS MATERIALIZED (
             SELECT ea AS src, eb AS dst FROM pairs
             UNION
             SELECT eb AS src, ea AS dst FROM pairs
         ),
-        verts AS (SELECT DISTINCT src AS vertex FROM e),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM e),
         {chain}
         SELECT vertex, label FROM lp{iterations} ORDER BY vertex
     """
@@ -3778,7 +3785,7 @@ def _kmeans_chain_sql(
         for j in range(1, d + 1)
     )
     ctes = [
-        f"""c0 AS (
+        f"""c0 AS MATERIALIZED (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
                    ve AS ce
             FROM v ORDER BY vec_id LIMIT {k}
@@ -3786,14 +3793,14 @@ def _kmeans_chain_sql(
     ]
     for i in range(1, iterations + 1):
         prev = f"c{i - 1}"
-        ctes.append(f"""a{i} AS (
+        ctes.append(f"""a{i} AS MATERIALIZED (
             SELECT vec_id, cid, dist,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY dist, cid) AS rn
             FROM (SELECT v.vec_id, c.cid, {dist} AS dist
                   FROM v CROSS JOIN {prev} c)
         )""")
-        ctes.append(f"""m{i} AS (
+        ctes.append(f"""m{i} AS MATERIALIZED (
             SELECT a.cid, dims.dim,
                    CAST(sum(v.ve[dims.dim]) AS BIGINT) AS s,
                    count(*) AS n
@@ -3802,7 +3809,7 @@ def _kmeans_chain_sql(
             CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS dim) dims
             GROUP BY a.cid, dims.dim
         )""")
-        ctes.append(f"""c{i} AS (
+        ctes.append(f"""c{i} AS MATERIALIZED (
             SELECT c.cid,
                    coalesce(m.ce, c.ce) AS ce
             FROM {prev} c LEFT JOIN (
@@ -3815,14 +3822,14 @@ def _kmeans_chain_sql(
     chain = ",\n        ".join(ctes)
     lead = "WITH " if leading else ""
     prefix = f"""
-        {lead}v AS (
+        {lead}v AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(embedding::DOUBLE[],
                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
             FROM embeddings
         ),
         {chain},
-        assign_final AS (
+        assign_final AS MATERIALIZED (
             SELECT vec_id, cid, dist
             FROM (
                 SELECT vec_id, cid, dist,
@@ -4203,14 +4210,14 @@ def _sssp_oracle_sql(rounds: int = 4, seed: str = ENTITY_A) -> str:
         )""")
     chain = ",\n        ".join(ctes)
     return f"""
-        WITH ed AS ({_EDGES_SQL}),
-        pairs AS (
+        WITH ed AS MATERIALIZED ({_EDGES_SQL}),
+        pairs AS MATERIALIZED (
             SELECT a.entity AS ea, b.entity AS eb, count(*)::BIGINT AS ww
             FROM ed a JOIN ed b
               ON a.fact_id = b.fact_id AND a.entity < b.entity
             GROUP BY 1, 2
         ),
-        e AS (
+        e AS MATERIALIZED (
             SELECT ea AS src, eb AS dst, 1000000 // ww AS w FROM pairs
             UNION ALL
             SELECT eb AS src, ea AS dst, 1000000 // ww AS w FROM pairs
@@ -4514,11 +4521,11 @@ def oracle_sql() -> dict[str, str]:
     )
     semantic_ctes = f""",
             {chain_core},
-            afc AS (
+            afc AS MATERIALIZED (
                 SELECT a.* FROM assign_final a
                 JOIN clean c ON a.vec_id = c.doc_id
             ),
-            keepc AS (
+            keepc AS MATERIALIZED (
                 SELECT cid, vec_id AS keeper_id
                 FROM (
                     SELECT vec_id, cid, dist,
@@ -4528,7 +4535,7 @@ def oracle_sql() -> dict[str, str]:
                 )
                 WHERE krn = 1
             ),
-            semsurv AS (
+            semsurv AS MATERIALIZED (
                 SELECT a.vec_id AS doc_id
                 FROM afc a
                 JOIN keepc kp ON a.cid = kp.cid
@@ -5517,7 +5524,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": _pagerank_oracle_sql(seeds=[ENTITY_A, ENTITY_B]),
         "graph_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "graph_triangles": f"""
-            WITH ed AS ({_EDGES_SQL}),
+            WITH ed AS MATERIALIZED ({_EDGES_SQL}),
             pairs AS (
                 SELECT DISTINCT a.entity AS a, b.entity AS b
                 FROM ed a JOIN ed b
@@ -6255,7 +6262,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN b USING (event_type)
         """,
         "entity_similarity": f"""
-            WITH ed AS ({_EDGES_SQL}),
+            WITH ed AS MATERIALIZED ({_EDGES_SQL}),
             pairs AS (
                 SELECT a.entity AS entity_a, b.entity AS entity_b,
                        count(*) AS n_shared
@@ -6944,7 +6951,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1 ORDER BY group_id
         """,
         "graph_kcore": f"""
-            WITH ed AS ({_EDGES_SQL}),
+            WITH ed AS MATERIALIZED ({_EDGES_SQL}),
             p AS (
                 SELECT DISTINCT a.entity AS a, b.entity AS b
                 FROM ed a JOIN ed b
@@ -7880,7 +7887,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u ORDER BY event_type, lag
         """,
         "graph_walks": f"""
-            WITH ed AS ({_EDGES_SQL}),
+            WITH ed AS MATERIALIZED ({_EDGES_SQL}),
             p AS (
                 SELECT DISTINCT a.entity AS a, b.entity AS b
                 FROM ed a JOIN ed b

@@ -33,7 +33,9 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet"
+            + ("/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "")
+            + "'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -54,7 +54,9 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet"
+            + ("/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "")
+            + "'"
         )
 
     qs = entry_mod.queries()
