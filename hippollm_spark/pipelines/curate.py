@@ -163,6 +163,11 @@ def curate_corpus(
                 "semantic_eps_e12 needs `embeddings` (or a precomputed "
                 "`semantic_assigned`)"
             )
+        # three consumers downstream (the clean-set restriction of the
+        # assignment, the survivor semi-join, the packing input) — pin
+        # the decontaminated survivor set so the six curation stages
+        # above run once, not three times
+        clean = clean.cache()
         vecs = embeddings.select(
             F.col(emb_id_col).alias("doc_id"), "embedding"
         )
