@@ -17,10 +17,47 @@ join on edges and only rejoin payloads at the end. Frontier joins cache
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+# A loop state table at or below this row count is broadcast into the
+# per-round joins (checkpoint leaves have no size statistics, so the
+# planner would otherwise exchange the big cached edge list every
+# round); above it, the shuffle join is the right plan and the hint is
+# withheld. ~2M rows of (vertex, long) is tens of MB serialized.
+_BROADCAST_STATE_MAX = 2_000_000
+
+
+def _bc(df: DataFrame, n: int) -> DataFrame:
+    """Broadcast hint gated on a known row count (see above)."""
+    return F.broadcast(df) if n <= _BROADCAST_STATE_MAX else df
+
+
+@contextmanager
+def _loop_tuning(spark, n_keys: int):
+    """Planner settings scoped to a fixed-shape iterative loop: the
+    2·iterations jobs have KNOWN shapes (edge scan + small-key
+    aggregate, usually with a broadcast state join), so AQE re-planning
+    per job buys nothing and costs a driver round-trip per stage, and
+    the default shuffle width schedules 32 near-empty tasks per
+    exchange. Partitions are sized to the loop's key volume (floor 8,
+    ceiling the session conf — a 100-TB graph keeps the caller's
+    sizing). Both settings restored on exit, exception or not."""
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, min(int(sp0), n_keys // 250_000))),
+        )
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.shuffle.partitions", sp0)
 
 
 def _seal(df: DataFrame, pins: Sequence[DataFrame]) -> DataFrame:
@@ -199,41 +236,43 @@ def connected_components(
     # recomputes that upstream shuffle 2x (measured 2.3x on the sf0.1
     # bench graph).
     edges = edges.select("entity", "fact_id").cache()
+    n_inc = edges.count()  # materializes the pin; gates the state broadcasts
     labels = (
         edges.select("entity")
         .distinct()
         .withColumn("label", F.xxhash64("entity"))
     ).cache()
     pin = labels  # the one live per-round pin; superseded pins unpersist
-    for it in range(max_iter):
-        fact_min = (
-            edges.join(labels, "entity")
-            .groupBy("fact_id")
-            .agg(F.min("label").alias("fact_label"))
-        )
-        new_labels = (
-            edges.join(fact_min, "fact_id")
-            .groupBy("entity")
-            .agg(F.min("fact_label").alias("new_label"))
-        )
-        merged_cache = merged = (
-            labels.join(new_labels, "entity", "left")
-            .select(
-                "entity",
-                F.least(F.col("label"), F.coalesce("new_label", F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("new_label") < F.col("label")).alias("__chg__"),
+    with _loop_tuning(edges.sparkSession, n_inc):
+        for it in range(max_iter):
+            fact_min = (
+                edges.join(_bc(labels, n_inc), "entity")
+                .groupBy("fact_id")
+                .agg(F.min("label").alias("fact_label"))
             )
-        ).cache()
-        if it % checkpoint_every == checkpoint_every - 1:
-            merged = merged.localCheckpoint(eager=True)
-        changed = merged.filter(F.col("__chg__")).limit(1).count()
-        pin.unpersist()  # previous round's label table, now superseded
-        pin = merged_cache
-        labels = merged.drop("__chg__")
-        if changed == 0:
-            break
+            new_labels = (
+                edges.join(_bc(fact_min, n_inc), "fact_id")
+                .groupBy("entity")
+                .agg(F.min("fact_label").alias("new_label"))
+            )
+            merged_cache = merged = (
+                labels.join(_bc(new_labels, n_inc), "entity", "left")
+                .select(
+                    "entity",
+                    F.least(F.col("label"), F.coalesce("new_label", F.col("label"))).alias(
+                        "label"
+                    ),
+                    (F.col("new_label") < F.col("label")).alias("__chg__"),
+                )
+            ).cache()
+            if it % checkpoint_every == checkpoint_every - 1:
+                merged = merged.localCheckpoint(eager=True)
+            changed = merged.filter(F.col("__chg__")).limit(1).count()
+            pin.unpersist()  # previous round's label table, now superseded
+            pin = merged_cache
+            labels = merged.drop("__chg__")
+            if changed == 0:
+                break
     return _seal(labels.withColumnRenamed("label", "component"), [edges, pin])
 
 
@@ -284,6 +323,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n0 = e.count()  # contracted edge count; gates the per-round min-table broadcasts
 
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = ed.select("u", "v").unionAll(
@@ -293,7 +333,7 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         return (
-            sym.join(m, "u")
+            sym.join(_bc(m, n0), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -306,30 +346,31 @@ def connected_components_star(
         m = d.groupBy("u").agg(F.min("v").alias("m"))
         nbrs = d.unionAll(m.select(F.col("u"), F.col("u").alias("v")))
         return (
-            nbrs.join(m, "u")
+            nbrs.join(_bc(m, n0), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
 
     pin = None  # live per-round cache pin (checkpoint rounds need none)
-    for r in range(max_rounds):
-        nxt = _small_star(_large_star(e))
-        nxt_pin = None
-        if r % checkpoint_every == checkpoint_every - 1:
-            nxt = nxt.localCheckpoint(eager=True)
-        else:
-            nxt_pin = nxt = nxt.cache()
-        # exact set-fixpoint check: counts equal and no new rows
-        done = False
-        if nxt.count() == e.count():
-            done = nxt.join(e, ["u", "v"], "left_anti").isEmpty()
-        if pin is not None:
-            pin.unpersist()  # previous round's edge set, now superseded
-        pin = nxt_pin
-        e = nxt
-        if done:
-            break
+    with _loop_tuning(edges.sparkSession, n0):
+        for r in range(max_rounds):
+            nxt = _small_star(_large_star(e))
+            nxt_pin = None
+            if r % checkpoint_every == checkpoint_every - 1:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt_pin = nxt = nxt.cache()
+            # exact set-fixpoint check: counts equal and no new rows
+            done = False
+            if nxt.count() == e.count():
+                done = nxt.join(e, ["u", "v"], "left_anti").isEmpty()
+            if pin is not None:
+                pin.unpersist()  # previous round's edge set, now superseded
+            pin = nxt_pin
+            e = nxt
+            if done:
+                break
     # star edges point child -> component-min entity id; roots (and
     # isolated entities) map to themselves — the root is the label.
     # The groupBy-min guards the capped exit: if max_rounds ran out
@@ -491,24 +532,28 @@ def pagerank(
     deg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     pre = e.join(deg, "src").cache()  # (src, dst, w, outdeg): loop-invariant
     ranks = verts.select("vertex", F.col("_r0").alias("rank_scaled"))
-    for it in range(iterations):
-        contrib = (
-            pre.join(ranks, pre.src == ranks.vertex)
-            .select("dst", F.expr("(rank_scaled * w) div outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = verts.join(
-            contrib, verts.vertex == contrib.dst, "left"
-        ).select(
-            "vertex",
-            (
-                F.col("_base")
-                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-            ).cast("long").alias("rank_scaled"),
-        )
-        if it % checkpoint_every == checkpoint_every - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+    # rank/contrib frames are checkpoint leaves with no size stats —
+    # broadcast them (count-gated) so the cached edge list is never
+    # exchanged per round; AQE/partition tuning per _loop_tuning
+    with _loop_tuning(edges.sparkSession, n):
+        for it in range(iterations):
+            contrib = (
+                pre.join(_bc(ranks, n), pre.src == ranks.vertex)
+                .select("dst", F.expr("(rank_scaled * w) div outdeg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = verts.join(
+                _bc(contrib, n), verts.vertex == contrib.dst, "left"
+            ).select(
+                "vertex",
+                (
+                    F.col("_base")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("rank_scaled"),
+            )
+            if it % checkpoint_every == checkpoint_every - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     return _seal(ranks, [e, vert_ids, verts, pre])
 
 
@@ -619,29 +664,31 @@ def shortest_paths(
     # loop-invariant: joined every round — pin it so an expensive
     # upstream edge plan (join+distinct) computes once, not per hop
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
+    n_e = e.count()  # materializes the pin; gates the frontier broadcast
     seed_list = sorted(set(seeds))
     spark = edges.sparkSession
     settled = spark.createDataFrame(
         [(s, 0) for s in seed_list], "vertex string, dist int"
     )
     frontier = settled.select("vertex").cache()
-    for d in range(1, max_depth + 1):
-        reached = (
-            e.join(frontier, e.src == frontier.vertex)
-            .select(F.col("dst").alias("vertex"))
-            .distinct()
-        )
-        nxt = reached.join(settled, "vertex", "left_anti").cache()
-        if nxt.count() == 0:
-            nxt.unpersist()
-            break
-        settled = settled.unionByName(
-            nxt.withColumn("dist", F.lit(d).cast("int"))
-        )
-        if d % checkpoint_every == 0:
-            settled = settled.localCheckpoint(eager=True)
-        frontier.unpersist()
-        frontier = nxt
+    with _loop_tuning(spark, n_e):
+        for d in range(1, max_depth + 1):
+            reached = (
+                e.join(_bc(frontier, n_e), e.src == frontier.vertex)
+                .select(F.col("dst").alias("vertex"))
+                .distinct()
+            )
+            nxt = reached.join(settled, "vertex", "left_anti").cache()
+            if nxt.count() == 0:
+                nxt.unpersist()
+                break
+            settled = settled.unionByName(
+                nxt.withColumn("dist", F.lit(d).cast("int"))
+            )
+            if d % checkpoint_every == 0:
+                settled = settled.localCheckpoint(eager=True)
+            frontier.unpersist()
+            frontier = nxt
     return _seal(settled, [e, frontier])
 
 
@@ -734,6 +781,7 @@ def label_propagation(
     # loop-invariant edge list: pinned, same rationale as
     # connected_components (joined every round)
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
+    n_e = e.count()  # materializes the pin; gates the state broadcasts
     init = labels = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
@@ -741,26 +789,27 @@ def label_propagation(
         .withColumn("label", F.col("vertex"))
         .cache()
     )
-    for it in range(iterations):
-        counted = (
-            e.join(labels, e.src == labels.vertex)
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        wmax = Window.partitionBy("dst")
-        pick = (
-            counted.withColumn("__mx__", F.max("cnt").over(wmax))
-            .filter(F.col("cnt") == F.col("__mx__"))
-            .groupBy("dst")
-            .agg(F.min("label").alias("new_label"))
-        )
-        labels = labels.join(
-            pick, labels.vertex == pick.dst, "left"
-        ).select(
-            "vertex", F.coalesce("new_label", "label").alias("label")
-        )
-        if it % checkpoint_every == checkpoint_every - 1:
-            labels = labels.localCheckpoint(eager=True)
+    with _loop_tuning(edges.sparkSession, n_e):
+        for it in range(iterations):
+            counted = (
+                e.join(_bc(labels, n_e), e.src == labels.vertex)
+                .groupBy("dst", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            wmax = Window.partitionBy("dst")
+            pick = (
+                counted.withColumn("__mx__", F.max("cnt").over(wmax))
+                .filter(F.col("cnt") == F.col("__mx__"))
+                .groupBy("dst")
+                .agg(F.min("label").alias("new_label"))
+            )
+            labels = labels.join(
+                _bc(pick, n_e), labels.vertex == pick.dst, "left"
+            ).select(
+                "vertex", F.coalesce("new_label", "label").alias("label")
+            )
+            if it % checkpoint_every == checkpoint_every - 1:
+                labels = labels.localCheckpoint(eager=True)
     return _seal(labels, [e, init])
 
 
@@ -797,23 +846,27 @@ def bellman_ford(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     ).cache()
+    n_e = e.count()  # materializes the pin; gates the dist broadcast
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(s, 0) for s in sorted(set(seeds))], "vertex string, dist long"
     )
-    for r in range(rounds):
-        relaxed = (
-            e.join(dist, e.src == dist.vertex)
-            .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("w")).alias("d"))
-            .groupBy("vertex")
-            .agg(F.min("d").alias("d"))
-        )
-        # least() skips NULLs, so a full-outer join + least IS the relax
-        dist = dist.join(relaxed, "vertex", "full_outer").select(
-            "vertex", F.least("dist", "d").alias("dist")
-        )
-        if r % checkpoint_every == checkpoint_every - 1:
-            dist = dist.localCheckpoint(eager=True)
+    with _loop_tuning(spark, n_e):
+        for r in range(rounds):
+            relaxed = (
+                e.join(_bc(dist, n_e), e.src == dist.vertex)
+                .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("w")).alias("d"))
+                .groupBy("vertex")
+                .agg(F.min("d").alias("d"))
+            )
+            # least() skips NULLs, so a full-outer join + least IS the
+            # relax (no broadcast hint: full-outer preserves both sides,
+            # so it cannot be a broadcast join)
+            dist = dist.join(relaxed, "vertex", "full_outer").select(
+                "vertex", F.least("dist", "d").alias("dist")
+            )
+            if r % checkpoint_every == checkpoint_every - 1:
+                dist = dist.localCheckpoint(eager=True)
     return _seal(dist, [e])
 
 
@@ -847,24 +900,26 @@ def k_core(
     # the fixpoint count) — pin it so an expensive upstream plan
     # computes once; later rounds operate on the cached pruned set
     pin = e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).cache()
-    for r in range(rounds):
-        deg = e.groupBy("src").agg(F.count("*").alias("degree"))
-        keep = deg.filter(F.col("degree") >= k).select("src")
-        pruned = e.join(keep, "src", "left_semi").join(
-            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
-        )
-        pruned_pin = None
-        if r % checkpoint_every == checkpoint_every - 1:
-            pruned = pruned.localCheckpoint(eager=True)
-        else:
-            pruned_pin = pruned = pruned.cache()
-        done = pruned.count() == e.count()
-        if pin is not None:
-            pin.unpersist()  # previous round's edge set, now superseded
-        pin = pruned_pin
-        e = pruned
-        if done:
-            break
+    n0 = e.count()  # materializes the pin; gates the keep-set broadcasts
+    with _loop_tuning(edges.sparkSession, n0):
+        for r in range(rounds):
+            deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+            keep = deg.filter(F.col("degree") >= k).select("src")
+            pruned = e.join(_bc(keep, n0), "src", "left_semi").join(
+                _bc(keep.withColumnRenamed("src", "dst"), n0), "dst", "left_semi"
+            )
+            pruned_pin = None
+            if r % checkpoint_every == checkpoint_every - 1:
+                pruned = pruned.localCheckpoint(eager=True)
+            else:
+                pruned_pin = pruned = pruned.cache()
+            done = pruned.count() == e.count()
+            if pin is not None:
+                pin.unpersist()  # previous round's edge set, now superseded
+            pin = pruned_pin
+            e = pruned
+            if done:
+                break
     return _seal(
         e.groupBy("src")
         .agg(F.count("*").alias("degree"))
@@ -965,15 +1020,7 @@ def hits(
             ),
         )
 
-    spark = edges.sparkSession
-    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
-    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(8, min(int(sp0), n_e // 250_000))),
-        )
+    with _loop_tuning(edges.sparkSession, n_e):
         for it in range(iterations):
             # authority pass: sum hubs over in-edges. Checkpoint the
             # RAW sums BEFORE _norm: the max aggregate and the
@@ -982,8 +1029,9 @@ def hits(
             # level).
             auth_raw = (
                 e.join(
-                    F.broadcast(
-                        state.select(F.col("vertex").alias("src"), "hub_scaled")
+                    _bc(
+                        state.select(F.col("vertex").alias("src"), "hub_scaled"),
+                        n_e,
                     ),
                     "src",
                 )
@@ -991,7 +1039,7 @@ def hits(
                 .agg(F.sum("hub_scaled").alias("__a__"))
             )
             auth_pre = (
-                verts.join(F.broadcast(auth_raw), verts.vertex == auth_raw.dst, "left")
+                verts.join(_bc(auth_raw, n_e), verts.vertex == auth_raw.dst, "left")
                 .select(
                     "vertex",
                     F.coalesce("__a__", F.lit(0)).cast("long").alias("__a__"),
@@ -1005,14 +1053,14 @@ def hits(
             # hub pass: sum NEW authorities over out-edges
             hub_raw = (
                 e.join(
-                    F.broadcast(auth.select(F.col("vertex").alias("dst"), "__a__")),
+                    _bc(auth.select(F.col("vertex").alias("dst"), "__a__"), n_e),
                     "dst",
                 )
                 .groupBy("src")
                 .agg(F.sum("__a__").alias("__h__"))
             )
             hub_pre = (
-                verts.join(F.broadcast(hub_raw), verts.vertex == hub_raw.src, "left")
+                verts.join(_bc(hub_raw, n_e), verts.vertex == hub_raw.src, "left")
                 .select(
                     "vertex",
                     F.coalesce("__h__", F.lit(0)).cast("long").alias("__h__"),
@@ -1021,11 +1069,8 @@ def hits(
             )
             hub = _norm(hub_pre, "__h__")
             state = hub.withColumnRenamed("__h__", "hub_scaled").join(
-                F.broadcast(auth.withColumnRenamed("__a__", "auth_scaled")), "vertex"
+                _bc(auth.withColumnRenamed("__a__", "auth_scaled"), n_e), "vertex"
             )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
-        spark.conf.set("spark.sql.shuffle.partitions", sp0)
     # the final state derives only from the per-half-round checkpoint
     # leaves, so the loop pins can be released without a seal pass
     e.unpersist()
