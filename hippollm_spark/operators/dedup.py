@@ -743,36 +743,40 @@ def dedup_canonicalize(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_e = edges.count()  # cheap on the checkpoint; gates the label broadcast
     pin = labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
     ).cache()
-    for it in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "doc_id")
-        )
-        merged_cache = merged = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__chg__"),
+    from hippollm_spark.operators.graph import _bc, _loop_tuning
+
+    with _loop_tuning(pairs.sparkSession, n_e):
+        for it in range(max_iter):
+            nbr_min = (
+                edges.join(_bc(labels.withColumnRenamed("doc_id", "dst"), n_e), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("src", "doc_id")
             )
-        ).cache()
-        if it % checkpoint_every == checkpoint_every - 1:
-            merged = merged.localCheckpoint(eager=True)
-        changed = merged.filter(F.col("__chg__")).limit(1).count()
-        pin.unpersist()  # previous round's label table, now superseded
-        pin = merged_cache
-        labels = merged.drop("__chg__")
-        if changed == 0:
-            break
+            merged_cache = merged = (
+                labels.join(_bc(nbr_min, n_e), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                    (F.col("nbr_label") < F.col("label")).alias("__chg__"),
+                )
+            ).cache()
+            if it % checkpoint_every == checkpoint_every - 1:
+                merged = merged.localCheckpoint(eager=True)
+            changed = merged.filter(F.col("__chg__")).limit(1).count()
+            pin.unpersist()  # previous round's label table, now superseded
+            pin = merged_cache
+            labels = merged.drop("__chg__")
+            if changed == 0:
+                break
     # Cut lineage at the operator boundary: the loop leaves a plan that
     # nests one join+agg per round, and downstream consumers (anti-join
     # → cross-corpus join → window) would pay Catalyst analysis over
