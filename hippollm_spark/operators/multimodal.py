@@ -155,6 +155,104 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Dat
     )
 
 
+def _box_resample(px: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Box-average (area-interpolation) resample of one 2-D plane to
+    (oh, ow). The max(hi, lo+1) cell slicing makes it total for ANY
+    input size, including dimensions smaller than the target (cells
+    then repeat source rows/cols — nearest-neighbour upscale)."""
+    h, w = px.shape
+    ys = (np.arange(oh + 1) * h) // oh
+    xs = (np.arange(ow + 1) * w) // ow
+    out = np.empty((oh, ow))
+    for i in range(oh):
+        for j in range(ow):
+            cell = px[
+                ys[i] : max(ys[i + 1], ys[i] + 1),
+                xs[j] : max(xs[j + 1], xs[j] + 1),
+            ]
+            out[i, j] = cell.mean()
+    return out
+
+
+def _decode_pixels(data: bytes) -> np.ndarray:
+    """(h, w, c) float64 pixel array via whatever decoder is available:
+    PIL when installed (any format), else the IN-REPO binary-PNM parser
+    and pure-numpy baseline-JPEG decoder. Raises on undecodable input
+    (callers map that to a NULL row)."""
+    if _have_pil():  # pragma: no cover - no PIL in test container
+        import io
+
+        import PIL.Image
+
+        arr = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+        return arr.astype(np.float64)
+    if data[:2] in (b"P5", b"P6"):
+        arr, _w, _h = _parse_pnm(data)
+        return arr.astype(np.float64)
+    return _decode_baseline_jpeg(data).astype(np.float64)
+
+
+def resize_image(
+    media: DataFrame, width: int, height: int, *, fake: bool = True
+) -> DataFrame:
+    """Thumbnail / model-input resize stage: decode → per-channel
+    box-average resample to (height, width) → re-encode as binary PNM
+    (P5 grayscale / P6 color — the container-decodable format, so the
+    output is itself consumable by every downstream decode op).
+
+    Real path (fake=False) runs REAL pixels in this container for PNM
+    and baseline JPEG via the in-repo decoders (PIL first when
+    installed); undecodable payloads yield a NULL data row, never a
+    task failure. Container fallback (fake=True): a deterministic
+    sha256-derived payload of the right PNM shape — exercises the
+    plumbing (schema, batch shape, size metadata) without codecs.
+
+    Arrow-batched mapInPandas like the other media stages; the resample
+    cost is O(out_pixels) per image and the stage is embarrassingly
+    parallel — repartition upstream if a single parquet file serialized
+    the scan. Output: (media_id, data BINARY, width INT, height INT).
+    """
+    width, height = int(width), int(height)
+
+    def _encode_pnm(arr: np.ndarray) -> bytes:
+        a = np.clip(np.rint(arr), 0, 255).astype(np.uint8)
+        if a.shape[2] == 1:
+            return b"P5\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a[:, :, 0].tobytes()
+        return b"P6\n%d %d\n255\n" % (a.shape[1], a.shape[0]) + a.tobytes()
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data or b"")
+                if fake:
+                    seed = hashlib.sha256(raw).digest()
+                    body = (seed * (width * height // len(seed) + 1))[: width * height]
+                    rows.append(
+                        (mid, b"P5\n%d %d\n255\n" % (width, height) + body,
+                         width, height)
+                    )
+                    continue
+                try:
+                    px = _decode_pixels(raw)
+                except (ValueError, IndexError, KeyError):
+                    rows.append((mid, None, None, None))
+                    continue
+                planes = [
+                    _box_resample(px[:, :, c], height, width)
+                    for c in range(px.shape[2])
+                ]
+                out = np.stack(planes, axis=-1)
+                rows.append((mid, _encode_pnm(out), width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "data", "width", "height"]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        _run, "media_id long, data binary, width int, height int"
+    )
+
+
 def phash64(media: DataFrame, *, fake: bool = True) -> DataFrame:
     """64-bit perceptual hash per media row → (media_id, phash BIGINT).
 
@@ -209,17 +307,8 @@ def phash64(media: DataFrame, *, fake: bool = True) -> DataFrame:
         return arr[:, :, 0]
 
     def _box8(px: np.ndarray) -> np.ndarray:
-        """8×8 box-average resample (area interpolation by cell)."""
-        h, w = px.shape
-        ys = (np.arange(9) * h) // 8
-        xs = (np.arange(9) * w) // 8
-        out = np.empty((8, 8))
-        for i in range(8):
-            for j in range(8):
-                cell = px[ys[i] : max(ys[i + 1], ys[i] + 1),
-                          xs[j] : max(xs[j + 1], xs[j] + 1)]
-                out[i, j] = cell.mean()
-        return out
+        """8×8 box-average resample (shared `_box_resample`)."""
+        return _box_resample(px, 8, 8)
 
     def _run(batches):
         for pdf in batches:
