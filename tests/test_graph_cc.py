@@ -221,3 +221,33 @@ def test_iterative_graph_ops_release_cache_pins(spark):
         out = fn()
         assert out.count() > 0
         assert cm.isEmpty(), f"cache pins leaked by {fn}"
+
+
+def test_loop_tuning_restores_confs_on_exception(spark):
+    """The loop-scoped planner settings must be restored whatever
+    happens inside the loop — an exception mid-iteration must not leak
+    AQE-off / narrow shuffle widths into the rest of the session."""
+    import pytest
+
+    from hippollm_spark.operators.graph import _bc, _loop_tuning
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with _loop_tuning(spark, 100):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == sp0
+
+    # ceiling: a huge key volume keeps the session's own sizing
+    with _loop_tuning(spark, 10**9):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sp0
+
+    # broadcast gate: hint applied at/below the max, withheld above
+    df = spark.range(3).toDF("x")
+    hinted = _bc(df, 1000)
+    unhinted = _bc(df, 10**9)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
