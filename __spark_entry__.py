@@ -6294,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, event_id,
                        CAST(round(value * 1000000.0) AS BIGINT) AS v6
                 FROM events
+                WHERE value IS NOT NULL
             ),
             g AS (
                 SELECT user_id, list(v6 ORDER BY ts, event_id) AS vs

@@ -389,12 +389,23 @@ def ewma_latest(
     2^53, so the double intermediate is exact, and truncation matches
     DuckDB's `//` through the positive-domain wrap.
 
+    NULL observations are SKIPPED (the standard definition: the level
+    updates only on observed values; a sensor gap does not decay or
+    reset the estimate). Without the explicit filter the semantics
+    were engine-dependent — Spark's `aggregate` NULL-accumulator
+    restart silently RESET the level at each gap while DuckDB's
+    `list_reduce` poisoned the whole fold — caught by the sf1 sweep
+    over a generated table with NULL values (the driver tables have
+    none, so the contract hash never saw it). `n_obs` counts observed
+    values only.
+
     Output: (by…, n_obs, ewma DOUBLE 6dp).
     """
     by = [by] if isinstance(by, str) else list(by)
     a, d = int(alpha_num), int(alpha_den)
     b = d - a
     v_e6 = F.round(F.col(value_col) * 1_000_000.0, 0).cast("long")
+    df = df.filter(F.col(value_col).isNotNull())
     grouped = df.groupBy(*by).agg(
         F.array_sort(
             F.collect_list(

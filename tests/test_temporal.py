@@ -251,3 +251,34 @@ def test_ohlc_bars_wide_and_negative_ids(spark):
     )
     bar3 = ohlc_bars(df3, "ts", "value", bucket="minute", id_col="event_id").first()
     assert bar3["open"] == 6.0 and bar3["close"] == 4.0
+
+
+def test_ewma_latest_skips_null_observations(spark):
+    """NULL values are skipped, not folded: the level after
+    [10, NULL, 20] equals the level after [10, 20], and n_obs counts
+    observed values only. Without the explicit filter the two engines
+    disagreed (Spark's aggregate NULL-restart silently RESET the level
+    mid-sequence; DuckDB's list_reduce poisoned the fold) — caught by
+    the sf1 sweep over a NULL-bearing generated table."""
+    from datetime import datetime
+
+    from hippollm_spark.operators.temporal import ewma_latest
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    with_null = spark.createDataFrame(
+        [(1, 1, t(1), 10.0), (2, 1, t(2), None), (3, 1, t(3), 20.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    without = spark.createDataFrame(
+        [(1, 1, t(1), 10.0), (3, 1, t(3), 20.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    a = ewma_latest(with_null, "value", by="user_id").first()
+    b = ewma_latest(without, "value", by="user_id").first()
+    assert a["ewma"] == b["ewma"] and a["n_obs"] == 2 == b["n_obs"]
+    # all-NULL user contributes no output row
+    only_null = spark.createDataFrame(
+        [(1, 9, t(1), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    assert ewma_latest(only_null, "value", by="user_id").count() == 0
