@@ -43,6 +43,13 @@ STOPWORDS = {
     "zh": ["the", "and", "of", "to", "in", "is", "that", "with"],
 }
 VOCAB_SIZE = 2000  # large enough that shared shingles mean real overlap
+# Real words mixed into the hash vocabulary so the lexical-retrieval
+# contract queries (bm25_topk searches {hash, join, vector}, the
+# ngram/keyword families) return non-vacuous results on generated data.
+REAL_WORDS = [
+    "hash", "join", "vector", "table", "scan", "spark", "query", "index",
+    "merge", "sort", "batch", "window", "filter", "shuffle", "row", "key",
+]
 EMB_DIM = 64
 EMB_CLUSTERS = 10
 
@@ -173,7 +180,11 @@ def gen_all(spark, sf: float, out: str) -> None:
     # planted exact dups (id % 50 == 1 copies id-1) and near dups /
     # containments (id % 50 == 2 is id-2's text plus a tail token)
     vocab = F.array(
-        *[F.concat(F.lit("w"), F.lit(str(i))) for i in range(VOCAB_SIZE)]
+        *[F.lit(w) for w in REAL_WORDS],
+        *[
+            F.concat(F.lit("w"), F.lit(str(i)))
+            for i in range(VOCAB_SIZE - len(REAL_WORDS))
+        ],
     )
     base_id = (
         F.when(F.col("id") % 50 == 1, F.col("id") - 1)
