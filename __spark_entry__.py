@@ -6789,7 +6789,9 @@ def oracle_sql() -> dict[str, str]:
                        ts AS start_ts,
                        ts + to_seconds(CAST(floor(value * 10) AS BIGINT))
                            AS end_ts
-                FROM events WHERE event_type = 'view'
+                FROM events
+                WHERE event_type = 'view'
+                  AND ts IS NOT NULL AND value IS NOT NULL
             ),
             deltas AS (
                 SELECT day, start_ts AS ts, 1 AS delta FROM iv

@@ -250,9 +250,19 @@ def concurrency_profile(
     does: the prefix sum is then parallel across days and exact within
     each, days being closed under session containment in the fixture).
 
+    Intervals with a NULL boundary are DROPPED: [start, end) semantics
+    are undefined for an unbounded side, and counting such rows is
+    engine-dependent (a NULL boundary instant sorts FIRST in Spark's
+    window and LAST in DuckDB's, silently skewing the whole profile in
+    opposite directions — caught by the sf1 sweep over a NULL-bearing
+    generated table).
+
     Output: by-cols + (ts, concurrent INT).
     """
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     deltas = intervals.select(
         *by,
         F.explode(

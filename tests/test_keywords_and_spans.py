@@ -217,6 +217,21 @@ def test_concurrency_sweep_line(spark):
     assert prof == {0: 1, 5: 2, 10: 2, 15: 1, 20: 0}
     assert max_concurrency(df).first()["peak"] == 2
 
+    # NULL-bounded intervals are dropped, not counted: they are
+    # undefined for [start, end) sweep semantics, and a NULL boundary
+    # sorts first in Spark's window but last in DuckDB's — counting
+    # them skews the profile in opposite directions per engine (the
+    # sf1 NULL-bearing sweep catch)
+    with_null = spark.createDataFrame(
+        [(0, 10), (5, None), (None, 15), (5, 15)],
+        "start_ts long, end_ts long",
+    )
+    prof2 = {
+        r["ts"]: r["concurrent"] for r in concurrency_profile(with_null).collect()
+    }
+    assert prof2 == {0: 1, 5: 2, 10: 1, 15: 0}
+    assert max_concurrency(with_null).first()["peak"] == 2
+
 
 def test_concurrency_grouped(spark):
     from hippollm_spark.operators.temporal import max_concurrency
