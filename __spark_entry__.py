@@ -6374,7 +6374,8 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER w, 6) AS pct_rank,
                    round(cume_dist() OVER w, 6) AS cume
             FROM events
-            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value NULLS FIRST, event_id)
         """,
         "training_mix": f"""
             WITH base AS (
@@ -6734,7 +6735,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.event_id, d.event_type, d.value,
                    round(d.dev0, 6) AS dev, round(m.mad, 6) AS mad,
-                   round(d.dev0, 6) > 3.0 * round(m.mad, 6) AS is_outlier
+                   coalesce(round(d.dev0, 6) > 3.0 * round(m.mad, 6),
+                            false) AS is_outlier
             FROM devs d JOIN mad m USING (event_type)
         """,
         "quality_deciles": f"""

@@ -347,7 +347,11 @@ def mad_outliers(
     boundary decision is bit-identical across engines.
 
     Output: input columns + dev (rounded |v − med|), mad (rounded
-    group MAD), is_outlier BOOLEAN.
+    group MAD), is_outlier BOOLEAN. A NULL measurement is flagged
+    ``false``, never NULL: there is no evidence of an outlier, and a
+    NULL boolean round-trips differently through engine result
+    surfaces (None vs NaN — a hash-comparison trap the sf1
+    NULL-bearing sweep caught).
     """
     by = [by] if isinstance(by, str) else list(by)
     med = exact_percentiles(df, value_col, by, [0.5]).withColumnRenamed(
@@ -364,7 +368,10 @@ def mad_outliers(
         devs.join(F.broadcast(mad), on=by)
         .withColumn("dev", F.round("__dev__", round_to))
         .withColumn("mad", F.round("__mad__", round_to))
-        .withColumn("is_outlier", F.col("dev") > F.lit(k) * F.col("mad"))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.col("dev") > F.lit(k) * F.col("mad"), F.lit(False)),
+        )
         .drop("__med__", "__dev__", "__mad__")
     )
     return out
