@@ -2895,7 +2895,13 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-string detour does not)."""
     from hippollm_spark.functions.vectors import quantize_int8
 
-    q = quantize_int8(_t(spark, sf_dir, "embeddings").limit(200))
+    # deterministic subset by PREDICATE, not limit(): an ORDER-less
+    # LIMIT picks whichever partitions arrive first, which happened to
+    # match the oracle's vec_id < 200 only while the input was a
+    # single file in id order — the sf1 multi-file sweep broke it
+    q = quantize_int8(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    )
     return (
         q.select("vec_id", "q8_scale", F.posexplode("q8").alias("pos", "code"))
         .orderBy("vec_id", "pos")

@@ -236,31 +236,50 @@ def gen_all(spark, sf: float, out: str) -> None:
         "documents",
     )
 
-    # embeddings: EMB_CLUSTERS hash-derived centers + small noise, so
-    # kmeans/semantic-dedup structure is real; label = true cluster
-    label = _h("id", "elab", EMB_CLUSTERS)
+    # embeddings: noise-dominated vectors with a MILD cluster bias plus
+    # PLANTED duplicates (vec_id % 50 == 1 copies vec_id − 1 exactly,
+    # % 50 == 2 perturbs one coordinate of vec_id − 2). The first
+    # design (tight blobs: |center| ≫ |noise|) made every same-cluster
+    # pair a cosine near-duplicate, so near-dup joins had a TRUE
+    # output quadratic in cluster size — 125 M pairs at sf1, an
+    # uncollectable oracle check. Realistic corpora have sparse
+    # near-dup structure; planted pairs give exactly that while the
+    # mild bias keeps k-means/semantic clustering non-trivial.
+    ebase = (
+        F.when(F.col("id") % 50 == 1, F.col("id") - 1)
+        .when(F.col("id") % 50 == 2, F.col("id") - 2)
+        .otherwise(F.col("id"))
+    )
+    label = F.pmod(
+        F.xxhash64(F.concat_ws("|", ebase.cast("string"), F.lit("elab"))),
+        F.lit(EMB_CLUSTERS),
+    )
     dims = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
-    center = lambda j: (  # noqa: E731 — center coord in [0, 8)
+    ebid = ebase.cast("string")
+    center = lambda j: (  # noqa: E731 — mild bias in [0, 0.5)
         F.pmod(
             F.xxhash64(F.concat_ws("|", label.cast("string"), F.lit("ec"), j.cast("string"))),
-            F.lit(8000),
+            F.lit(500),
         )
         / 1000.0
     )
-    noise = lambda j: (  # noqa: E731 — noise in [-0.5, 0.5)
+    noise = lambda j: (  # noqa: E731 — dominant noise in [-1, 1)
         F.pmod(
-            F.xxhash64(F.concat_ws("|", F.col("id").cast("string"), F.lit("en"), j.cast("string"))),
-            F.lit(1000),
+            F.xxhash64(F.concat_ws("|", ebid, F.lit("en"), j.cast("string"))),
+            F.lit(2000),
         )
         / 1000.0
-        - 0.5
+        - 1.0
     )
+    perturb = lambda j: F.when(  # noqa: E731 — near-dup: nudge dim 0 only
+        (F.col("id") % 50 == 2) & (j == F.lit(0)), F.lit(0.01)
+    ).otherwise(F.lit(0.0))
     write(
         spark.range(n_doc).select(
             F.col("id").alias("vec_id"),
-            F.transform(dims, lambda j: (center(j) + noise(j)).cast("float")).alias(
-                "embedding"
-            ),
+            F.transform(
+                dims, lambda j: (center(j) + noise(j) + perturb(j)).cast("float")
+            ).alias("embedding"),
             label.cast("int").alias("label"),
         ),
         "embeddings",
