@@ -1266,6 +1266,23 @@ def containment_pairs(
     is the (near-)contained document.
     """
     t = float(threshold)
+    if max_shingle_df is None:
+        # API-level warning, not just docstring: the group-then-pair
+        # path materializes each digest's full member list in ONE
+        # collect_list aggregation state — a boilerplate shingle shared
+        # by a large fraction of the corpus cannot spill the way the
+        # old self-join could. The uncapped default exists for the
+        # oracle checks (DuckDB replays uncapped SQL); at scale set
+        # max_shingle_df.
+        import warnings
+
+        warnings.warn(
+            "containment_pairs with max_shingle_df=None buffers each "
+            "shared shingle's full posting list in one aggregation "
+            "state; set max_shingle_df on large or boilerplate-heavy "
+            "corpora",
+            stacklevel=2,
+        )
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)

@@ -16,6 +16,7 @@ join on edges and only rejoin payloads at the end. Frontier joins cache
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 from contextlib import contextmanager
 
@@ -32,8 +33,25 @@ _BROADCAST_STATE_MAX = 2_000_000
 
 
 def _bc(df: DataFrame, n: int) -> DataFrame:
-    """Broadcast hint gated on a known row count (see above)."""
+    """Broadcast hint gated on a row-count BOUND for the frame being
+    broadcast (see above). Callers must pass a bound on THIS frame's
+    rows — the vertex count for per-vertex state tables (which can
+    hold up to 2·|E| rows when vertices come from src ∪ dst), not the
+    edge count — because an explicit hint bypasses
+    autoBroadcastJoinThreshold entirely."""
     return F.broadcast(df) if n <= _BROADCAST_STATE_MAX else df
+
+
+# _loop_tuning mutates two SESSION-global confs; the lock + depth
+# counter make overlapping loops safe (first entrant saves, last
+# exiter restores — no torn save/restore can leave the narrowed
+# settings applied permanently). A query running CONCURRENTLY on the
+# same SparkSession still observes the loop's settings for its
+# duration — that is inherent to session-scoped conf and documented
+# in the contextmanager docstring.
+_TUNING_LOCK = threading.Lock()
+_TUNING_DEPTH = 0
+_TUNING_SAVED: tuple[str, str] | None = None
 
 
 @contextmanager
@@ -45,19 +63,41 @@ def _loop_tuning(spark, n_keys: int):
     the default shuffle width schedules 32 near-empty tasks per
     exchange. Partitions are sized to the loop's key volume (floor 8,
     ceiling the session conf — a 100-TB graph keeps the caller's
-    sizing). Both settings restored on exit, exception or not."""
-    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
-    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    sizing). Both settings restored on exit, exception or not.
+
+    Concurrency: the confs are session-global. Overlapping loops are
+    refcounted (outermost entrant saves+sets, last exiter restores —
+    inner loops inherit the outer sizing), so no interleaving can leave
+    the narrowed settings stuck on the session. An unrelated query
+    running concurrently on the same session DOES see AQE off and the
+    narrowed partitions for the loop's duration; callers mixing
+    iterative graph ops with concurrent wide queries on one session
+    should run the graph op on its own session."""
+    global _TUNING_DEPTH, _TUNING_SAVED
+    with _TUNING_LOCK:
+        if _TUNING_DEPTH == 0:
+            sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+            _TUNING_SAVED = (
+                spark.conf.get("spark.sql.adaptive.enabled"),
+                sp0,
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(8, min(int(sp0), n_keys // 250_000))),
+            )
+        _TUNING_DEPTH += 1
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(8, min(int(sp0), n_keys // 250_000))),
-        )
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
-        spark.conf.set("spark.sql.shuffle.partitions", sp0)
+        with _TUNING_LOCK:
+            _TUNING_DEPTH -= 1
+            if _TUNING_DEPTH == 0 and _TUNING_SAVED is not None:
+                spark.conf.set("spark.sql.adaptive.enabled", _TUNING_SAVED[0])
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", _TUNING_SAVED[1]
+                )
+                _TUNING_SAVED = None
 
 
 def _seal(df: DataFrame, pins: Sequence[DataFrame]) -> DataFrame:
@@ -323,7 +363,11 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n0 = e.count()  # contracted edge count; gates the per-round min-table broadcasts
+    n0 = e.count()  # contracted edge count; sizes the loop shuffles
+    # the per-round min tables hold one row per vertex in the current
+    # edge set — up to 2·n0 (u ∪ v) — so gate their broadcasts on that
+    # bound, not the edge count
+    n_m = 2 * n0
 
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = ed.select("u", "v").unionAll(
@@ -333,7 +377,7 @@ def connected_components_star(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         return (
-            sym.join(_bc(m, n0), "u")
+            sym.join(_bc(m, n_m), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -346,7 +390,7 @@ def connected_components_star(
         m = d.groupBy("u").agg(F.min("v").alias("m"))
         nbrs = d.unionAll(m.select(F.col("u"), F.col("u").alias("v")))
         return (
-            nbrs.join(_bc(m, n0), "u")
+            nbrs.join(_bc(m, n_m), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
@@ -664,22 +708,28 @@ def shortest_paths(
     # loop-invariant: joined every round — pin it so an expensive
     # upstream edge plan (join+distinct) computes once, not per hop
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
-    n_e = e.count()  # materializes the pin; gates the frontier broadcast
+    n_e = e.count()  # materializes the pin; sizes the loop shuffles
     seed_list = sorted(set(seeds))
     spark = edges.sparkSession
     settled = spark.createDataFrame(
         [(s, 0) for s in seed_list], "vertex string, dist int"
     )
     frontier = settled.select("vertex").cache()
+    # gate the frontier broadcast on its OWN size, known for free each
+    # round (the seeds now; the already-counted nxt afterwards) — a
+    # frontier can reach |V| ≈ 2·|E| rows, so the edge count is not a
+    # valid bound for the frame actually being shipped
+    n_f = len(seed_list)
     with _loop_tuning(spark, n_e):
         for d in range(1, max_depth + 1):
             reached = (
-                e.join(_bc(frontier, n_e), e.src == frontier.vertex)
+                e.join(_bc(frontier, n_f), e.src == frontier.vertex)
                 .select(F.col("dst").alias("vertex"))
                 .distinct()
             )
             nxt = reached.join(settled, "vertex", "left_anti").cache()
-            if nxt.count() == 0:
+            n_f = nxt.count()
+            if n_f == 0:
                 nxt.unpersist()
                 break
             settled = settled.unionByName(
@@ -781,7 +831,7 @@ def label_propagation(
     # loop-invariant edge list: pinned, same rationale as
     # connected_components (joined every round)
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
-    n_e = e.count()  # materializes the pin; gates the state broadcasts
+    n_e = e.count()  # materializes the pin; sizes the loop shuffles
     init = labels = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
@@ -789,10 +839,14 @@ def label_propagation(
         .withColumn("label", F.col("vertex"))
         .cache()
     )
+    # gate the per-vertex state broadcasts on the VERTEX count (can be
+    # up to 2·|E| — gating on the edge count would over-broadcast near
+    # the threshold); the count also materializes the labels pin
+    n_v = labels.count()
     with _loop_tuning(edges.sparkSession, n_e):
         for it in range(iterations):
             counted = (
-                e.join(_bc(labels, n_e), e.src == labels.vertex)
+                e.join(_bc(labels, n_v), e.src == labels.vertex)
                 .groupBy("dst", "label")
                 .agg(F.count("*").alias("cnt"))
             )
@@ -804,7 +858,7 @@ def label_propagation(
                 .agg(F.min("label").alias("new_label"))
             )
             labels = labels.join(
-                _bc(pick, n_e), labels.vertex == pick.dst, "left"
+                _bc(pick, n_v), labels.vertex == pick.dst, "left"
             ).select(
                 "vertex", F.coalesce("new_label", "label").alias("label")
             )
@@ -846,15 +900,20 @@ def bellman_ford(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     ).cache()
-    n_e = e.count()  # materializes the pin; gates the dist broadcast
+    n_e = e.count()  # materializes the pin; sizes the loop shuffles
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(s, 0) for s in sorted(set(seeds))], "vertex string, dist long"
     )
+    # dist grows toward |V| ≤ 2·|E| rows (vertices come from src ∪
+    # dst); gate its broadcast on that bound, not the edge count —
+    # counting dist per round would cost an extra job, and 2·n_e is a
+    # valid (conservative) ceiling for the shipped frame
+    n_d = 2 * n_e
     with _loop_tuning(spark, n_e):
         for r in range(rounds):
             relaxed = (
-                e.join(_bc(dist, n_e), e.src == dist.vertex)
+                e.join(_bc(dist, n_d), e.src == dist.vertex)
                 .select(F.col("dst").alias("vertex"), (F.col("dist") + F.col("w")).alias("d"))
                 .groupBy("vertex")
                 .agg(F.min("d").alias("d"))
@@ -988,6 +1047,10 @@ def hits(
         .distinct()
         .cache()
     )
+    # per-vertex state frames (auth/hub/raw sums) hold up to |V| ≤
+    # 2·|E| rows — gate their broadcasts on the actual vertex count
+    # (this count also materializes the verts pin before the loop)
+    n_v = verts.count()
     if n_e == 0:
         empty = verts.select(
             "vertex",
@@ -1031,7 +1094,7 @@ def hits(
                 e.join(
                     _bc(
                         state.select(F.col("vertex").alias("src"), "hub_scaled"),
-                        n_e,
+                        n_v,
                     ),
                     "src",
                 )
@@ -1039,7 +1102,7 @@ def hits(
                 .agg(F.sum("hub_scaled").alias("__a__"))
             )
             auth_pre = (
-                verts.join(_bc(auth_raw, n_e), verts.vertex == auth_raw.dst, "left")
+                verts.join(_bc(auth_raw, n_v), verts.vertex == auth_raw.dst, "left")
                 .select(
                     "vertex",
                     F.coalesce("__a__", F.lit(0)).cast("long").alias("__a__"),
@@ -1053,14 +1116,14 @@ def hits(
             # hub pass: sum NEW authorities over out-edges
             hub_raw = (
                 e.join(
-                    _bc(auth.select(F.col("vertex").alias("dst"), "__a__"), n_e),
+                    _bc(auth.select(F.col("vertex").alias("dst"), "__a__"), n_v),
                     "dst",
                 )
                 .groupBy("src")
                 .agg(F.sum("__a__").alias("__h__"))
             )
             hub_pre = (
-                verts.join(_bc(hub_raw, n_e), verts.vertex == hub_raw.src, "left")
+                verts.join(_bc(hub_raw, n_v), verts.vertex == hub_raw.src, "left")
                 .select(
                     "vertex",
                     F.coalesce("__h__", F.lit(0)).cast("long").alias("__h__"),
@@ -1069,7 +1132,7 @@ def hits(
             )
             hub = _norm(hub_pre, "__h__")
             state = hub.withColumnRenamed("__h__", "hub_scaled").join(
-                _bc(auth.withColumnRenamed("__a__", "auth_scaled"), n_e), "vertex"
+                _bc(auth.withColumnRenamed("__a__", "auth_scaled"), n_v), "vertex"
             )
     # the final state derives only from the per-half-round checkpoint
     # leaves, so the loop pins can be released without a seal pass

@@ -129,12 +129,15 @@ def curate_corpus(
         )
     ).cache()
     # .cache(), not localCheckpoint: inline pipelined materialization and
-    # columnar pruned reads for the two filter consumers. Session-scoped
-    # pins; bench.py clearCache()s between queries, callers may unpersist.
+    # columnar pruned reads for the two filter consumers. Every pin is
+    # function-local and released before return (the graph operators'
+    # _seal discipline) — see the sealed summary at the bottom.
+    pins = [keep]
     bench = keep.filter(F.col("doc_id") % bench_mod == 0)
     corpus = keep.filter(F.col("doc_id") % bench_mod != 0)
 
     surv = exact_dedup(corpus).cache()
+    pins.append(surv)
     if near_dup_method == "minhash":
         pairs = minhash_lsh_pairs(surv, threshold=jaccard_threshold, n=3)
     elif near_dup_method == "jaccard":
@@ -144,6 +147,7 @@ def curate_corpus(
     else:
         raise ValueError(f"unknown near_dup_method {near_dup_method!r}")
     surv = apply_dedup(surv, dedup_canonicalize(pairs)).cache()
+    pins.append(surv)
 
     cont = cross_jaccard_pairs(
         surv, bench, threshold=contamination_threshold, n=3,
@@ -158,16 +162,22 @@ def curate_corpus(
     if semantic_eps_e12 is not None:
         from hippollm_spark.operators.similarity import kmeans_fit, semantic_prune
 
-        if embeddings is None and semantic_assigned is None:
+        if embeddings is None:
+            # `embeddings` is required even when `semantic_assigned`
+            # supplies the cluster assignment: semantic_prune re-reads
+            # the raw vectors for the keeper epsilon rule, so an
+            # assigned-only call would crash downstream.
             raise ValueError(
-                "semantic_eps_e12 needs `embeddings` (or a precomputed "
-                "`semantic_assigned`)"
+                "semantic_eps_e12 needs `embeddings` (the raw vectors "
+                "are re-read for the epsilon rule even when "
+                "`semantic_assigned` provides the assignment)"
             )
         # three consumers downstream (the clean-set restriction of the
         # assignment, the survivor semi-join, the packing input) — pin
         # the decontaminated survivor set so the six curation stages
         # above run once, not three times
         clean = clean.cache()
+        pins.append(clean)
         vecs = embeddings.select(
             F.col(emb_id_col).alias("doc_id"), "embedding"
         )
@@ -204,7 +214,7 @@ def curate_corpus(
         shard_col="lang",
         token_count_col="n_tokens",
     )
-    return (
+    out = (
         packed.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -213,6 +223,15 @@ def curate_corpus(
         )
         .orderBy("lang")
     )
+    # Seal the (tiny, per-language) summary eagerly and release every
+    # function-local cache pin: without the unpersist the keep/surv/
+    # clean pins outlive curate_corpus and accumulate across repeated
+    # pipeline invocations in one session (the no-leaked-pins
+    # discipline of test_iterative_graph_ops_release_cache_pins).
+    out = out.localCheckpoint(eager=True)
+    for p in pins:
+        p.unpersist()
+    return out
 
 
 def build_training_mix(

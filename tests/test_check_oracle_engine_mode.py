@@ -1,0 +1,162 @@
+"""Parity tests for tools/check_oracle.py --engine: the engine-side
+canonical-row digest (per-row string → md5 → two little-endian 64-bit
+halves → order-insensitive DECIMAL sums) must agree between Spark and
+DuckDB on every supported column type, because at sf1+ it replaces the
+driver-side toPandas() comparison entirely (emb_dup_pairs at sf1 is
+44 M rows — uncollectable under spark.driver.maxResultSize)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from check_oracle import UnsupportedType, _duck_digest, _spark_digest  # noqa: E402
+
+
+def _duck_con():
+    return duckdb.connect()
+
+
+def test_md5_le_halves_match_duckdb_number_functions(spark):
+    """The Spark byte-pair-reversed conv() must equal DuckDB's
+    md5_number_upper/lower for the same input string."""
+    from pyspark.sql import functions as F
+
+    s = "hello|world|1.000000"
+    df = spark.createDataFrame([(s,)], "v string")
+    md5 = F.md5("v")
+
+    def le(lo):
+        return F.conv(
+            F.concat(*[F.substring(md5, i, 2) for i in range(lo + 14, lo - 1, -2)]),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+
+    row = df.select(le(1).alias("a"), le(17).alias("b")).first()
+    drow = _duck_con().execute(
+        "SELECT md5_number_upper(?), md5_number_lower(?)", [s, s]
+    ).fetchone()
+    assert (int(row["a"]), int(row["b"])) == (int(drow[0]), int(drow[1]))
+    # and both agree with a reference little-endian parse of hashlib
+    h = hashlib.md5(s.encode()).hexdigest()
+    assert int(row["a"]) == int.from_bytes(bytes.fromhex(h[:16]), "little")
+    assert int(row["b"]) == int.from_bytes(bytes.fromhex(h[16:]), "little")
+
+
+def test_engine_digest_parity_all_types(spark):
+    """One row set covering every supported type — floats (incl. NaN,
+    ±inf, NULL, negative zero), ints with NULL, strings containing the
+    '|' separator, booleans, dates, timestamps with and without
+    microseconds, float arrays and int arrays — must digest
+    identically in both engines."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(
+        [
+            (
+                1,
+                0.35,
+                "plain",
+                True,
+                datetime.date(2024, 1, 2),
+                datetime.datetime(2024, 1, 2, 3, 4, 5),
+                [1.5, 2.25],
+                [1, 2, 3],
+            ),
+            (
+                2,
+                float("nan"),
+                "with|pipe",
+                False,
+                datetime.date(1999, 12, 31),
+                datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+                [float("nan")],
+                [],
+            ),
+            (
+                3,
+                float("inf"),
+                None,
+                None,
+                None,
+                None,
+                None,
+                None,
+            ),
+            (4, float("-inf"), "", True, None, None, [], [0]),
+            (5, None, "neg zero next", False, None, None, [-0.0], [-1]),
+            (6, -0.0, "x", True, None, None, [3.0], [7]),
+        ],
+        "i long, d double, s string, b boolean, dt date, ts timestamp, "
+        "ad array<double>, ai array<bigint>",
+    )
+    con = _duck_con()
+    con.execute(
+        """
+        CREATE TABLE t AS
+        SELECT * FROM (VALUES
+          (1, 0.35::DOUBLE, 'plain', TRUE, DATE '2024-01-02',
+           TIMESTAMP '2024-01-02 03:04:05', [1.5, 2.25]::DOUBLE[],
+           [1, 2, 3]::BIGINT[]),
+          (2, 'nan'::DOUBLE, 'with|pipe', FALSE, DATE '1999-12-31',
+           TIMESTAMP '2024-01-02 03:04:05.123456', ['nan'::DOUBLE],
+           []::BIGINT[]),
+          (3, 'infinity'::DOUBLE, NULL, NULL, NULL, NULL, NULL, NULL),
+          (4, '-infinity'::DOUBLE, '', TRUE, NULL, NULL, []::DOUBLE[],
+           [0]::BIGINT[]),
+          (5, NULL, 'neg zero next', FALSE, NULL, NULL,
+           [-(0.0::DOUBLE)]::DOUBLE[], [-1]::BIGINT[]),
+          (6, -0.0::DOUBLE, 'x', TRUE, NULL, NULL, [3.0]::DOUBLE[],
+           [7]::BIGINT[])
+        ) v(i, d, s, b, dt, ts, ad, ai)
+        """
+    )
+    s_n, s_a, s_b, s_cols = _spark_digest(sdf)
+    o_n, o_a, o_b, o_cols = _duck_digest(con, "SELECT * FROM t")
+    assert s_cols == o_cols
+    assert s_n == o_n == 6
+    assert (s_a, s_b) == (o_a, o_b)
+
+
+def test_engine_digest_detects_value_difference(spark):
+    """A single changed cell must flip the digest (no silent pass)."""
+    sdf = spark.createDataFrame([(1, "a"), (2, "b")], "i long, s string")
+    con = _duck_con()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 'a'), (2, 'X')) v(i, s)")
+    s = _spark_digest(sdf)
+    o = _duck_digest(con, "SELECT * FROM t")
+    assert s[0] == o[0]  # same row count
+    assert (s[1], s[2]) != (o[1], o[2])
+
+
+def test_engine_digest_order_insensitive(spark):
+    """Row order must not affect the digest (sum combine)."""
+    a = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "i long, s string")
+    b = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "i long, s string")
+    assert _spark_digest(a)[1:3] == _spark_digest(b)[1:3]
+
+
+def test_engine_digest_unsupported_type_raises(spark):
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(1).select(F.struct(F.col("id")).alias("st"))
+    with pytest.raises(UnsupportedType):
+        _spark_digest(sdf)
+
+
+def test_engine_digest_empty_result(spark):
+    sdf = spark.createDataFrame([], "i long, s string")
+    con = _duck_con()
+    s = _spark_digest(sdf)
+    o = _duck_digest(con, "SELECT 1::BIGINT AS i, 'x' AS s WHERE FALSE")
+    assert s == o == (0, 0, 0, ["i", "s"])

@@ -3,13 +3,31 @@
 the same sf, compare row count, column names, and an order-insensitive
 canonical value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Two comparison modes:
+
+- default (pandas): both results are collected to the driver and
+  canonicalized in Python — exactly the driver's own comparison. Fine
+  at sf0.01/0.1; capped by spark.driver.maxResultSize beyond that.
+- ``--engine``: the canonical per-row string, its md5 digest, and the
+  order-insensitive combine (two independent 60-bit digest SUMS in
+  DECIMAL(38,0)) are computed INSIDE each engine; exactly ONE row is
+  collected per side. This is the scale path — it oracle-checks
+  results with hundreds of millions of rows (emb_dup_pairs at sf1 is
+  44 M rows, fuzzy_name_pairs 627 M) that the pandas path cannot
+  collect. Formatting parity with the pandas canon is preserved where
+  representable (%.6f floats, isoformat timestamps/dates, str ints);
+  the two modes' hashes are not comparable to each other — each mode
+  compares Spark vs DuckDB under ONE shared definition, which is what
+  makes a row green.
+
+Usage: python tools/check_oracle.py [--engine] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import re
 import sys
 import time
 
@@ -43,9 +61,188 @@ def canon(df: pd.DataFrame) -> tuple[str, int, list[str]]:
     return h, len(df), cols
 
 
+class UnsupportedType(Exception):
+    """Column type the engine-side canon can't format portably yet."""
+
+
+# ---------------------------------------------------------------------------
+# Engine-side canonicalization. Both builders must produce the SAME
+# string for the same logical value — that shared definition is the
+# entire correctness of the mode.
+# ---------------------------------------------------------------------------
+
+def _spark_fmt(c, dt):
+    """Canonical-string expression for one Spark column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        d = c.cast("double")
+        # NULL floats print 'nan' (pandas-path parity: toPandas turns
+        # SQL NULL into NaN in float columns); DECIMAL goes through
+        # double the way fetchdf/toPandas float-ify it
+        return (
+            F.when(c.isNull() | F.isnan(d), F.lit("nan"))
+            .when(d == float("inf"), F.lit("inf"))
+            .when(d == float("-inf"), F.lit("-inf"))
+            .otherwise(F.format_string("%.6f", d))
+        )
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        frac = F.date_format(c, "SSSSSS")
+        iso = F.when(
+            frac == "000000", F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+        ).otherwise(F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        return F.coalesce(iso, F.lit("None"))
+    if isinstance(dt, T.DateType):
+        return F.coalesce(c.cast("string"), F.lit("None"))
+    if isinstance(dt, T.BooleanType):
+        return F.when(c.isNull(), "None").when(c, "True").otherwise("False")
+    if isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+    ):
+        return F.coalesce(c.cast("string"), F.lit("None"))
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        if isinstance(et, (T.DoubleType, T.FloatType)):
+            elem = lambda x: F.when(  # noqa: E731
+                x.isNull() | F.isnan(x.cast("double")), F.lit("nan")
+            ).otherwise(F.format_string("%.6f", x.cast("double")))
+        elif isinstance(
+            et, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+        ):
+            elem = lambda x: F.coalesce(x.cast("string"), F.lit("None"))  # noqa: E731
+        else:
+            raise UnsupportedType(f"array<{et.simpleString()}>")
+        body = F.array_join(F.transform(c, elem), ",")
+        return F.coalesce(
+            F.concat(F.lit("["), body, F.lit("]")), F.lit("None")
+        )
+    raise UnsupportedType(dt.simpleString())
+
+
+def _spark_digest(sdf) -> tuple[int, int, int, list[str]]:
+    """(row_count, sum_a, sum_b, sorted_cols) computed inside Spark."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(sdf.columns)
+    fields = {f.name: f.dataType for f in sdf.schema.fields}
+    line = F.concat_ws("|", *[_spark_fmt(F.col(n), fields[n]) for n in cols])
+    md5 = F.md5(line)
+    # DuckDB's md5_number_upper/lower parse each 8-byte half of the
+    # digest LITTLE-endian; reverse the byte pairs so conv() yields the
+    # identical unsigned 64-bit values (parity pinned by
+    # tests/test_check_oracle_engine_mode.py)
+    def _le(lo: int):
+        return F.conv(
+            F.concat(*[F.substring(md5, i, 2) for i in range(lo + 14, lo - 1, -2)]),
+            16,
+            10,
+        ).cast("decimal(38,0)")
+
+    a = _le(1)
+    b = _le(17)
+    row = (
+        sdf.select(a.alias("a"), b.alias("b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("a"), F.lit(0)).cast("decimal(38,0)").alias("sa"),
+            F.coalesce(F.sum("b"), F.lit(0)).cast("decimal(38,0)").alias("sb"),
+        )
+        .first()
+    )
+    return int(row["n"]), int(row["sa"]), int(row["sb"]), cols
+
+
+def _duck_fmt(name: str, typ: str) -> str:
+    """Canonical-string SQL for one DuckDB column (same definition as
+    _spark_fmt — keep the two in lockstep)."""
+    q = f'"{name}"'
+    t = typ.upper()
+    if t.endswith("[]"):
+        et = t[:-2]
+        if et in ("DOUBLE", "FLOAT", "REAL"):
+            elem = (
+                "CASE WHEN x IS NULL OR isnan(x::DOUBLE) THEN 'nan' "
+                "ELSE printf('%.6f', x::DOUBLE) END"
+            )
+        elif et in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "VARCHAR"):
+            elem = "COALESCE(x::VARCHAR, 'None')"
+        else:
+            raise UnsupportedType(typ)
+        # array_to_string([]) is NULL in DuckDB, so the empty-list ''
+        # must be restored BEFORE the brackets; only a NULL column
+        # prints 'None'
+        return (
+            f"CASE WHEN {q} IS NULL THEN 'None' ELSE "
+            f"'[' || COALESCE(array_to_string(list_transform({q}, "
+            f"x -> {elem}), ','), '') || ']' END"
+        )
+    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        return (
+            f"CASE WHEN {q} IS NULL OR isnan({q}::DOUBLE) THEN 'nan' "
+            f"WHEN {q}::DOUBLE = 'infinity'::DOUBLE THEN 'inf' "
+            f"WHEN {q}::DOUBLE = '-infinity'::DOUBLE THEN '-inf' "
+            f"ELSE printf('%.6f', {q}::DOUBLE) END"
+        )
+    if t.startswith("TIMESTAMP"):
+        return (
+            f"COALESCE(CASE WHEN strftime({q}, '%f') = '000000' "
+            f"THEN strftime({q}, '%Y-%m-%dT%H:%M:%S') "
+            f"ELSE strftime({q}, '%Y-%m-%dT%H:%M:%S.%f') END, 'None')"
+        )
+    if t == "DATE":
+        return f"COALESCE({q}::VARCHAR, 'None')"
+    if t == "BOOLEAN":
+        return (
+            f"CASE WHEN {q} IS NULL THEN 'None' "
+            f"WHEN {q} THEN 'True' ELSE 'False' END"
+        )
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "VARCHAR"):
+        return f"COALESCE({q}::VARCHAR, 'None')"
+    raise UnsupportedType(typ)
+
+
+def _duck_digest(con, sql: str) -> tuple[int, int, int, list[str]]:
+    """(row_count, sum_a, sum_b, sorted_cols) computed inside DuckDB."""
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) __t__").fetchall()
+    types = {r[0]: r[1] for r in desc}
+    cols = sorted(types)
+    line = " || '|' || ".join(_duck_fmt(n, types[n]) for n in cols)
+    row = con.execute(
+        f"SELECT count(*), "
+        f"COALESCE(sum(md5_number_upper(__l__)::HUGEINT), 0), "
+        f"COALESCE(sum(md5_number_lower(__l__)::HUGEINT), 0) "
+        f"FROM (SELECT {line} AS __l__ FROM ({sql}) __t__) __h__"
+    ).fetchone()
+    return int(row[0]), int(row[1]), int(row[2]), cols
+
+
+def _lint_oracle(name: str, sql: str) -> None:
+    """Unrolled-CTE lint: DuckDB re-inlines a plain (un-MATERIALIZED)
+    CTE at every reference, so an iterative oracle unrolled over many
+    rounds does exponential work — measured as a 100 GiB OOM on the
+    sf0.3 Lloyd chain until `AS MATERIALIZED` pinned each round
+    (BASELINE.md, round 7). Flag oracles with deep CTE chains that
+    never materialize."""
+    n_cte = len(re.findall(r"\bAS\s*\(", sql, flags=re.I))
+    if n_cte >= 12 and not re.search(r"\bAS\s+MATERIALIZED\b", sql, flags=re.I):
+        print(
+            f"  LINT {name}: {n_cte} CTEs, none MATERIALIZED — an "
+            f"iterative/unrolled oracle without AS MATERIALIZED is "
+            f"re-inlined per reference by DuckDB (exponential work at "
+            f"higher sf)"
+        )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    engine = "--engine" in argv
+    if engine:
+        argv.remove("--engine")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from hippollm_spark.session import get_spark
@@ -65,24 +262,68 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if name in oracles:
+            _lint_oracle(name, oracles[name])
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            if engine and name in oracles:
+                s_n, s_a, s_b, s_cols = _spark_digest(sdf)
+            else:
+                spdf = sdf.toPandas()
+        except UnsupportedType as e:
+            print(f"~ {name}: engine-hash unsupported type {e} — "
+                  f"falling back to pandas canon")
+            try:
+                spdf = fn(spark, sf_dir).toPandas()
+            except Exception as e2:
+                print(f"✗ {name}: SPARK ERROR {type(e2).__name__}: {e2}")
+                failures.append(name)
+                continue
+            engine_this = False
         except Exception as e:
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
+        else:
+            engine_this = engine and name in oracles
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"~ {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s) — no oracle")
+            n = s_n if engine_this else len(spdf)
+            print(f"~ {name}: rows-only ({n} rows, {t_spark:.1f}s) — no oracle")
             continue
         try:
+            if engine_this:
+                o_n, o_a, o_b, o_cols = _duck_digest(con, oracles[name])
+            else:
+                odf = con.execute(oracles[name]).fetchdf()
+        except UnsupportedType as e:
+            print(f"~ {name}: engine-hash unsupported oracle type {e} — "
+                  f"falling back to pandas canon")
+            spdf = fn(spark, sf_dir).toPandas()
             odf = con.execute(oracles[name]).fetchdf()
+            engine_this = False
         except Exception as e:
             print(f"✗ {name}: DUCKDB ERROR {type(e).__name__}: {e}")
             failures.append(name)
             continue
-        sh, sn, sc = canon(sdf)
+        if engine_this:
+            ok = (s_n == o_n) and (s_a == o_a) and (s_b == o_b) and (
+                s_cols == o_cols
+            )
+            status = "✓" if ok else "✗"
+            print(
+                f"{status} {name}: spark {s_n} rows / oracle {o_n} rows, "
+                f"engine-digest "
+                f"{'match' if (s_a, s_b) == (o_a, o_b) else 'MISMATCH'}, "
+                f"{t_spark:.1f}s"
+            )
+            if not ok:
+                failures.append(name)
+                if s_cols != o_cols:
+                    print(f"   cols spark={s_cols} oracle={o_cols}")
+            continue
+        sh, sn, sc = canon(spdf)
         oh, on_, oc = canon(odf)
         ok = (sh == oh) and (sn == on_) and (sc == oc)
         status = "✓" if ok else "✗"
@@ -93,7 +334,7 @@ def main() -> int:
             if sc != oc:
                 print(f"   cols spark={sc} oracle={oc}")
             if sn and on_ and sh != oh:
-                print("   spark head:", sdf.sort_values(sorted(sdf.columns)[0]).head(3).to_dict("records"))
+                print("   spark head:", spdf.sort_values(sorted(spdf.columns)[0]).head(3).to_dict("records"))
                 print("   oracle head:", odf.sort_values(sorted(odf.columns)[0]).head(3).to_dict("records"))
     print(f"\n{'FAIL: ' + ', '.join(failures) if failures else 'ALL MATCH'}")
     return 1 if failures else 0
