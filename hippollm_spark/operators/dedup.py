@@ -640,19 +640,56 @@ def embedding_dup_pairs(
     don't codegen) — ~100× too slow. Instead: hash vectors into
     ``n_blocks`` blocks, emit each unordered block pair (bi <= bj) once,
     and compute the full block×block similarity with ONE numpy matmul
-    per group inside applyInPandas. O(n²) work stays, but it runs at
-    BLAS speed across n_blocks*(n_blocks+1)/2 parallel tasks and only
+    per group inside applyInPandas. O(n²) work stays, but it runs
+    vectorized across n_blocks*(n_blocks+1)/2 parallel tasks and only
     ships each block ~n_blocks times. The ANN variant for 100 TB is
     operators.similarity.lsh_dup_pairs (recall-tested against this).
     Output: (id_a, id_b, cos 6dp), id_a < id_b.
+
+    Cross-engine exactness (the e6 discipline): vectors are quantized
+    to e6 BIGINT up front (same rule as the PQ/IVF artifacts), dot
+    products and squared norms are exact int64, and the threshold —
+    honored at 4 decimal places — is the exact INTEGER predicate
+    1e8·dot² ≥ t_e4²·‖a‖²·‖b‖² (dot ≥ 0), evaluated float-side with a
+    1e-9 relative band and arbitrary-precision re-verified inside the
+    band. A float-only threshold diverged from DuckDB on 433 of 44 M
+    pairs at sf1 (different summation order → 1-ulp flips at the
+    boundary); the integer predicate cannot. The reported cos is
+    floor(1e6·dot/√(na·nb) + 0.5)/1e6 — every float op correctly
+    rounded from exact integers in the same sequence both engines use,
+    so the value is bit-identical too.
+
+    Scale guard: at LOOSE thresholds (< 0.5) the TRUE output is
+    output-bound — random high-dimensional vectors already have a
+    non-trivial density of pairs above such a bar, so row volume grows
+    quadratically with corpus size no matter how good the plan is
+    (measured: 44 M pairs at threshold 0.35 over 50 k vectors). A
+    runtime warning fires below 0.5; at 100 TB use the banded
+    `lsh_dup_pairs` / SRP-LSH variants, which keep both candidates and
+    output near-linear at dedup-grade thresholds.
     """
+    if float(threshold) < 0.5:
+        import warnings
+
+        warnings.warn(
+            f"embedding_dup_pairs(threshold={threshold}) is output-bound: "
+            "below ~0.5 the true pair count grows quadratically with the "
+            "corpus; use similarity.lsh_dup_pairs at scale",
+            stacklevel=2,
+        )
     if n_blocks is None:
         # target ~2k rows per block (4M-dot-product tiles); 1 block for
         # small inputs avoids the join/shuffle entirely
         n_blocks = max(1, min(64, vecs.count() // 2000))
     base = vecs.select(
         F.col(id_col).alias("__id__"),
-        F.col(vec_col).cast("array<double>").alias("__v__"),
+        # e6 quantization OUTSIDE the UDF: F.round is HALF_UP (away
+        # from zero), identical to DuckDB round() — the same rule the
+        # PQ/IVF artifacts use
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("__v__"),
         (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))).alias("__blk__"),
     )
     pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
@@ -664,7 +701,10 @@ def embedding_dup_pairs(
         F.broadcast(pair_df),
         (F.col("__blk__") == F.col("bi")) | (F.col("__blk__") == F.col("bj")),
     )
-    thr = float(threshold)
+    if float(threshold) <= 0:
+        raise ValueError("threshold must be positive")
+    t_e4 = int(round(float(threshold) * 10_000))
+    t4sq = t_e4 * t_e4
 
     def _block(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = key
@@ -672,17 +712,39 @@ def embedding_dup_pairs(
         bv = pdf[pdf["__blk__"] == bj]
         if len(av) == 0 or len(bv) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        ma = np.array(av["__v__"].tolist(), dtype=np.float64)
-        mb = np.array(bv["__v__"].tolist(), dtype=np.float64)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        sims = (ma @ mb.T) / np.outer(na, nb)
+        # exact int64 throughout: |x_e6| ≲ 2e6 per dim → dot ≤ d·4e12
+        # ≈ 2.6e14 at d=64, no overflow and exactly float-representable
+        va = np.array(av["__v__"].tolist(), dtype=np.int64)
+        vb = np.array(bv["__v__"].tolist(), dtype=np.int64)
+        na = (va * va).sum(1)
+        nb = (vb * vb).sum(1)
+        dot = va @ vb.T
+        dotf = dot.astype(np.float64)
+        # rhs = t_e4²·na·nb, lhs = 1e8·dot² — both ~1e35, beyond int64:
+        # screen in float64 (error ≤ a few ulp ≈ 1e-15 relative) and
+        # re-verify the ±1e-9 relative band with Python bigints
+        rhs = float(t4sq) * np.outer(na.astype(np.float64), nb.astype(np.float64))
+        lhs = 1e8 * dotf * dotf
+        pos = (dot > 0) & (na[:, None] > 0) & (nb[None, :] > 0)
+        sure = pos & (lhs >= rhs * (1 + 1e-9))
+        band = pos & ~sure & (lhs >= rhs * (1 - 1e-9))
+        for i, j in zip(*np.nonzero(band)):
+            if 10**8 * int(dot[i, j]) ** 2 >= t4sq * int(na[i]) * int(nb[j]):
+                sure[i, j] = True
+        rows_i, cols_j = np.nonzero(sure)
         ia = av["__id__"].to_numpy()
         ib = bv["__id__"].to_numpy()
-        rows_i, cols_j = np.nonzero(np.round(sims, 6) >= thr)
         id_a = ia[rows_i]
         id_b = ib[cols_j]
-        cos = np.round(sims[rows_i, cols_j], 6)
+        # 6dp cosine: floor(1e6·q + 0.5)/1e6 with q = dot/√(na·nb) —
+        # na·nb rounds ONCE to double (identical to DuckDB's
+        # HUGEINT→DOUBLE cast of the exact product, since na,nb < 2^53
+        # are exact), then sqrt/div/floor are correctly rounded in the
+        # same sequence on both engines
+        q = dotf[rows_i, cols_j] / np.sqrt(
+            na[rows_i].astype(np.float64) * nb[cols_j].astype(np.float64)
+        )
+        cos = np.floor(1e6 * q + 0.5) / 1e6
         if bi == bj:
             # symmetric matrix: each unordered pair appears twice — keep one
             keep = id_a < id_b
@@ -960,6 +1022,16 @@ def edit_distance_pairs(
     OUTPUT only — measured 66 s → ~2 s on the 20k-row / 64-name bench
     column — and on an all-distinct column it costs one extra
     (string, id) aggregation, noise next to the probe shuffle.
+
+    Scale guard: the OUTPUT itself is quadratic in the largest
+    same-string (or near-string) group — a column whose cardinality
+    does not grow with the corpus (64 distinct names at any sf) emits
+    Θ(n²) true pairs by construction (627 M rows at sf1 on the legacy
+    fixture). The plan is not the problem; the question is. At 100 TB
+    either dedup the column first (`duplicate_groups` gives the
+    same-string groups in linear output) or use the banded
+    `minhash_lsh_pairs` on a shingled view when near-pairs are the
+    goal.
 
     Output: (id_a, id_b, dist INT) with id_a < id_b, dist ≤ k.
     """

@@ -56,9 +56,10 @@ def test_md5_le_halves_match_duckdb_number_functions(spark):
 def test_engine_digest_parity_all_types(spark):
     """One row set covering every supported type — floats (incl. NaN,
     ±inf, NULL, negative zero), ints with NULL, strings containing the
-    '|' separator, booleans, dates, timestamps with and without
-    microseconds, float arrays and int arrays — must digest
-    identically in both engines."""
+    '|' separator, booleans, DuckDB DATE vs Spark midnight TIMESTAMP
+    (the fetchdf conflation the pandas path bakes in), timestamps with
+    and without microseconds, float arrays and int arrays — must
+    digest identically in both engines."""
     from pyspark.sql import functions as F
 
     sdf = spark.createDataFrame(
@@ -68,7 +69,7 @@ def test_engine_digest_parity_all_types(spark):
                 0.35,
                 "plain",
                 True,
-                datetime.date(2024, 1, 2),
+                datetime.datetime(2024, 1, 2),
                 datetime.datetime(2024, 1, 2, 3, 4, 5),
                 [1.5, 2.25],
                 [1, 2, 3],
@@ -78,7 +79,7 @@ def test_engine_digest_parity_all_types(spark):
                 float("nan"),
                 "with|pipe",
                 False,
-                datetime.date(1999, 12, 31),
+                datetime.datetime(1999, 12, 31),
                 datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
                 [float("nan")],
                 [],
@@ -97,7 +98,7 @@ def test_engine_digest_parity_all_types(spark):
             (5, None, "neg zero next", False, None, None, [-0.0], [-1]),
             (6, -0.0, "x", True, None, None, [3.0], [7]),
         ],
-        "i long, d double, s string, b boolean, dt date, ts timestamp, "
+        "i long, d double, s string, b boolean, dt timestamp, ts timestamp, "
         "ad array<double>, ai array<bigint>",
     )
     con = _duck_con()

@@ -103,25 +103,71 @@ def test_simhash60_sql_matches_semantics(docs):
 
 
 def test_embedding_dup_pairs_matches_bruteforce(spark, embeddings):
-    from hippollm_spark.functions import vectors as V
-
+    """Cross-implementation parity for the e6-exact semantics: the
+    blocked numpy kernel must equal a naive Spark-SQL cross join that
+    replays the SAME definition — e6 HALF_UP quantization, exact
+    integer dot/norms, the integer threshold predicate
+    1e8·dot² ≥ t_e4²·na·nb (DECIMAL(38,0): dot² ≈ 1e28 overflows
+    BIGINT), and the floor(1e6·q + 0.5)/1e6 cosine. This is the same
+    definition the DuckDB oracle replays, so three independent
+    implementations pin it."""
+    qv = embeddings.select(
+        F.col("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("ve"),
+    )
+    dot_l = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    t4sq = 4000 * 4000
+    dec = "decimal(38,0)"
+    a = qv.select(F.col("vec_id").alias("id_a"), F.col("ve").alias("va"))
+    b = qv.select(F.col("vec_id").alias("id_b"), F.col("ve").alias("vb"))
+    slow_df = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot_l)
+        .withColumn("na", nrm(F.col("va")))
+        .withColumn("nb", nrm(F.col("vb")))
+        .filter(
+            (F.col("dot") > 0)
+            & (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (
+                F.lit(10**8).cast(dec) * (F.col("dot").cast(dec) * F.col("dot").cast(dec))
+                >= F.lit(t4sq).cast(dec) * (F.col("na").cast(dec) * F.col("nb").cast(dec))
+            )
+        )
+        .withColumn(
+            "cos",
+            F.floor(
+                1e6
+                * (
+                    F.col("dot").cast("double")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                )
+                + 0.5
+            )
+            / 1e6,
+        )
+    )
+    slow = {(r["id_a"], r["id_b"]): r["cos"] for r in slow_df.collect()}
     fast = {
         (r["id_a"], r["id_b"]): r["cos"]
         for r in dedup.embedding_dup_pairs(embeddings, threshold=0.4).collect()
     }
-    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    slow = {
-        (r["id_a"], r["id_b"]): r["cos"]
-        for r in a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(V.cosine_similarity(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= 0.4)
-        .collect()
-    }
     assert set(fast) == set(slow)
     for k in fast:
-        assert abs(fast[k] - slow[k]) < 1e-9
+        assert fast[k] == slow[k], (k, fast[k], slow[k])
 
 
 def test_canonicalize_collapses_chains(spark):

@@ -31,7 +31,10 @@ from hippollm_spark.operators.similarity import load_ivfpq_e6
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = 10
 QUERIES = list(range(0, 200, 10))
-NPROBES = (1, 2, 4, 8, 16)
+# probe fractions of nlist=128: 1/16, 1/8, 1/4, 1/2, full
+NPROBES = (8, 16, 32, 64, 128)
+NLIST = 128
+HALF = NLIST // 2
 
 
 @pytest.fixture(scope="module")
@@ -101,34 +104,45 @@ def _curves(fitted):
 def test_recall_curve_monotone_and_rerank_saturates_ceiling(fitted):
     raw, rer100, rer400, ceil = _curves(fitted)
     for a, b in zip(NPROBES, NPROBES[1:]):
-        assert raw[a] <= raw[b] + 1e-9, (raw, a, b)
-        assert rer100[a] <= rer100[b] + 1e-9
+        # the CEILING is monotone by construction (probe sets nest);
+        # raw ADC / fixed-depth shortlists are NOT invariant-monotone —
+        # extra probed lists admit extra PQ-distorted distractors that
+        # can push a true neighbour past rank K (measured wiggle ≤0.015
+        # on the nlist=64 artifact) — so they only get a slack bound
         assert ceil[a] <= ceil[b] + 1e-9
+        assert raw[a] <= raw[b] + 0.05, (raw, a, b)
+        assert rer100[a] <= rer100[b] + 0.05
     for p in NPROBES:
         assert rer100[p] >= raw[p] - 1e-9, "re-rank must dominate raw ADC"
         assert rer400[p] >= rer100[p] - 1e-9, "deeper shortlist must dominate"
         assert rer400[p] <= ceil[p] + 1e-9, "nothing can beat the list ceiling"
     # full probe admits everything
-    assert ceil[16] == 1.0
+    assert ceil[NLIST] == 1.0
+    # the round-8 coarse upgrade (nlist 16 -> 128, k-means++ seeding,
+    # 15 Lloyd iters on sf0.1): the half-probe CEILING clears 0.9 —
+    # the round-7 artifact capped ANY re-rank at 0.805 there
+    assert ceil[HALF] >= 0.9, ceil[HALF]
     # where the PROBE is the binding constraint (nprobe=nlist/2),
-    # IVFADC-R recovers >=95% of whatever the probed lists admit
-    assert rer400[8] >= 0.95 * ceil[8], (rer400[8], ceil[8])
+    # IVFADC-R recovers >=95% of whatever the probed lists admit...
+    assert rer400[HALF] >= 0.95 * ceil[HALF], (rer400[HALF], ceil[HALF])
+    # ...and >=0.85 ABSOLUTE recall@10 at the half-probe point
+    assert rer400[HALF] >= 0.85, rer400[HALF]
     # at full probe the binding loss shifts to ADC ordering depth
     # (true neighbours pushed past the shortlist by PQ distortion on
     # this near-uniform data); the R=400 shortlist (20% of the corpus)
     # still lands >=0.85, and R -> n is exact by construction
-    assert rer400[16] >= 0.85, rer400[16]
+    assert rer400[NLIST] >= 0.85, rer400[NLIST]
 
 
 def test_spark_rerank_path_matches_replica(spark, fitted):
     """The production ivfpq_topk_rerank DataFrame path reproduces the
-    replica's exact (id, dist) top-10 at (nprobe=8, rerank=100)."""
+    replica's exact (id, dist) top-10 at (nprobe=HALF, rerank=100)."""
     from hippollm_spark.operators.similarity import ivfpq_topk_rerank
 
     ids, xq, cents, cb, assign, codes = fitted
     qi = 30
     q = xq[qi]
-    dist, _ = _adc_dists(q, cents, cb, assign, codes, 8)
+    dist, _ = _adc_dists(q, cents, cb, assign, codes, HALF)
     order = np.lexsort((ids, dist))[:100]
     order = order[dist[order] < np.iinfo(np.int64).max]
     exact = ((xq - q) ** 2).sum(1)
@@ -139,7 +153,7 @@ def test_spark_rerank_path_matches_replica(spark, fitted):
     got = [
         (r["vec_id"], r["dist_e12"])
         for r in ivfpq_topk_rerank(
-            emb, cents, cb, q.tolist(), k=K, nprobe=8, rerank=100
+            emb, cents, cb, q.tolist(), k=K, nprobe=HALF, rerank=100
         ).collect()
     ]
     assert got == want

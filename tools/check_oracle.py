@@ -192,7 +192,11 @@ def _duck_fmt(name: str, typ: str) -> str:
             f"ELSE strftime({q}, '%Y-%m-%dT%H:%M:%S.%f') END, 'None')"
         )
     if t == "DATE":
-        return f"COALESCE({q}::VARCHAR, 'None')"
+        # fetchdf converts DATE to datetime64, so the pandas path
+        # rendered dates as midnight timestamps ('...T00:00:00') and
+        # matched Spark TIMESTAMP outputs; mirror that here (8 contract
+        # queries return Spark TIMESTAMP vs DuckDB DATE day columns)
+        return f"COALESCE(strftime({q}, '%Y-%m-%dT00:00:00'), 'None')"
     if t == "BOOLEAN":
         return (
             f"CASE WHEN {q} IS NULL THEN 'None' "

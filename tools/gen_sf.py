@@ -4,8 +4,10 @@ the driver's read-only /root/testdata (sf0.001/0.01/0.1).
 Generates ALL ten contract tables at an arbitrary scale factor with
 the same SCHEMAS as the driver data and qualitatively similar
 structure — planted exact/near duplicates in `documents`, clustered
-`embeddings`, multi-language text, the 64-distinct-p_name part table
-that bounds the co-occurrence graph — so every contract query runs
+`embeddings`, multi-language text, a part table whose name cardinality
+GROWS with sf (~8 parts per name; the first 64 names keep the driver
+fixture's suffix-free color-object form so entity lookups match) — so
+every contract query runs
 meaningfully and `tools/check_oracle.py <dir> <queries...>` validates
 Spark vs DuckDB on the SAME files at sf1+ (the oracle compares the
 two engines on identical input; it does not require the driver's
@@ -110,14 +112,30 @@ def gen_all(spark, sf: float, out: str) -> None:
         ),
         "supplier",
     )
+    # p_name cardinality must GROW with sf (real catalogs add names as
+    # they add parts): the driver fixture's fixed 64 color-object names
+    # made every same-name group Θ(n) docs, so fuzzy_name_pairs' TRUE
+    # output was quadratic by construction (627M pairs at sf1 — an
+    # adversarial cardinality no real corpus has). Names are bucketed
+    # into max(64, n_part/8) groups (~8 parts per name at any sf); the
+    # first 64 groups keep the legacy suffix-free names so the entity
+    # point lookups ('blue rod') stay non-vacuous, the rest append a
+    # ' g<gid>' suffix. Near-pairs arise naturally and stay bounded:
+    # two suffixed names are within edit distance 2 iff they share
+    # color+object (gid ≡ mod 64) and their gid digits differ by ≤2
+    # edits — a small constant per name.
+    p_gid = _h("id", "pgrp", max(64, n_part // 8))
+    p_base = F.concat(
+        _pick(COLORS, F.pmod(p_gid, 8)),
+        F.lit(" "),
+        _pick(OBJECTS, F.pmod((p_gid / 8).cast("long"), 8)),
+    )
     write(
         spark.range(n_part).select(
             F.col("id").alias("p_partkey"),
-            F.concat(
-                _pick(COLORS, _h("id", "pcol", len(COLORS))),
-                F.lit(" "),
-                _pick(OBJECTS, _h("id", "pobj", len(OBJECTS))),
-            ).alias("p_name"),
+            F.when(p_gid < 64, p_base)
+            .otherwise(F.concat(p_base, F.lit(" g"), p_gid))
+            .alias("p_name"),
             F.concat(F.lit("Brand#"), (_h("id", "pbr", 25) + 1)).alias("p_brand"),
             _pick(PTYPES, _h("id", "pty", 5)).alias("p_type"),
             (_h("id", "psz", 50) + 1).cast("int").alias("p_size"),
