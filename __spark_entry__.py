@@ -4442,7 +4442,7 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
                 FROM documents
             ),
-            feat AS (
+            feat AS MATERIALIZED (
                 SELECT doc_id, len(toks) AS n_tokens,
                        round(punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
                        round(len(list_filter(toks, t -> list_contains({en}, t)))
@@ -4451,7 +4451,7 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(len(toks), 1)::DOUBLE, 6) AS uniq_ratio
                 FROM base
             ),
-            score AS (
+            score AS MATERIALIZED (
                 SELECT doc_id, n_tokens,
                        (least(n_tokens * 10000, 1000000) * 25
                         + (1000000 - least(CAST(round(punct_ratio * 1000000) AS BIGINT) * 4, 1000000)) * 25
@@ -4459,7 +4459,7 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(round(uniq_ratio * 1000000) AS BIGINT) * 30)::BIGINT AS q
                 FROM feat
             ),
-            lidh AS (
+            lidh AS MATERIALIZED (
                 SELECT doc_id,
                        len(list_filter(toks, x -> list_contains({de}, x))) AS h_de,
                        len(list_filter(toks, x -> list_contains({en}, x))) AS h_en,
@@ -4467,7 +4467,7 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(toks, x -> list_contains({fr}, x))) AS h_fr
                 FROM base
             ),
-            lid AS (
+            lid AS MATERIALIZED (
                 SELECT doc_id,
                        CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
                             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
@@ -4476,7 +4476,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'fr' END AS lang_pred
                 FROM lidh
             ),
-            keep AS (
+            keep AS MATERIALIZED (
                 SELECT b.doc_id, b.text, b.lang, b.toks, l.lang_pred, s.n_tokens
                 FROM base b
                 JOIN score s ON s.doc_id = b.doc_id
@@ -4485,13 +4485,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             corpus AS (SELECT * FROM keep WHERE doc_id % 20 != 0),
             bench AS (SELECT * FROM keep WHERE doc_id % 20 = 0),
-            edwin AS (
+            edwin AS MATERIALIZED (
                 SELECT min(doc_id) AS doc_id
                 FROM (SELECT doc_id, md5({_NORM}) AS h FROM corpus)
                 GROUP BY h
             ),
             surv1 AS (SELECT c.* FROM corpus c JOIN edwin USING (doc_id)),
-            shs AS (
+            shs AS MATERIALIZED (
                 SELECT doc_id,
                        list_distinct(
                            CASE WHEN len(toks) >= 3
@@ -4503,18 +4503,18 @@ def oracle_sql() -> dict[str, str]:
             ),
             exs AS (SELECT doc_id, unnest(shingles) AS s FROM shs),
             szs AS (SELECT doc_id, len(shingles) AS n FROM shs),
-            jp AS (
+            jp AS MATERIALIZED (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                 FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
-            jpairs AS (
+            jpairs AS MATERIALIZED (
                 SELECT doc_a, doc_b FROM jp
                 JOIN szs na ON na.doc_id = doc_a
                 JOIN szs nb ON nb.doc_id = doc_b
                 WHERE round(inter::DOUBLE / (na.n + nb.n - inter), 6) >= 0.5
             ),
-            ee AS (
+            ee AS MATERIALIZED (
                 SELECT doc_a AS a, doc_b AS b FROM jpairs
                 UNION SELECT doc_b, doc_a FROM jpairs
             ),
@@ -4524,11 +4524,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.a, e.b FROM reach r JOIN ee e ON r.b = e.a
             ),
             jdrops AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
-            surv2 AS (
+            surv2 AS MATERIALIZED (
                 SELECT * FROM surv1
                 WHERE doc_id NOT IN (SELECT doc_id FROM jdrops)
             ),
-            shb AS (
+            shb AS MATERIALIZED (
                 SELECT doc_id,
                        list_distinct(
                            CASE WHEN len(toks) >= 3
@@ -4538,22 +4538,22 @@ def oracle_sql() -> dict[str, str]:
                        ) AS shingles
                 FROM bench
             ),
-            exs2 AS (
+            exs2 AS MATERIALIZED (
                 SELECT * FROM exs WHERE doc_id IN (SELECT doc_id FROM surv2)
             ),
             exb AS (SELECT doc_id AS bench_id, unnest(shingles) AS s FROM shb),
             szb AS (SELECT doc_id AS bench_id, len(shingles) AS n FROM shb),
-            cp AS (
+            cp AS MATERIALIZED (
                 SELECT e.doc_id AS corpus_id, b.bench_id, count(*) AS inter
                 FROM exs2 e JOIN exb b USING (s) GROUP BY 1, 2
             ),
-            conts AS (
+            conts AS MATERIALIZED (
                 SELECT DISTINCT corpus_id AS doc_id FROM cp
                 JOIN szs nc ON nc.doc_id = corpus_id
                 JOIN szb nb ON nb.bench_id = cp.bench_id
                 WHERE round(inter::DOUBLE / (nc.n + nb.n - inter), 6) >= 0.5
             ),
-            clean AS (
+            clean AS MATERIALIZED (
                 SELECT * FROM surv2
                 WHERE doc_id NOT IN (SELECT doc_id FROM conts)
             )"""
@@ -7604,84 +7604,84 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id
         """,
         "graph_hits": """
-            WITH e AS (
+            WITH e AS MATERIALIZED (
                 SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
                        's' || l_suppkey::VARCHAR AS dst
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             ),
-            v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
-            h0 AS (SELECT vertex, 1000000000000::HUGEINT AS h FROM v),
-            a1r AS (
+            v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+            h0 AS MATERIALIZED (SELECT vertex, 1000000000000::HUGEINT AS h FROM v),
+            a1r AS MATERIALIZED (
                 SELECT v.vertex, coalesce(sum(h0.h), 0)::HUGEINT AS a
                 FROM v LEFT JOIN e ON e.dst = v.vertex
                 LEFT JOIN h0 ON h0.vertex = e.src
                 GROUP BY v.vertex
             ),
-            a1m AS (SELECT max(a) AS m FROM a1r),
-            a1 AS (
+            a1m AS MATERIALIZED (SELECT max(a) AS m FROM a1r),
+            a1 AS MATERIALIZED (
                 SELECT vertex,
                        CASE WHEN m > 0 THEN (a * 1000000000000::HUGEINT) // m
                             ELSE 0::HUGEINT END AS a
                 FROM a1r, a1m
             ),
-            h1r AS (
+            h1r AS MATERIALIZED (
                 SELECT v.vertex, coalesce(sum(a1.a), 0)::HUGEINT AS h
                 FROM v LEFT JOIN e ON e.src = v.vertex
                 LEFT JOIN a1 ON a1.vertex = e.dst
                 GROUP BY v.vertex
             ),
-            h1m AS (SELECT max(h) AS m FROM h1r),
-            h1 AS (
+            h1m AS MATERIALIZED (SELECT max(h) AS m FROM h1r),
+            h1 AS MATERIALIZED (
                 SELECT vertex,
                        CASE WHEN m > 0 THEN (h * 1000000000000::HUGEINT) // m
                             ELSE 0::HUGEINT END AS h
                 FROM h1r, h1m
-            ),            a2r AS (
+            ),            a2r AS MATERIALIZED (
                 SELECT v.vertex, coalesce(sum(h1.h), 0)::HUGEINT AS a
                 FROM v LEFT JOIN e ON e.dst = v.vertex
                 LEFT JOIN h1 ON h1.vertex = e.src
                 GROUP BY v.vertex
             ),
-            a2m AS (SELECT max(a) AS m FROM a2r),
-            a2 AS (
+            a2m AS MATERIALIZED (SELECT max(a) AS m FROM a2r),
+            a2 AS MATERIALIZED (
                 SELECT vertex,
                        CASE WHEN m > 0 THEN (a * 1000000000000::HUGEINT) // m
                             ELSE 0::HUGEINT END AS a
                 FROM a2r, a2m
             ),
-            h2r AS (
+            h2r AS MATERIALIZED (
                 SELECT v.vertex, coalesce(sum(a2.a), 0)::HUGEINT AS h
                 FROM v LEFT JOIN e ON e.src = v.vertex
                 LEFT JOIN a2 ON a2.vertex = e.dst
                 GROUP BY v.vertex
             ),
-            h2m AS (SELECT max(h) AS m FROM h2r),
-            h2 AS (
+            h2m AS MATERIALIZED (SELECT max(h) AS m FROM h2r),
+            h2 AS MATERIALIZED (
                 SELECT vertex,
                        CASE WHEN m > 0 THEN (h * 1000000000000::HUGEINT) // m
                             ELSE 0::HUGEINT END AS h
                 FROM h2r, h2m
-            ),            a3r AS (
+            ),            a3r AS MATERIALIZED (
                 SELECT v.vertex, coalesce(sum(h2.h), 0)::HUGEINT AS a
                 FROM v LEFT JOIN e ON e.dst = v.vertex
                 LEFT JOIN h2 ON h2.vertex = e.src
                 GROUP BY v.vertex
             ),
-            a3m AS (SELECT max(a) AS m FROM a3r),
-            a3 AS (
+            a3m AS MATERIALIZED (SELECT max(a) AS m FROM a3r),
+            a3 AS MATERIALIZED (
                 SELECT vertex,
                        CASE WHEN m > 0 THEN (a * 1000000000000::HUGEINT) // m
                             ELSE 0::HUGEINT END AS a
                 FROM a3r, a3m
             ),
-            h3r AS (
+            h3r AS MATERIALIZED (
                 SELECT v.vertex, coalesce(sum(a3.a), 0)::HUGEINT AS h
                 FROM v LEFT JOIN e ON e.src = v.vertex
                 LEFT JOIN a3 ON a3.vertex = e.dst
                 GROUP BY v.vertex
             ),
-            h3m AS (SELECT max(h) AS m FROM h3r),
-            h3 AS (
+            h3m AS MATERIALIZED (SELECT max(h) AS m FROM h3r),
+            h3 AS MATERIALIZED (
                 SELECT vertex,
                        CASE WHEN m > 0 THEN (h * 1000000000000::HUGEINT) // m
                             ELSE 0::HUGEINT END AS h
