@@ -3035,7 +3035,16 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS over the customer->supplier purchase graph (hubs = broad
     buyers, authorities = widely-bought-from suppliers) in exact
     scaled-integer arithmetic — 3 rounds, max-normalized; the DuckDB
-    oracle unrolls the identical integer recurrence."""
+    oracle unrolls the identical integer recurrence.
+
+    The graph runs on INTEGER vertex ids (custkey·2 / suppkey·2+1 —
+    the dictionary-encoding move every at-scale graph pipeline makes):
+    the distinct, the per-round shuffles, and the broadcast state all
+    key on 8-byte longs instead of ~8-char strings; the c…/s… names
+    the oracle compares against are reconstructed over the tiny final
+    vertex table only. Output is identical to the string-keyed build
+    (the encoding is injective and the name map is applied before the
+    ORDER BY)."""
     from hippollm_spark.operators.graph import hits
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -3043,12 +3052,21 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return hits(e, iterations=3, pre_deduped=True).orderBy("vertex")
+    out = hits(e, iterations=3, pre_deduped=True)
+    vname = F.when(
+        F.col("vertex") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("vertex") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("vertex") - 1) / 2).cast("long").cast("string"))
+    )
+    return out.select(
+        vname.alias("vertex"), "hub_scaled", "auth_scaled"
+    ).orderBy("vertex")
 
 
 def q_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:

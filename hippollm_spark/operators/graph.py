@@ -839,10 +839,11 @@ def label_propagation(
         .withColumn("label", F.col("vertex"))
         .cache()
     )
-    # gate the per-vertex state broadcasts on the VERTEX count (can be
-    # up to 2·|E| — gating on the edge count would over-broadcast near
-    # the threshold); the count also materializes the labels pin
-    n_v = labels.count()
+    # gate the per-vertex state broadcasts on the 2·|E| vertex-count
+    # bound (the edge count alone would over-broadcast near the
+    # threshold; an exact labels.count() would buy a tighter gate at
+    # the cost of an extra job per call)
+    n_v = 2 * n_e
     with _loop_tuning(edges.sparkSession, n_e):
         for it in range(iterations):
             counted = (
@@ -1048,9 +1049,11 @@ def hits(
         .cache()
     )
     # per-vertex state frames (auth/hub/raw sums) hold up to |V| ≤
-    # 2·|E| rows — gate their broadcasts on the actual vertex count
-    # (this count also materializes the verts pin before the loop)
-    n_v = verts.count()
+    # 2·|E| rows — gate their broadcasts on that bound (a count of the
+    # frame actually shipped, unlike the raw edge count which
+    # under-bounds it near the threshold; counting verts exactly would
+    # cost an extra ~1 s job per call for a tighter gate nobody needs)
+    n_v = 2 * n_e
     if n_e == 0:
         empty = verts.select(
             "vertex",
