@@ -153,40 +153,74 @@ def jaccard_dup_pairs(
     text_col: str = "text",
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """EXACT Jaccard >= threshold pairs via shared-shingle blocking.
+    """EXACT Jaccard >= threshold pairs via shared-shingle blocking,
+    GROUP-THEN-PAIR (the round-7 `containment_pairs` shape, applied
+    here in round 8 — the old explode→self-equi-join on the shingle
+    STRING shuffled the exploded table twice and built a hash relation
+    of it besides; this plan shuffles the 60-bit md5 digests ONCE into
+    per-digest member lists and emits candidate pairs map-side):
 
-    Plan: explode shingles → self-equi-join on shingle (Catalyst
-    shuffle-hash on the shingle key) → count shared per pair → join
-    set sizes → filter. Exact because J(a,b) > 0 ⟹ a,b share a shingle.
-    Output: (doc_a, doc_b, jaccard DOUBLE rounded to 6dp), doc_a < doc_b.
+    - keys are the 60-bit md5 digest of the shingle (8-byte shuffle
+      keys instead of n-gram strings; collisions ~2⁻⁶¹ would have to
+      hit the same member list to matter, and the containment family's
+      string-join parity test pins the assumption),
+    - intersections are counted UNDIRECTED (d1 < d2) with set sizes
+      riding through the explode — no per-pair size join,
+    - a pair-row survives pre-agg only if the length filter
+      min(n1,n2) ≥ t·max(n1,n2) could still admit it (J ≥ t implies
+      it; −1 slack so float roundoff can never drop a boundary pair),
+    - ``max_shingle_df`` bounds the member-list width exactly as in
+      `containment_pairs` (same warning applies at scale).
+
+    Exact because J(a,b) > 0 ⟹ a,b share a shingle. Output:
+    (doc_a, doc_b, jaccard DOUBLE rounded to 6dp), doc_a < doc_b —
+    identical to the self-join plan's.
     """
-    # .cache(), not localCheckpoint: the pin materializes inline with the
-    # first consumer's stage (pipelined) instead of as a separate blocking
-    # job, and the columnar batches serve both consumers. Session-scoped
-    # CacheManager pin — released by spark.catalog.clearCache() (bench.py
-    # does this between queries) or the caller's unpersist.
-    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col).cache()
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    t = float(threshold)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("s"),
+    )
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > max_shingle_df)
         )
         ex = ex.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    ex = ex.select(
+        "doc_id",
+        "n_sh",
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    members = ex.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "n_sh")).alias("ms")
+    )
     inter = (
-        a.join(b, on="s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        members.select(F.explode("ms").alias("m1"), "ms")
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m1.n_sh").alias("na"),
+            F.explode("ms").alias("m2"),
+        )
+        .filter(
+            (F.col("doc_a") < F.col("m2.doc_id"))
+            & (F.col("m2.n_sh").cast("double") >= F.col("na") * t - 1.0)
+            & (F.col("na").cast("double") >= F.col("m2.n_sh") * t - 1.0)
+        )
+        .groupBy(
+            "doc_a",
+            "na",
+            F.col("m2.doc_id").alias("doc_b"),
+            F.col("m2.n_sh").alias("nb"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
