@@ -4040,7 +4040,20 @@ def _emb_dup_oracle_sql(threshold: float = 0.35, d: int = 64) -> str:
     so the sf1 44M-row result digests identically (a float-only
     threshold diverged on 433 boundary pairs)."""
     t4sq = int(round(threshold * 10_000)) ** 2
-    dot = " + ".join(f"a.ve[{i}] * b.ve[{i}]" for i in range(1, d + 1))
+    # UNNEST the vector into per-dimension columns once: the first cut
+    # of this oracle computed the dot as a.ve[i]*b.ve[i] terms — 128
+    # list_extract calls PER PAIR, ~1.6e11 extracts over the sf1
+    # 1.25e9-pair grid (killed after 40 min). Flat column references
+    # are direct vector reads; the same rewrite DuckDB's own columnar
+    # model wants.
+    cols = ",\n                   ".join(f"ve[{i}] AS v{i}" for i in range(1, d + 1))
+    dot = " + ".join(f"a.v{i} * b.v{i}" for i in range(1, d + 1))
+    # float prescreen (a strict SUPERSET of the exact predicate: the
+    # (1 - 1e-9) under-bound can only admit extra boundary pairs, and
+    # float error is ~1e-15 relative) keeps the HUGEINT arithmetic off
+    # the 1.25e9-pair grid; the exact predicate then decides the ~44M
+    # surviving rows — the same screen-then-verify split the Spark
+    # block kernel uses.
     return f"""
         WITH e AS MATERIALIZED (
             SELECT vec_id,
@@ -4049,22 +4062,29 @@ def _emb_dup_oracle_sql(threshold: float = 0.35, d: int = 64) -> str:
             FROM embeddings
         ),
         n AS MATERIALIZED (
-            SELECT vec_id, ve,
-                   list_sum(list_transform(ve, x -> x * x))::BIGINT AS nrm
+            SELECT vec_id,
+                   list_sum(list_transform(ve, x -> x * x))::BIGINT AS nrm,
+                   {cols}
             FROM e
         ),
         p AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ({dot})::BIGINT AS dot, a.nrm AS na, b.nrm AS nb
             FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE a.nrm > 0 AND b.nrm > 0
+        ),
+        screened AS (
+            SELECT * FROM p
+            WHERE dot > 0
+              AND 100000000.0 * (dot::DOUBLE * dot::DOUBLE)
+                  >= {t4sq}.0 * (na::DOUBLE * nb::DOUBLE) * (1.0 - 1e-9)
         )
         SELECT id_a, id_b,
                floor(1000000.0 * (dot::DOUBLE /
                    sqrt((na::HUGEINT * nb::HUGEINT)::DOUBLE)) + 0.5)
                    / 1000000.0 AS cos
-        FROM p
-        WHERE dot > 0 AND na > 0 AND nb > 0
-          AND 100000000::HUGEINT * (dot::HUGEINT * dot::HUGEINT)
+        FROM screened
+        WHERE 100000000::HUGEINT * (dot::HUGEINT * dot::HUGEINT)
               >= {t4sq}::HUGEINT * (na::HUGEINT * nb::HUGEINT)
     """
 

@@ -97,6 +97,14 @@ def test_engine_digest_parity_all_types(spark):
             (4, float("-inf"), "", True, None, None, [], [0]),
             (5, None, "neg zero next", False, None, None, [-0.0], [-1]),
             (6, -0.0, "x", True, None, None, [3.0], [7]),
+            # large magnitudes where ulp > 1e-6: Java's %.6f pads the
+            # SHORTEST repr while printf rounds the exact binary value
+            # (81175716847.35 is really …847.350006103515625) — the
+            # split-digit renderer must agree on the exact digits
+            (7, 81175716847.35, "big", False, None, None,
+             [81175716847.35, -81175716847.35], [9]),
+            (8, -977.0775, "half-ulp", True, None, None,
+             [1e15 + 0.1250001], []),
         ],
         "i long, d double, s string, b boolean, dt timestamp, ts timestamp, "
         "ad array<double>, ai array<bigint>",
@@ -118,14 +126,19 @@ def test_engine_digest_parity_all_types(spark):
           (5, NULL, 'neg zero next', FALSE, NULL, NULL,
            [-(0.0::DOUBLE)]::DOUBLE[], [-1]::BIGINT[]),
           (6, -0.0::DOUBLE, 'x', TRUE, NULL, NULL, [3.0]::DOUBLE[],
-           [7]::BIGINT[])
+           [7]::BIGINT[]),
+          (7, 81175716847.35::DOUBLE, 'big', FALSE, NULL, NULL,
+           [81175716847.35::DOUBLE, -81175716847.35::DOUBLE],
+           [9]::BIGINT[]),
+          (8, -977.0775::DOUBLE, 'half-ulp', TRUE, NULL, NULL,
+           [1e15 + 0.1250001]::DOUBLE[], []::BIGINT[])
         ) v(i, d, s, b, dt, ts, ad, ai)
         """
     )
     s_n, s_a, s_b, s_cols = _spark_digest(sdf)
     o_n, o_a, o_b, o_cols = _duck_digest(con, "SELECT * FROM t")
     assert s_cols == o_cols
-    assert s_n == o_n == 6
+    assert s_n == o_n == 8
     assert (s_a, s_b) == (o_a, o_b)
 
 

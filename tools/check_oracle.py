@@ -65,6 +65,54 @@ class UnsupportedType(Exception):
     """Column type the engine-side canon can't format portably yet."""
 
 
+# Engine-side 6dp float rendering CANNOT use each engine's %.6f: for
+# |x| large enough that ulp(x) > 1e-6 (≳ 2^33), Java's Formatter
+# prints the SHORTEST decimal repr zero-padded while C printf rounds
+# the exact binary value — same double, different digits (caught by
+# tpch_q1 at sf3: Spark '…847.350000' vs DuckDB '…847.350006').
+# Instead both engines derive the digits with the IDENTICAL IEEE op
+# sequence — a = |x|; hi = floor(a) (exact); frac = a − hi (exact for
+# a < 2^53); f6 = floor(frac·1e6 + 0.5); carry — so the rendered
+# string is bit-determined by the double value alone. Exact-integer
+# rendering of hi holds for |x| < 2^53 (≈9e15): beyond that Spark's
+# double→decimal goes through the shortest repr and could diverge —
+# far above any contract-query magnitude.
+
+
+def _spark_f6(d):
+    """6dp rendering of a non-null finite double column (Spark side)."""
+    from pyspark.sql import functions as F
+
+    a = F.abs(d)
+    hi = F.floor(a)  # LONG, exact for |a| < 2^53
+    f6 = F.floor((a - hi.cast("double")) * 1e6 + F.lit(0.5)).cast("long")
+    hi2 = hi + F.when(f6 >= 1_000_000, F.lit(1)).otherwise(F.lit(0))
+    f6r = F.when(f6 >= 1_000_000, f6 - 1_000_000).otherwise(f6)
+    sign = F.when(d < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(
+        sign,
+        hi2.cast("string"),
+        F.lit("."),
+        F.lpad(f6r.cast("string"), 6, "0"),
+    )
+
+
+def _duck_f6(expr: str) -> str:
+    """Same 6dp rendering, DuckDB side — keep in lockstep with
+    _spark_f6 (same op sequence, no FMA contraction in either
+    engine's expression evaluator)."""
+    a = f"abs({expr})"
+    f6 = f"floor(({a} - floor({a})) * 1000000.0 + 0.5)"
+    hi2 = (
+        f"(floor({a})::BIGINT + CASE WHEN {f6} >= 1000000 THEN 1 ELSE 0 END)"
+    )
+    f6r = f"({f6} - CASE WHEN {f6} >= 1000000 THEN 1000000 ELSE 0 END)::BIGINT"
+    return (
+        f"(CASE WHEN {expr} < 0 THEN '-' ELSE '' END || {hi2}::VARCHAR "
+        f"|| '.' || lpad({f6r}::VARCHAR, 6, '0'))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Engine-side canonicalization. Both builders must produce the SAME
 # string for the same logical value — that shared definition is the
@@ -85,7 +133,7 @@ def _spark_fmt(c, dt):
             F.when(c.isNull() | F.isnan(d), F.lit("nan"))
             .when(d == float("inf"), F.lit("inf"))
             .when(d == float("-inf"), F.lit("-inf"))
-            .otherwise(F.format_string("%.6f", d))
+            .otherwise(_spark_f6(d))
         )
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         frac = F.date_format(c, "SSSSSS")
@@ -104,9 +152,12 @@ def _spark_fmt(c, dt):
     if isinstance(dt, T.ArrayType):
         et = dt.elementType
         if isinstance(et, (T.DoubleType, T.FloatType)):
-            elem = lambda x: F.when(  # noqa: E731
-                x.isNull() | F.isnan(x.cast("double")), F.lit("nan")
-            ).otherwise(F.format_string("%.6f", x.cast("double")))
+            elem = lambda x: (  # noqa: E731
+                F.when(x.isNull() | F.isnan(x.cast("double")), F.lit("nan"))
+                .when(x.cast("double") == float("inf"), F.lit("inf"))
+                .when(x.cast("double") == float("-inf"), F.lit("-inf"))
+                .otherwise(_spark_f6(x.cast("double")))
+            )
         elif isinstance(
             et, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
         ):
@@ -163,7 +214,9 @@ def _duck_fmt(name: str, typ: str) -> str:
         if et in ("DOUBLE", "FLOAT", "REAL"):
             elem = (
                 "CASE WHEN x IS NULL OR isnan(x::DOUBLE) THEN 'nan' "
-                "ELSE printf('%.6f', x::DOUBLE) END"
+                "WHEN x::DOUBLE = 'infinity'::DOUBLE THEN 'inf' "
+                "WHEN x::DOUBLE = '-infinity'::DOUBLE THEN '-inf' "
+                f"ELSE {_duck_f6('x::DOUBLE')} END"
             )
         elif et in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "VARCHAR"):
@@ -183,7 +236,7 @@ def _duck_fmt(name: str, typ: str) -> str:
             f"CASE WHEN {q} IS NULL OR isnan({q}::DOUBLE) THEN 'nan' "
             f"WHEN {q}::DOUBLE = 'infinity'::DOUBLE THEN 'inf' "
             f"WHEN {q}::DOUBLE = '-infinity'::DOUBLE THEN '-inf' "
-            f"ELSE printf('%.6f', {q}::DOUBLE) END"
+            f"ELSE {_duck_f6(f'{q}::DOUBLE')} END"
         )
     if t.startswith("TIMESTAMP"):
         return (
