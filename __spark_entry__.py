@@ -1242,6 +1242,8 @@ def q_v5_union_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         id_col="fact_id",
     )
+    if "distance" not in out.columns:  # k >= |candidates| short-circuit
+        out = out.withColumn("distance", F.lit(None).cast("double"))
     return out.select("fact_id", F.round("distance", 6).alias("distance"))
 
 
@@ -1260,6 +1262,14 @@ def q_v6_intersection_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         id_col="fact_id",
     )
+    # the reference's k >= |candidates| short-circuit returns the
+    # candidate set UNRANKED with no distance column (storage.py:
+    # 308-309) — totalize the contract schema with a NULL distance so
+    # the query is well-formed on any data shape (the sf1 fixture's
+    # smaller name groups triggered the branch; the oracle replays the
+    # same count-conditional)
+    if "distance" not in out.columns:
+        out = out.withColumn("distance", F.lit(None).cast("double"))
     return out.select("fact_id", F.round("distance", 6).alias("distance"))
 
 
@@ -5307,9 +5317,14 @@ def oracle_sql() -> dict[str, str]:
             fv AS (
                 SELECT c.fact_id, e.embedding FROM cand c
                 JOIN embeddings e ON c.fact_id % 500 = e.vec_id
-            )
+            ), n AS (SELECT count(*) AS c FROM fv)
+            -- k >= |candidates|: the reference returns the whole set
+            -- UNRANKED (storage.py:308-309) -> distance NULL; LIMIT 5
+            -- is a no-op there (c <= 5) and the top-5 otherwise
             SELECT fact_id,
-                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS distance
+                   CASE WHEN (SELECT c FROM n) <= 5 THEN NULL
+                        ELSE round(list_distance(embedding::DOUBLE[], {qvec}), 6)
+                   END AS distance
             FROM fv
             ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, fact_id ASC
             LIMIT 5
@@ -5325,9 +5340,11 @@ def oracle_sql() -> dict[str, str]:
             fv AS (
                 SELECT c.fact_id, e.embedding FROM cand c
                 JOIN embeddings e ON c.fact_id % 500 = e.vec_id
-            )
+            ), n AS (SELECT count(*) AS c FROM fv)
             SELECT fact_id,
-                   round(list_distance(embedding::DOUBLE[], {qvec}), 6) AS distance
+                   CASE WHEN (SELECT c FROM n) <= 5 THEN NULL
+                        ELSE round(list_distance(embedding::DOUBLE[], {qvec}), 6)
+                   END AS distance
             FROM fv
             ORDER BY list_distance(embedding::DOUBLE[], {qvec}) ASC, fact_id ASC
             LIMIT 5
