@@ -1242,7 +1242,7 @@ def q_v5_union_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         id_col="fact_id",
     )
-    if "distance" not in out.columns:  # k >= |candidates| short-circuit
+    if "distance" not in out.columns:  # k > |candidates| short-circuit
         out = out.withColumn("distance", F.lit(None).cast("double"))
     return out.select("fact_id", F.round("distance", 6).alias("distance"))
 
@@ -1262,7 +1262,7 @@ def q_v6_intersection_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         id_col="fact_id",
     )
-    # the reference's k >= |candidates| short-circuit returns the
+    # the reference's STRICT k > |candidates| short-circuit returns the
     # candidate set UNRANKED with no distance column (storage.py:
     # 308-309) — totalize the contract schema with a NULL distance so
     # the query is well-formed on any data shape (the sf1 fixture's
@@ -5317,12 +5317,15 @@ def oracle_sql() -> dict[str, str]:
             fv AS (
                 SELECT c.fact_id, e.embedding FROM cand c
                 JOIN embeddings e ON c.fact_id % 500 = e.vec_id
-            ), n AS (SELECT count(*) AS c FROM fv)
-            -- k >= |candidates|: the reference returns the whole set
-            -- UNRANKED (storage.py:308-309) -> distance NULL; LIMIT 5
-            -- is a no-op there (c <= 5) and the top-5 otherwise
+            ), n AS (SELECT count(*) AS c FROM cand)
+            -- k > |candidates| (STRICT, reference storage.py:308-309):
+            -- the whole set comes back UNRANKED -> distance NULL; LIMIT
+            -- 5 is a no-op there (c < 5). At c == 5 the reference RANKS
+            -- (real distances). n counts candidate ids (= len(ids) in
+            -- the reference, = cands.count() in knn_facts_with_ids),
+            -- not post-embedding-join rows.
             SELECT fact_id,
-                   CASE WHEN (SELECT c FROM n) <= 5 THEN NULL
+                   CASE WHEN (SELECT c FROM n) < 5 THEN NULL
                         ELSE round(list_distance(embedding::DOUBLE[], {qvec}), 6)
                    END AS distance
             FROM fv
@@ -5340,9 +5343,10 @@ def oracle_sql() -> dict[str, str]:
             fv AS (
                 SELECT c.fact_id, e.embedding FROM cand c
                 JOIN embeddings e ON c.fact_id % 500 = e.vec_id
-            ), n AS (SELECT count(*) AS c FROM fv)
+            ), n AS (SELECT count(*) AS c FROM cand)
+            -- strict k > |cand| short-circuit; see v5_union_knn note
             SELECT fact_id,
-                   CASE WHEN (SELECT c FROM n) <= 5 THEN NULL
+                   CASE WHEN (SELECT c FROM n) < 5 THEN NULL
                         ELSE round(list_distance(embedding::DOUBLE[], {qvec}), 6)
                    END AS distance
             FROM fv

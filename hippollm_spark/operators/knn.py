@@ -107,9 +107,12 @@ def knn_facts_with_ids(
     storage.py:304-323).
 
     Preserves the reference's degenerate rule exactly: when
-    k >= |candidates| the whole candidate set is returned **unranked**
-    (reference storage.py:308-309) — no distance column, no ordering
-    guarantee. The candidate set in the reference is always small (it
+    k > |candidates| (STRICT — reference storage.py:308-309 reads
+    ``if k > len(ids)``) the whole candidate set is returned
+    **unranked** — no distance column, no ordering guarantee. At
+    exactly k == |candidates| the reference still runs the vector
+    search and returns all candidates RANKED with real distances, so
+    we do too. The candidate set in the reference is always small (it
     came from an entity adjacency), so the count guard is cheap; the
     semi-join pushes the filter below the scoring projection.
     """
@@ -117,7 +120,7 @@ def knn_facts_with_ids(
     cands = candidate_ids.withColumnRenamed(cand_col, id_col).distinct()
     n = cands.count()
     filtered = facts.join(F.broadcast(cands), on=id_col, how="semi")
-    if k >= n:
+    if k > n:
         return filtered
     return knn(filtered, query_vec, k, id_col=id_col, **kw)
 

@@ -46,13 +46,30 @@ def test_knn_facts_ordering(store_tables):
 
 
 def test_filtered_knn_short_circuit_unranked(store_tables):
-    """k >= |candidates| → all candidates returned, no distance column
-    (reference storage.py:308-309)."""
+    """k > |candidates| (STRICT) → all candidates returned, no distance
+    column (reference storage.py:308-309 reads ``if k > len(ids)``)."""
     facts, edges = store_tables["facts"], store_tables["edges"]
     q = hash_embedding("anything", DIM)
     res = knn.knn_facts_with_entities_union(facts, edges, q, ["Paris", "London"], k=5)
     assert "distance" not in res.columns
     assert {r["id"] for r in res.collect()} == {0, 1}
+
+
+def test_filtered_knn_boundary_k_equals_candidates_is_ranked(store_tables):
+    """At exactly k == |candidates| the reference does NOT short-circuit
+    (strict ``k > len(ids)``, storage.py:308-309): it runs the vector
+    search and returns all candidates RANKED with real distances."""
+    facts, edges = store_tables["facts"], store_tables["edges"]
+    q = hash_embedding("London is the capital of the UK", DIM)
+    # union over Paris+London yields candidates {0, 1} → k=2 boundary
+    res = knn.knn_facts_with_entities_union(
+        facts, edges, q, ["Paris", "London"], k=2
+    )
+    assert "distance" in res.columns
+    rows = res.collect()
+    assert [r["id"] for r in rows] == [1, 0]  # ranked: fact 1 is closest
+    assert all(r["distance"] is not None for r in rows)
+    assert rows[0]["distance"] <= rows[1]["distance"]
 
 
 def test_filtered_knn_ranked(store_tables):
