@@ -180,8 +180,90 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
 def _dec(col):
     """Exact (order-independent) summable representation of a per-row
     double expression: both engines round the identical double to the
-    identical DECIMAL(38,10), so SUM is exact and engine-order-proof."""
+    identical DECIMAL(38,10), so SUM is exact and engine-order-proof.
+
+    SLOW PATH — Spark sums DECIMAL(38,10) through BigDecimal (~6.4x a
+    long sum at sf10, tools/decsum_probe.py). The money-sum family now
+    uses ``_e6`` / ``_e6sum`` below; ``_dec`` remains for the few
+    non-hot-path disciplines that want a decimal-typed value."""
     return col.cast("decimal(38,10)")
+
+
+def _e6(col):
+    """Per-row exact e6 fixed-point units of a double expression, as
+    BIGINT: both engines compute the identical IEEE double, the
+    identical ``* 1e6 + 0.5``, and the identical floor, so the long is
+    engine-identical and integer sums/compares on it are exact and
+    order-independent. Replaces the DECIMAL(38,10) cast on the
+    scan-aggregate hot path: Spark's BigDecimal-backed decimal sum was
+    4.15 s vs 0.65 s for the long sum at sf10 (tools/decsum_probe.py;
+    DuckDB twin 0.50 s). Oracle twin: ``CAST(floor(x * 1000000.0 +
+    0.5) AS BIGINT)``.
+
+    Use the raw long sum ONLY where the per-group row count is
+    structurally bounded (per-order, per-part, per-supplier groups —
+    their size does not grow with sf); unbounded groups go through
+    ``_e6sum``."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5))
+
+
+def _e6sum(col, cond=None, units=False):
+    """Overflow-safe exact SUM of ``_e6`` units for UNBOUNDED groups:
+    hi/lo split — ``hi = e >> 20`` (arithmetic shift = floor division,
+    correct for negatives), ``lo = e - (hi << 20)`` in [0, 2^20) —
+    summed as two plain long sums inside whole-stage codegen, then
+    recombined exactly in DECIMAL(38,0) on the handful of
+    post-aggregate rows. Safe to ~2^43 rows per group (~8.8e12 — past
+    100 TB of lineitem); the DuckDB twin is a plain ``sum(BIGINT)``,
+    which DuckDB widens to HUGEINT (128-bit, exact) natively, and the
+    recombination is the algebraic identity sum(e) = sum(hi)*2^20 +
+    sum(lo). Cost at sf10: 0.67 s vs 0.63 s for the raw (overflowable)
+    long sum (tools/decsum_probe.py).
+
+    ``cond`` wraps both partial sums in the same WHEN (for conditional
+    sums; NULL when no row matches, like sum(when(...)));
+    ``units=True`` means ``col`` already is an e6 BIGINT column.
+
+    lo is ``e & 0xFFFFF`` (two's-complement AND = e mod 2^20 in
+    [0, 2^20), identical to ``e - (e >> 20) * 2^20`` incl. negatives)
+    rather than the subtract form: the shallower expression tree keeps
+    the agg at the plain-long-sum floor (0.67 s vs 0.85 s at sf10,
+    tools/decsum_probe.py) — the subtract re-evaluated the whole
+    floor chain through ``hi``."""
+    e = col if units else _e6(col)
+    hi = F.shiftright(e, 20)
+    lo = e.bitwiseAND(F.lit(1048575))
+    if cond is not None:
+        hi = F.when(cond, hi)
+        lo = F.when(cond, lo)
+    return (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(1 << 20)
+        + F.sum(lo).cast("decimal(38,0)")
+    )
+
+
+def _rnd(col, nd=2):
+    """Cross-engine-identical half-up(+inf) rounding of a double to nd
+    places as pure IEEE ops: ``floor(x * 10^nd + 0.5) / 10^nd``.
+    Spark's round() decimalizes through Java's shortest-repr string
+    while DuckDB rounds the exact binary value, and they DISAGREE on
+    doubles at exact .xx5 boundaries — which e6-exact sums hit
+    constantly (first sweep after the e6 switch: q10 rendered
+    307843.595 as .60 on Spark, .59 on DuckDB). Both engines now run
+    the identical floor expression instead; oracle twin:
+    ``floor((x) * 1e<nd> + 0.5) / 1e<nd>``. Bound: |x|*10^nd must fit
+    a signed 64-bit int (fine to ~9e16 cents)."""
+    s = F.lit(float(10**nd))
+    return (F.floor(col * s + F.lit(0.5)) / s).cast("double")
+
+
+def _e6out(sumcol, nd=2):
+    """Render an exact e6 sum (long or decimal) as the contract's
+    rounded double: cast to double (identical round-to-nearest in both
+    engines), descale by the exact double 1e6, round via ``_rnd``.
+    Oracle twin: ``floor(sum(...)::DOUBLE / 1000000.0 * 1e<nd> + 0.5)
+    / 1e<nd>``."""
+    return _rnd(sumcol.cast("double") / F.lit(1000000.0), nd)
 
 
 # ===========================================================================
@@ -196,12 +278,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias(
-                "sum_base_price"
-            ),
-            F.round(F.sum(_dec(disc)).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(_dec(charge)).cast("double"), 2).alias("sum_charge"),
+            _e6out(_e6sum(F.col("l_quantity"))).alias("sum_qty"),
+            _e6out(_e6sum(F.col("l_extendedprice"))).alias("sum_base_price"),
+            _e6out(_e6sum(disc)).alias("sum_disc_price"),
+            _e6out(_e6sum(charge)).alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -217,12 +297,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
-                    "double"
-                ),
-                2,
-            ).alias("revenue")
+            # per-order group (<= 7 lineitems at any sf): raw long sum
+            _e6out(F.sum(_e6(F.col("l_extendedprice") * (1 - F.col("l_discount")))))
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -245,12 +322,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
-                    "double"
-                ),
-                2,
-            ).alias("revenue")
+            _e6out(_e6sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -267,10 +340,9 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))).cast("double"),
-                2,
-            ).alias("revenue"),
+            _e6out(_e6sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_rows"),
         )
     )
@@ -331,7 +403,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_dec(rev)), 2).cast("double").alias("revenue"))
+        .agg(_e6out(_e6sum(rev)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -367,12 +439,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_8", _dec(vol))).alias("_n"),
-            F.sum(_dec(vol)).alias("_d"),
+            _e6sum(vol, cond=F.col("supp_nation") == "NATION_8").alias("_n"),
+            _e6sum(vol).alias("_d"),
         )
         .select(
             "o_year",
-            F.round(
+            # e6 scales cancel in the ratio — no descale needed
+            _rnd(
                 F.coalesce(F.col("_n"), F.lit(0)).cast("double")
                 / F.col("_d").cast("double"),
                 6,
@@ -404,7 +477,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(_dec(profit)), 2).cast("double").alias("sum_profit"))
+        .agg(_e6out(_e6sum(profit)).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -428,9 +501,11 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round(F.sum(_dec(F.col("o_totalprice"))).over(w), 2)
-            .cast("double")
-            .alias("running_total"),
+            # per-customer window (order count per customer is
+            # sf-invariant): raw long window sum
+            _e6out(F.sum(_e6(F.col("o_totalprice"))).over(w)).alias(
+                "running_total"
+            ),
         )
     )
 
@@ -451,7 +526,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_dec(rev)), 2).cast("double").alias("revenue"))
+        # per-customer quarter revenue: orders/customer is sf-invariant
+        .agg(_e6out(F.sum(_e6(rev))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -489,11 +565,11 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", _dec(rev))).alias("_p"),
-            F.sum(_dec(rev)).alias("_t"),
+            _e6sum(rev, cond=F.col("p_type") == "PROMO").alias("_p"),
+            _e6sum(rev).alias("_t"),
         )
         .select(
-            F.round(
+            _rnd(
                 F.lit(100.0)
                 * F.coalesce(F.col("_p"), F.lit(0)).cast("double")
                 / F.col("_t").cast("double"),
@@ -513,7 +589,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per_supp = li.groupBy("l_suppkey").agg(F.sum(_dec(rev)).alias("_rev"))
+    # per-supplier quarter (lineitems/supplier is sf-invariant): long sum
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_e6(rev)).alias("_rev"))
     # argmax via broadcast scalar max (exact DECIMAL equality) — no
     # global rank window over the supplier aggregate
     mx = per_supp.agg(F.max("_rev").alias("__mx__"))
@@ -525,7 +602,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey"),
             "s_name",
-            F.round(F.col("_rev"), 2).cast("double").alias("total_revenue"),
+            _e6out(F.col("_rev")).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -543,16 +620,21 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(_dec(F.col("l_quantity"))).alias("_sq"),
+        F.sum(_e6(F.col("l_quantity"))).alias("_sq"),
         F.count("*").alias("_n"),
     )
     return (
         li.join(F.broadcast(per_part), "l_partkey")
-        .filter(_dec(F.col("l_quantity")) * 5 * F.col("_n") < F.col("_sq"))
+        # exact integer cross-product in e6 longs (q_e6 <= 5e7, n is
+        # the sf-invariant lineitems-per-part count): no overflow
+        .filter(_e6(F.col("l_quantity")) * 5 * F.col("_n") < F.col("_sq"))
         .agg(
-            F.round(
-                F.sum(_dec(F.col("l_extendedprice"))) / 7, 2
-            ).cast("double").alias("avg_yearly"),
+            # /7e6 = descale-by-1e6 and /7 in ONE identical-IEEE step
+            _rnd(
+                _e6sum(F.col("l_extendedprice")).cast("double")
+                / F.lit(7000000.0),
+                2,
+            ).alias("avg_yearly"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -565,8 +647,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sq"))
-        .filter(F.col("_sq") > 300)
+        # per-order group (<= 7 lineitems): raw long sum; threshold in
+        # the same e6 units
+        .agg(F.sum(_e6(F.col("l_quantity"))).alias("_sq"))
+        .filter(F.col("_sq") > 300 * 1000000)
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
@@ -577,7 +661,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.round(F.col("_sq"), 2).cast("double").alias("sum_qty"),
+            _e6out(F.col("_sq")).alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -600,7 +684,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(pred)
         .agg(
-            F.round(F.sum(_dec(rev)), 2).cast("double").alias("revenue"),
+            _e6out(_e6sum(rev)).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -616,18 +700,22 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2001-01-01")
     ).select("o_custkey")
     pos = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.sum(_dec(F.col("c_acctbal"))).alias("_s"), F.count("*").alias("_n")
+        _e6sum(F.col("c_acctbal")).alias("_s"), F.count("*").alias("_n")
     )
     return (
         cust.crossJoin(F.broadcast(pos))
-        .filter(_dec(F.col("c_acctbal")) * F.col("_n") > F.col("_s"))
+        # b_e6 * n can pass 2^63 at scale (n = |customers|): widen the
+        # per-row side to DECIMAL(38,0) — exact integer compare against
+        # the exact decimal sum on both engines
+        .filter(
+            _e6(F.col("c_acctbal")).cast("decimal(38,0)") * F.col("_n")
+            > F.col("_s")
+        )
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum(_dec(F.col("c_acctbal"))), 2).cast("double").alias(
-                "totacctbal"
-            ),
+            _e6out(_e6sum(F.col("c_acctbal"))).alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -697,15 +785,19 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     nli = li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey, "left_semi")
     per_part = nli.groupBy("l_partkey").agg(
-        F.sum(_dec(F.col("l_extendedprice") * F.col("l_quantity"))).alias("_v")
+        # per-part group (lineitems/part is sf-invariant): raw long sum
+        F.sum(_e6(F.col("l_extendedprice") * F.col("l_quantity"))).alias("_v")
     )
-    total = per_part.agg(F.sum("_v").alias("_t"))
+    # grand total over an UNBOUNDED number of parts: hi/lo-split the
+    # already-e6 partials (units=True) into the exact decimal sum
+    total = per_part.agg(_e6sum(F.col("_v"), units=True).alias("_t"))
     return (
         per_part.crossJoin(F.broadcast(total))
+        # long*1000 vs exact decimal total — Spark widens, exact
         .filter(F.col("_v") * 1000 > F.col("_t"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
-            F.round(F.col("_v"), 2).cast("double").alias("value"),
+            _e6out(F.col("_v")).alias("value"),
         )
         .orderBy(F.desc("value"), F.asc("ps_partkey"))
     )
@@ -773,7 +865,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     pair = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(_dec(F.col("l_quantity"))).alias("_q")
+        # (part, supplier) group is sf-invariant in size: raw long sum
+        F.sum(_e6(F.col("l_quantity"))).alias("_q")
     )
     w = Window.partitionBy("l_partkey")
     dominant = (
@@ -848,13 +941,14 @@ def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("_n"),
-        F.sum(_dec(F.col("l_extendedprice"))).alias("_s"),
+        _e6sum(F.col("l_extendedprice")).alias("_s"),
     )
     return (
         base.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum("_n").alias("n_rows"),
-            F.round(F.sum("_s").cast("double"), 2).alias("sum_price"),
+            # re-aggregates a handful of exact DECIMAL e6 partials
+            _e6out(F.sum("_s")).alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1164,13 +1258,14 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = li.groupBy("l_returnflag", "l_linestatus", "ship_year").agg(
         F.count("*").alias("_n"),
-        F.sum(_dec(F.col("l_extendedprice"))).alias("_s"),
+        _e6sum(F.col("l_extendedprice")).alias("_s"),
     )
     return (
         base.cube("l_returnflag", "l_linestatus", "ship_year")
         .agg(
             F.sum("_n").alias("n_rows"),
-            F.round(F.sum("_s").cast("double"), 2).alias("sum_price"),
+            # re-aggregates the ~|flag|x|status|x|year| exact partials
+            _e6out(F.sum("_s")).alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1768,7 +1863,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("sum_value"),
+            _e6out(_e6sum(F.col("value"))).alias("sum_value"),
         )
         .orderBy("hour_ts", "event_type")
     )
@@ -1915,7 +2010,7 @@ def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("sum_value"),
+            _e6out(_e6sum(F.col("value"))).alias("sum_value"),
         )
         .orderBy("hour_ts", "c_mktsegment")
     )
@@ -2009,7 +2104,7 @@ def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL daily sums; delta null on the first day."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.round(F.sum(_dec(F.col("value"))).cast("double"), 2).alias("revenue")
+        _e6out(_e6sum(F.col("value"))).alias("revenue")
     )
     # unpartitioned window over DAYS: bounded at ~|date range| rows
     # (a few hundred at any sf — one row per day post-aggregate), never
@@ -2018,7 +2113,7 @@ def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day",
         "revenue",
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+        _rnd(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
     )
 
 
@@ -2315,7 +2410,7 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.sum(_dec(F.col("value"))).alias("__rev__")
+        _e6sum(F.col("value")).alias("__rev__")
     )
     daily = daily.withColumn(
         "day_idx", F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date"))
@@ -2325,9 +2420,14 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day_idx").rangeBetween(-6, 0)
     return daily.select(
         "day",
-        F.round(F.col("__rev__").cast("double"), 2).alias("revenue"),
-        F.round(
-            F.sum("__rev__").over(w).cast("double") / F.count("*").over(w), 6
+        _e6out(F.col("__rev__")).alias("revenue"),
+        # descale THEN divide by the window count — op order mirrors
+        # the oracle exactly (identical IEEE steps)
+        _rnd(
+            F.sum("__rev__").over(w).cast("double")
+            / F.lit(1000000.0)
+            / F.count("*").over(w),
+            6,
         ).alias("avg_7d"),
         F.count("*").over(w).alias("n_days"),
     ).orderBy("day")
@@ -4828,11 +4928,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY rank
         """,
         "tpch_q1": """
+            -- e6 fixed-point discipline: identical IEEE *1e6+0.5,
+            -- floor, BIGINT; DuckDB sum(BIGINT) widens to HUGEINT
+            -- (exact) = Spark's hi/lo-split long sums recombined
             SELECT l_returnflag, l_linestatus,
-                   round(sum(CAST(l_quantity AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_qty,
-                   round(sum(CAST(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_base_price,
-                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_disc_price,
-                   round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_charge,
+                   floor(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   floor(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_charge,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -4841,7 +4944,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4868,7 +4971,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
-                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)::DOUBLE AS revenue
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4883,7 +4986,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q8": """
             WITH base AS (
                 SELECT year(o_orderdate) AS o_year,
-                       CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) AS vol,
+                       CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT) AS vol,
                        n2.n_name AS supp_nation
                 FROM lineitem
                 JOIN orders ON l_orderkey = o_orderkey
@@ -4897,14 +5000,14 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate < TIMESTAMP '1998-01-01'
             )
             SELECT o_year,
-                   round(coalesce(sum(CASE WHEN supp_nation = 'NATION_8' THEN vol END), 0)::DOUBLE
-                         / sum(vol)::DOUBLE, 6) AS mkt_share
+                   floor(coalesce(sum(CASE WHEN supp_nation = 'NATION_8' THEN vol END), 0)::DOUBLE
+                         / sum(vol)::DOUBLE * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
             FROM base GROUP BY o_year ORDER BY o_year
         """,
         "tpch_q9": """
             SELECT n_name AS nation, year(o_orderdate) AS o_year,
-                   round(sum(CAST(l_extendedprice * (1 - l_discount)
-                                  - p_retailprice * l_quantity AS DECIMAL(38,10))), 2)::DOUBLE AS sum_profit
+                   floor(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                  - p_retailprice * l_quantity) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN orders ON l_orderkey = o_orderkey
@@ -4916,17 +5019,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_revenue": """
             SELECT o_custkey, o_orderkey, o_orderdate,
-                   round(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+                   floor((sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ), 2)::DOUBLE AS running_total
+                   ))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS running_total
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'MACHINERY')
         """,
         "tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal, n_name,
-                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)::DOUBLE AS revenue
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4951,11 +5054,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY custdist DESC, c_count DESC
         """,
         "tpch_q14": """
-            SELECT round(
+            SELECT floor(
                 100.0 * coalesce(sum(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)) END), 0)::DOUBLE
-                / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE,
-                6) AS promo_revenue
+                    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT) END), 0)::DOUBLE
+                / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE
+                * 1000000.0 + 0.5) / 1000000.0 AS promo_revenue
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -4964,13 +5067,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": """
             WITH rev AS (
                 SELECT l_suppkey,
-                       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS total
+                       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS total
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l_shipdate < TIMESTAMP '1996-04-01'
                 GROUP BY l_suppkey
             )
-            SELECT s_suppkey, s_name, round(total, 2)::DOUBLE AS total_revenue
+            SELECT s_suppkey, s_name, floor(total::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE total = (SELECT max(total) FROM rev)
             ORDER BY s_suppkey
@@ -4983,24 +5086,24 @@ def oracle_sql() -> dict[str, str]:
             ),
             pp AS (
                 SELECT l_partkey,
-                       sum(CAST(l_quantity AS DECIMAL(38,10))) AS sq,
+                       sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS sq,
                        count(*) AS n
                 FROM li GROUP BY l_partkey
             )
-            SELECT round(sum(CAST(l_extendedprice AS DECIMAL(38,10))) / 7, 2)::DOUBLE AS avg_yearly,
+            SELECT floor(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 7000000.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
                    count(*) AS n_rows
             FROM li JOIN pp USING (l_partkey)
-            WHERE CAST(l_quantity AS DECIMAL(38,10)) * 5 * n < sq
+            WHERE CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT) * 5 * n < sq
         """,
         "tpch_q18": """
             WITH big AS (
                 SELECT l_orderkey,
-                       sum(CAST(l_quantity AS DECIMAL(38,10))) AS sq
+                       sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS sq
                 FROM lineitem GROUP BY l_orderkey
-                HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 300
+                HAVING sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) > 300000000
             )
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-                   round(sq, 2)::DOUBLE AS sum_qty
+                   floor(sq::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_qty
             FROM orders
             JOIN big ON o_orderkey = l_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -5008,7 +5111,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "tpch_q19": """
-            SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2)::DOUBLE AS revenue,
+            SELECT floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -5018,13 +5121,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q22": """
             WITH pos AS (
-                SELECT sum(CAST(c_acctbal AS DECIMAL(38,10))) AS s, count(*) AS n
+                SELECT sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT)) AS s, count(*) AS n
                 FROM customer WHERE c_acctbal > 0
             )
             SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-                   round(sum(CAST(c_acctbal AS DECIMAL(38,10))), 2)::DOUBLE AS totacctbal
+                   floor(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS totacctbal
             FROM customer, pos
-            WHERE CAST(c_acctbal AS DECIMAL(38,10)) * n > s
+            WHERE CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT)::HUGEINT * n > s
               AND NOT EXISTS (
                   SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
@@ -5062,7 +5165,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q11": """
             WITH per_part AS (
                 SELECT l_partkey,
-                       sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10))) AS v
+                       sum(CAST(floor(l_extendedprice * l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS v
                 FROM lineitem
                 WHERE l_suppkey IN (
                     SELECT s_suppkey FROM supplier
@@ -5071,7 +5174,7 @@ def oracle_sql() -> dict[str, str]:
                 )
                 GROUP BY l_partkey
             )
-            SELECT l_partkey AS ps_partkey, round(v, 2)::DOUBLE AS value
+            SELECT l_partkey AS ps_partkey, floor(v::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS value
             FROM per_part
             WHERE v * 1000 > (SELECT sum(v) FROM per_part)
             ORDER BY value DESC, ps_partkey ASC
@@ -5110,7 +5213,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q20": """
             WITH pair AS (
                 SELECT l_partkey, l_suppkey,
-                       sum(CAST(l_quantity AS DECIMAL(38,10))) AS q
+                       sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS q
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -5162,7 +5265,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q5": """
             SELECT n_name,
-                   round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -5174,7 +5277,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, n_name ASC
         """,
         "tpch_q6": """
-            SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue,
+            SELECT floor(sum(CAST(floor(l_extendedprice * l_discount * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -5186,7 +5289,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
                    count(*) AS n_rows,
-                   round(sum(CAST(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_price
+                   floor(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_price
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
@@ -5661,7 +5764,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS linestatus,
                    coalesce(ship_year, -1) AS ship_year,
                    count(*) AS n_rows,
-                   round(sum(CAST(l_extendedprice AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_price
+                   floor(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_price
             FROM (SELECT l_returnflag, l_linestatus,
                          year(l_shipdate) AS ship_year, l_extendedprice
                   FROM lineitem)
@@ -5844,7 +5947,7 @@ def oracle_sql() -> dict[str, str]:
         "events_enriched": """
             SELECT date_trunc('hour', ts) AS hour_ts, c_mktsegment,
                    count(*) AS n_events,
-                   round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_value
+                   floor(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
@@ -5852,7 +5955,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS hour_ts, event_type,
                    count(*) AS n_events,
-                   round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE, 2) AS sum_value
+                   floor(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
@@ -6038,11 +6141,11 @@ def oracle_sql() -> dict[str, str]:
         "revenue_delta": """
             WITH daily AS (
                 SELECT date_trunc('day', ts) AS day,
-                       round(sum(CAST(value AS DECIMAL(38,10)))::DOUBLE, 2) AS revenue
+                       floor(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue
                 FROM events WHERE event_type = 'purchase' GROUP BY 1
             )
             SELECT day, revenue,
-                   round(revenue - lag(revenue) OVER (ORDER BY day), 2) AS delta
+                   floor((revenue - lag(revenue) OVER (ORDER BY day)) * 100.0 + 0.5) / 100.0 AS delta
             FROM daily
         """,
         "user_activity": """
@@ -6898,14 +7001,15 @@ def oracle_sql() -> dict[str, str]:
         "rolling_revenue_7d": """
             WITH daily AS (
                 SELECT date_trunc('day', ts) AS day,
-                       sum(CAST(value AS DECIMAL(38,10))) AS rev,
+                       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS rev,
                        date_diff('day', DATE '1970-01-01',
                                  date_trunc('day', ts)::DATE) AS day_idx
                 FROM events WHERE event_type = 'purchase'
                 GROUP BY date_trunc('day', ts)
             )
-            SELECT day, round(rev::DOUBLE, 2) AS revenue,
-                   round(sum(rev) OVER w::DOUBLE / count(*) OVER w, 6) AS avg_7d,
+            SELECT day, floor(rev::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue,
+                   floor((sum(rev) OVER w)::DOUBLE / 1000000.0
+                         / (count(*) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS avg_7d,
                    count(*) OVER w AS n_days
             FROM daily
             WINDOW w AS (ORDER BY day_idx

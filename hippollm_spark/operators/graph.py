@@ -42,16 +42,20 @@ def _bc(df: DataFrame, n: int) -> DataFrame:
     return F.broadcast(df) if n <= _BROADCAST_STATE_MAX else df
 
 
-# _loop_tuning mutates two SESSION-global confs; the lock + depth
-# counter make overlapping loops safe (first entrant saves, last
-# exiter restores — no torn save/restore can leave the narrowed
-# settings applied permanently). A query running CONCURRENTLY on the
-# same SparkSession still observes the loop's settings for its
-# duration — that is inherent to session-scoped conf and documented
-# in the contextmanager docstring.
+# _loop_tuning mutates two SESSION-global confs; the lock + PER-SESSION
+# depth counters make overlapping loops safe (first entrant on a
+# session saves, last exiter on that session restores — no torn
+# save/restore can leave the narrowed settings applied permanently,
+# and two sessions looping concurrently in one process each get their
+# own save/set/restore instead of the first session's saved values
+# leaking onto the second). A query running CONCURRENTLY on the same
+# SparkSession still observes the loop's settings for its duration —
+# that is inherent to session-scoped conf and documented in the
+# contextmanager docstring.
 _TUNING_LOCK = threading.Lock()
-_TUNING_DEPTH = 0
-_TUNING_SAVED: tuple[str, str] | None = None
+# id(spark) -> [depth, (saved_aqe, saved_partitions)]; entries are
+# removed at depth 0, so a dead session never pins stale state.
+_TUNING_STATE: dict[int, list] = {}
 
 
 @contextmanager
@@ -66,18 +70,21 @@ def _loop_tuning(spark, n_keys: int):
     sizing). Both settings restored on exit, exception or not.
 
     Concurrency: the confs are session-global. Overlapping loops are
-    refcounted (outermost entrant saves+sets, last exiter restores —
-    inner loops inherit the outer sizing), so no interleaving can leave
-    the narrowed settings stuck on the session. An unrelated query
-    running concurrently on the same session DOES see AQE off and the
-    narrowed partitions for the loop's duration; callers mixing
-    iterative graph ops with concurrent wide queries on one session
-    should run the graph op on its own session."""
-    global _TUNING_DEPTH, _TUNING_SAVED
+    refcounted PER SESSION (outermost entrant on a session saves+sets,
+    last exiter on that session restores — inner loops inherit the
+    outer sizing), so no interleaving can leave the narrowed settings
+    stuck, and concurrent loops on two different sessions each tune
+    and restore their own session. An unrelated query running
+    concurrently on the same session DOES see AQE off and the narrowed
+    partitions for the loop's duration; callers mixing iterative graph
+    ops with concurrent wide queries on one session should run the
+    graph op on its own session."""
+    key = id(spark)
     with _TUNING_LOCK:
-        if _TUNING_DEPTH == 0:
+        state = _TUNING_STATE.get(key)
+        if state is None:
             sp0 = spark.conf.get("spark.sql.shuffle.partitions")
-            _TUNING_SAVED = (
+            saved = (
                 spark.conf.get("spark.sql.adaptive.enabled"),
                 sp0,
             )
@@ -86,18 +93,20 @@ def _loop_tuning(spark, n_keys: int):
                 "spark.sql.shuffle.partitions",
                 str(max(8, min(int(sp0), n_keys // 250_000))),
             )
-        _TUNING_DEPTH += 1
+            _TUNING_STATE[key] = [1, saved]
+        else:
+            state[0] += 1
     try:
         yield
     finally:
         with _TUNING_LOCK:
-            _TUNING_DEPTH -= 1
-            if _TUNING_DEPTH == 0 and _TUNING_SAVED is not None:
-                spark.conf.set("spark.sql.adaptive.enabled", _TUNING_SAVED[0])
-                spark.conf.set(
-                    "spark.sql.shuffle.partitions", _TUNING_SAVED[1]
-                )
-                _TUNING_SAVED = None
+            state = _TUNING_STATE[key]
+            state[0] -= 1
+            if state[0] == 0:
+                saved = state[1]
+                spark.conf.set("spark.sql.adaptive.enabled", saved[0])
+                spark.conf.set("spark.sql.shuffle.partitions", saved[1])
+                del _TUNING_STATE[key]
 
 
 def _seal(df: DataFrame, pins: Sequence[DataFrame]) -> DataFrame:

@@ -31,11 +31,29 @@ def get_fact(facts: DataFrame, fact_id: int) -> DataFrame:
     return facts.filter(F.col("id") == F.lit(fact_id))
 
 
-def new_entities_only(new: DataFrame, existing: DataFrame) -> DataFrame:
+def new_entities_only(
+    new: DataFrame, existing: DataFrame, order_col: str | None = None
+) -> DataFrame:
     """P3 — upsert guard: rows of ``new`` whose name is not already
-    present (reference storage.py:188-190). First occurrence wins within
-    the new batch itself, matching the serial insert loop."""
-    w = Window.partitionBy("name").orderBy(F.monotonically_increasing_id())
+    present (reference storage.py:188-190). One row survives per name
+    within the new batch itself, matching the serial insert loop's
+    keep-first behaviour.
+
+    Which duplicate survives is RERUN-DETERMINISTIC: pass ``order_col``
+    (an explicit sequence column — the faithful "first occurrence"
+    when the caller has one); otherwise the tie-break orders on every
+    other column ascending (nulls first), so the survivor depends only
+    on row CONTENT, never on file/partition layout. (The previous
+    ``monotonically_increasing_id()`` tie-break changed winners under
+    repartitioning — same defect class as the ORDER-less ``limit()``
+    the round-7 sweep caught in emb_quantize.)"""
+    if order_col is not None:
+        order = [F.col(order_col).asc()]
+    else:
+        order = [
+            F.col(c).asc_nulls_first() for c in new.columns if c != "name"
+        ] or [F.lit(1)]
+    w = Window.partitionBy("name").orderBy(*order)
     deduped = (
         new.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
