@@ -7604,16 +7604,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_containment": f"""
             {_SHINGLES},
-            -- join on the SAME 60-bit md5 digest Spark joins on, so
-            -- even a digest collision produces identical counts
+            -- join on the SAME 120-bit two-half md5 digest Spark
+            -- joins on (_digest120), so even a digest collision
+            -- produces identical counts
             ex AS (SELECT doc_id,
-                          ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+                          ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+                          ('0x' || substr(md5(s), 17, 15))::BIGINT AS h2
                    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
             sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
             p AS (
                 SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
                        CAST(count(*) AS BIGINT) AS inter
-                FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+                FROM ex a JOIN ex b
+                  ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id <> b.doc_id
                 GROUP BY 1, 2
             )
             SELECT doc_inner, doc_outer,

@@ -140,6 +140,24 @@ def with_shingles(
     )
 
 
+def _digest120(col) -> object:
+    """120-bit md5 digest of a shingle as a struct of two 60-bit longs
+    (hex chars 1-15 and 17-31) — the blocking key for the EXACT
+    operators (jaccard_dup_pairs / containment_pairs). 60 bits alone
+    is fine for a fixed pair (~2^-61) but NOT corpus-wide at 100-TB
+    scale (>> 2^30 distinct shingles makes 60-bit birthday collisions
+    certain, and one collision can tip a boundary pair); 120 bits
+    leaves negligible collision mass at any feasible corpus. Each half
+    stays within a signed long (15 hex = 60 bits), so the DuckDB twin
+    is bit-replayable: ('0x' || substr(md5(s), 1, 15))::BIGINT and
+    ('0x' || substr(md5(s), 17, 15))::BIGINT."""
+    h = F.md5(col)
+    return F.struct(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # 2. exact n-gram Jaccard similarity join
 # --------------------------------------------------------------------------
@@ -157,13 +175,17 @@ def jaccard_dup_pairs(
     GROUP-THEN-PAIR (the round-7 `containment_pairs` shape, applied
     here in round 8 — the old explode→self-equi-join on the shingle
     STRING shuffled the exploded table twice and built a hash relation
-    of it besides; this plan shuffles the 60-bit md5 digests ONCE into
-    per-digest member lists and emits candidate pairs map-side):
+    of it besides; this plan shuffles the 120-bit md5 digests ONCE
+    into per-digest member lists and emits candidate pairs map-side):
 
-    - keys are the 60-bit md5 digest of the shingle (8-byte shuffle
-      keys instead of n-gram strings; collisions ~2⁻⁶¹ would have to
-      hit the same member list to matter, and the containment family's
-      string-join parity test pins the assumption),
+    - keys are the 120-bit md5 digest of the shingle as a struct of
+      two 60-bit longs (16-byte shuffle keys instead of n-gram
+      strings). 120 bits because EXACT is the contract: at 100-TB
+      corpus scale (>> 2^30 distinct shingles) 60-bit birthday
+      collisions are certain, and a collision between two shingles
+      held by the two docs of a pair inflates ``inter`` and can push
+      a boundary pair over the threshold; at 120 bits the corpus-wide
+      collision mass is negligible at any feasible scale,
     - intersections are counted UNDIRECTED (d1 < d2) with set sizes
       riding through the explode — no per-pair size join,
     - a pair-row survives pre-agg only if the length filter
@@ -177,6 +199,22 @@ def jaccard_dup_pairs(
     identical to the self-join plan's.
     """
     t = float(threshold)
+    if max_shingle_df is None:
+        # API-level warning, mirroring containment_pairs: the
+        # group-then-pair path materializes each digest's full member
+        # list in ONE collect_list aggregation state — a boilerplate
+        # shingle shared by a large fraction of the corpus cannot
+        # spill the way the old self-join could. The uncapped default
+        # exists for the oracle checks; at scale set max_shingle_df.
+        import warnings
+
+        warnings.warn(
+            "jaccard_dup_pairs with max_shingle_df=None buffers each "
+            "shared shingle's full posting list in one aggregation "
+            "state; set max_shingle_df on large or boilerplate-heavy "
+            "corpora",
+            stacklevel=2,
+        )
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
@@ -191,11 +229,7 @@ def jaccard_dup_pairs(
             ex.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > max_shingle_df)
         )
         ex = ex.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
-    ex = ex.select(
-        "doc_id",
-        "n_sh",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
-    )
+    ex = ex.select("doc_id", "n_sh", _digest120("s").alias("h"))
     members = ex.groupBy("h").agg(
         F.collect_list(F.struct("doc_id", "n_sh")).alias("ms")
     )
@@ -1339,12 +1373,13 @@ def containment_pairs(
     caps stop-shingle blow-up identically), with three pair-volume
     cuts on top of it:
 
-    - keys are a 60-bit md5 digest of the shingle (8-byte shuffle
-      keys instead of n-gram strings; the DuckDB twin replays the
-      identical digest, so even the ~2⁻⁶¹ collision events agree
-      across engines — the minhash-oracle discipline; a string-join
-      parity test pins the collision-free assumption on the test
-      corpus),
+    - keys are the 120-bit md5 digest of the shingle as a struct of
+      two 60-bit longs (see ``_digest120`` — EXACT is the contract,
+      and 60 bits alone has certain corpus-wide birthday collisions
+      past ~2^30 distinct shingles; the DuckDB twin replays the
+      identical two-half digest, so both engines agree bit-for-bit;
+      a string-join parity test pins the collision-free assumption
+      on the test corpus),
     - GROUP-THEN-PAIR instead of a self-join: digests shuffle ONCE
       into per-digest member lists and candidate pairs are emitted
       map-side after the exchange (the winnow_dup_pairs shape) —
@@ -1405,11 +1440,7 @@ def containment_pairs(
             .filter(F.col("df") > max_shingle_df)
         )
         ex = ex.join(F.broadcast(hot.select("s")), on="s", how="left_anti")
-    ex = ex.select(
-        "doc_id",
-        "n_sh",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("h"),
-    )
+    ex = ex.select("doc_id", "n_sh", _digest120("s").alias("h"))
     members = ex.groupBy("h").agg(
         F.collect_list(F.struct("doc_id", "n_sh")).alias("ms")
     )
