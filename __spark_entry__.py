@@ -3804,8 +3804,13 @@ def _pagerank_oracle_sql(
 ) -> str:
     """DuckDB replica of q_graph_pagerank / q_graph_ppr /
     q_graph_pagerank_weighted: the same integer recurrence unrolled
-    into one CTE per iteration (recursive CTEs forbid aggregation over
-    the recursive reference, so unrolling is the portable form). Every
+    into one MATERIALIZED CTE per iteration (recursive CTEs forbid
+    aggregation over the recursive reference, so unrolling is the
+    portable form; MATERIALIZED because DuckDB re-inlines a plain CTE
+    at every reference, turning the 6-round chain into exponential
+    re-evaluation — the >80-min sf10 wall VERDICT r8 flagged; each
+    round now evaluates once, like Spark's own per-round
+    localCheckpoint). Every
     op is exact BIGINT arithmetic — floor division matches Spark's
     `div` on the all-positive domain. With ``seeds``, initial and
     teleport mass go only to the seed set (personalized PageRank);
@@ -3817,11 +3822,12 @@ def _pagerank_oracle_sql(
         base = f"(({100 - damping} * {r0}) // 100)"
     else:
         slist = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+        sids = f"(SELECT v FROM vid WHERE entity IN ({slist}))"
         r0 = f"({scale} // {len(set(seeds))})"
-        init = f"(CASE WHEN vertex IN ({slist}) THEN {r0} ELSE 0 END)::BIGINT"
-        base = f"(CASE WHEN v.vertex IN ({slist}) THEN ({100 - damping} * {r0}) // 100 ELSE 0 END)"
+        init = f"(CASE WHEN vertex IN {sids} THEN {r0} ELSE 0 END)::BIGINT"
+        base = f"(CASE WHEN v.vertex IN {sids} THEN ({100 - damping} * {r0}) // 100 ELSE 0 END)"
     ctes = [
-        f"""pr0 AS (
+        f"""pr0 AS MATERIALIZED (
             SELECT vertex, {init} AS rank_scaled FROM verts
         )"""
     ]
@@ -3829,7 +3835,7 @@ def _pagerank_oracle_sql(
         "sum((rank_scaled * w) // outdeg)" if weighted else "sum(rank_scaled // outdeg)"
     )
     for i in range(1, iterations + 1):
-        ctes.append(f"""pr{i} AS (
+        ctes.append(f"""pr{i} AS MATERIALIZED (
             SELECT v.vertex,
                    ({base} + ({damping} * coalesce(s.s, 0)) // 100)::BIGINT
                        AS rank_scaled
@@ -3840,11 +3846,19 @@ def _pagerank_oracle_sql(
             ) s ON v.vertex = s.dst
         )""")
     chain = ",\n        ".join(ctes)
+    # integer-keyed rounds (round 9): the sf10 string-keyed chain
+    # OOM-killed the box — 240M (VARCHAR src, VARCHAR dst) edge rows
+    # materialized next to a live JVM. row_number() OVER (ORDER BY
+    # entity) is ORDER-PRESERVING, so int pairs (a.v < b.v) equal the
+    # string pairs (a.entity < b.entity) as sets, the vertex set
+    # (entities appearing in e) is unchanged, and every round's sums
+    # are over identical groups — the final join maps ids back to
+    # names. Values bit-identical; memory ~6x smaller.
     if weighted:
         pairs_sql = """
-            SELECT a.entity AS ea, b.entity AS eb, count(*)::BIGINT AS w
-            FROM ed a JOIN ed b
-              ON a.fact_id = b.fact_id AND a.entity < b.entity
+            SELECT a.v AS ea, b.v AS eb, count(*)::BIGINT AS w
+            FROM edi a JOIN edi b
+              ON a.fact_id = b.fact_id AND a.v < b.v
             GROUP BY 1, 2"""
         e_sql = """
             SELECT ea AS src, eb AS dst, w FROM pairs
@@ -3853,9 +3867,9 @@ def _pagerank_oracle_sql(
         deg_sql = "SELECT src, sum(w)::BIGINT AS outdeg FROM e GROUP BY src"
     else:
         pairs_sql = """
-            SELECT DISTINCT a.entity AS ea, b.entity AS eb
-            FROM ed a JOIN ed b
-              ON a.fact_id = b.fact_id AND a.entity < b.entity"""
+            SELECT DISTINCT a.v AS ea, b.v AS eb
+            FROM edi a JOIN edi b
+              ON a.fact_id = b.fact_id AND a.v < b.v"""
         e_sql = """
             SELECT ea AS src, eb AS dst FROM pairs
             UNION
@@ -3863,13 +3877,21 @@ def _pagerank_oracle_sql(
         deg_sql = "SELECT src, count(*) AS outdeg FROM e GROUP BY src"
     return f"""
         WITH ed AS MATERIALIZED ({_EDGES_SQL}),
+        vid AS MATERIALIZED (
+            SELECT entity, row_number() OVER (ORDER BY entity) AS v
+            FROM (SELECT DISTINCT entity FROM ed)
+        ),
+        edi AS MATERIALIZED (
+            SELECT ed.fact_id, vid.v FROM ed JOIN vid USING (entity)
+        ),
         pairs AS MATERIALIZED ({pairs_sql}),
         e AS MATERIALIZED ({e_sql}),
         verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM e),
         deg AS MATERIALIZED ({deg_sql}),
         c AS (SELECT count(*) AS n FROM verts),
         {chain}
-        SELECT vertex, rank_scaled FROM pr{iterations}
+        SELECT vid.entity AS vertex, rank_scaled
+        FROM pr{iterations} p JOIN vid ON p.vertex = vid.v
         ORDER BY rank_scaled DESC, vertex ASC
     """
 
@@ -3879,9 +3901,9 @@ def _lpa_oracle_sql(iterations: int = 3) -> str:
     (max count, min label) update unrolled one CTE per round (the same
     unrolling discipline as the PageRank oracle — recursive CTEs can't
     aggregate over the recursive reference)."""
-    ctes = ["lp0 AS (SELECT vertex, vertex AS label FROM verts)"]
+    ctes = ["lp0 AS MATERIALIZED (SELECT vertex, vertex AS label FROM verts)"]
     for i in range(1, iterations + 1):
-        ctes.append(f"""lp{i} AS (
+        ctes.append(f"""lp{i} AS MATERIALIZED (
             SELECT v.vertex, coalesce(p.new_label, v.label) AS label
             FROM lp{i - 1} v LEFT JOIN (
                 SELECT dst, min(label) AS new_label FROM (
@@ -5962,18 +5984,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_name_pairs": """
             -- group-by-distinct-name first: levenshtein runs on the
-            -- O(#names^2) name grid instead of the O(#parts^2) row
-            -- grid, then the qualifying name pairs expand back to part
-            -- keys. Output is IDENTICAL to the naive row-level cross
-            -- join (same-name rows are the np.na = np.nb diagonal,
-            -- dist 0); the rewrite is what makes the sf1+ oracle
-            -- replay feasible.
-            WITH names AS (SELECT DISTINCT p_name FROM part),
+            -- name grid instead of the O(#parts^2) row grid, then the
+            -- qualifying name pairs expand back to part keys. Output
+            -- is IDENTICAL to the naive row-level cross join
+            -- (same-name rows are the np.na = np.nb diagonal, dist 0).
+            -- ROUND 9: the name grid itself is now PassJoin-banded,
+            -- mirroring Spark's own blocking (dedup.edit_distance_
+            -- pairs, k=2): any pair within distance 2 shares one of
+            -- the 3 even segments of either string EXACTLY at a
+            -- position shifted by <= 2 (pigeonhole: 2 edits cannot
+            -- touch all 3 segments). idx = the 3 (L|i|segment) keys
+            -- per name; probe = the aligned substrings for every
+            -- compatible source length. Lossless (verified row-equal
+            -- to the quadratic grid at sf0.01/sf0.1/sf1), and kills
+            -- the O(#names^2) levenshtein grid that put the sf10
+            -- oracle out of budget (~3e10 comparisons at 250k names).
+            WITH names AS MATERIALIZED (SELECT DISTINCT p_name FROM part),
+            idx AS MATERIALIZED (
+                SELECT p_name AS iname,
+                       CASE WHEN len(p_name) <= 4 THEN '~short'
+                            ELSE CAST(len(p_name) AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|' ||
+                                 substr(p_name,
+                                        i*(len(p_name)//3) + least(i, len(p_name)%3) + 1,
+                                        (len(p_name)//3) + CASE WHEN i < (len(p_name)%3) THEN 1 ELSE 0 END)
+                       END AS bkey
+                FROM names, UNNEST(range(0, 3)) g(i)
+                WHERE len(p_name) <= 4
+                   OR (len(p_name)//3) + CASE WHEN i < (len(p_name)%3) THEN 1 ELSE 0 END > 0
+            ),
+            probe AS MATERIALIZED (
+                SELECT DISTINCT p_name AS pname,
+                       CAST(L AS VARCHAR) || '|' || CAST(i AS VARCHAR) || '|' ||
+                       substr(p_name, st + 1, ln) AS bkey
+                FROM (
+                    SELECT p_name, L, i,
+                           (L//3) + CASE WHEN i < (L%3) THEN 1 ELSE 0 END AS ln,
+                           i*(L//3) + least(i, L%3) AS p
+                    FROM names,
+                         UNNEST(range(greatest(5, len(p_name) - 2), len(p_name) + 3)) gl(L),
+                         UNNEST(range(0, 3)) gi(i)
+                ), UNNEST(range(greatest(0, p - 2), least(len(p_name) - ln, p + 2) + 1)) gs(st)
+                WHERE ln > 0
+                UNION ALL
+                SELECT p_name, '~short' FROM names WHERE len(p_name) <= 6
+            ),
+            cand AS MATERIALIZED (
+                SELECT DISTINCT least(iname, pname) AS cna, greatest(iname, pname) AS cnb
+                FROM idx JOIN probe ON idx.bkey = probe.bkey
+                WHERE iname <> pname
+            ),
             np AS (
-                SELECT a.p_name AS na, b.p_name AS nb,
-                       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-                FROM names a JOIN names b ON a.p_name <= b.p_name
-                WHERE levenshtein(a.p_name, b.p_name) <= 2
+                SELECT p_name AS na, p_name AS nb, 0 AS dist FROM names
+                UNION ALL
+                SELECT cna AS na, cnb AS nb,
+                       CAST(levenshtein(cna, cnb) AS INT) AS dist
+                FROM cand WHERE levenshtein(cna, cnb) <= 2
             )
             SELECT least(pa.p_partkey, pb.p_partkey) AS id_a,
                    greatest(pa.p_partkey, pb.p_partkey) AS id_b,

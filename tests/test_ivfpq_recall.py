@@ -10,12 +10,15 @@ nprobe settings don't need 100 Spark jobs; one configuration is then
 cross-checked against the production Spark path row-for-row. The
 measured numbers live in COVERAGE.md next to the ann_ivfpq rows.
 
-Note the ceiling itself (~0.8 at nprobe=nlist/2) is a property of the
-near-uniform SYNTHETIC embeddings — neighbours of a uniform cloud
-scatter across Voronoi cells almost independently of the query's own
-cell. Real embedding distributions (clustered) probe far better; the
-assertions here pin what is invariant: monotonicity, re-rank
-dominance, and re-rank saturating ≥95% of whatever the probe admits.
+Note the residual ceiling gap (0.945 at nprobe=nlist/2 on the round-8
+nlist=128 k-means++ artifact; the retired nlist=16 artifact capped at
+0.805) is a property of the near-uniform SYNTHETIC embeddings —
+neighbours of a uniform cloud scatter across Voronoi cells almost
+independently of the query's own cell. Real embedding distributions
+(clustered) probe far better; the assertions here pin what is
+invariant: monotonicity, re-rank dominance, re-rank saturating ≥95%
+of whatever the probe admits, and the ≥0.9 half-probe ceiling /
+≥0.85 absolute floors of the current artifact.
 """
 
 from __future__ import annotations

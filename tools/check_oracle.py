@@ -306,6 +306,20 @@ def main() -> int:
 
     spark = get_spark("oracle_check")
     con = duckdb.connect()
+    # big-sf engine runs share the box with a live JVM: cap DuckDB
+    # below the free-RAM line and give it a spill directory so a
+    # >memory oracle (sf10 pagerank's 240M-row edge table) degrades to
+    # disk instead of an OOM kill. No effect on small-sf runs.
+    tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "_duckdb_spill",
+    )
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEM', '48GB')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet"
@@ -326,6 +340,13 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             if engine and name in oracles:
                 s_n, s_a, s_b, s_cols = _spark_digest(sdf)
+            elif engine:
+                # rows-only query in engine mode: count() instead of
+                # collecting the full result — a large no-oracle query
+                # at sf1+ would otherwise hit the very
+                # driver.maxResultSize / driver-OOM wall engine mode
+                # exists to avoid (ADVICE r8)
+                s_n = sdf.count()
             else:
                 spdf = sdf.toPandas()
         except UnsupportedType as e:
@@ -346,7 +367,7 @@ def main() -> int:
             engine_this = engine and name in oracles
         t_spark = time.time() - t0
         if name not in oracles:
-            n = s_n if engine_this else len(spdf)
+            n = s_n if engine else len(spdf)
             print(f"~ {name}: rows-only ({n} rows, {t_spark:.1f}s) — no oracle")
             continue
         try:
