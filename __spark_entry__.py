@@ -3831,18 +3831,32 @@ def _pagerank_oracle_sql(
             SELECT vertex, {init} AS rank_scaled FROM verts
         )"""
     ]
-    contrib = (
-        "sum((rank_scaled * w) // outdeg)" if weighted else "sum(rank_scaled // outdeg)"
-    )
+    # per-round shape: precompute the per-vertex rate (tiny — |verts|
+    # rows) and lead the join with e. Materialized-CTE scans carry no
+    # stats in DuckDB 1.0, and the original pr-first shape let the
+    # optimizer hash-build on the |2E|-row edge table (observed as a
+    # 50+ GB spill at sf10); this shape measured 43 s vs 65 s for
+    # 3 rounds at sf3, identical sums.
     for i in range(1, iterations + 1):
+        if weighted:
+            inner = f"""
+                SELECT e.dst, sum((r.rank_scaled * e.w) // r.outdeg) AS s
+                FROM e JOIN (SELECT pr.vertex, pr.rank_scaled, d.outdeg
+                             FROM pr{i - 1} pr JOIN deg d ON pr.vertex = d.src) r
+                  ON e.src = r.vertex
+                GROUP BY e.dst"""
+        else:
+            inner = f"""
+                SELECT e.dst, sum(r.rate) AS s
+                FROM e JOIN (SELECT pr.vertex, pr.rank_scaled // d.outdeg AS rate
+                             FROM pr{i - 1} pr JOIN deg d ON pr.vertex = d.src) r
+                  ON e.src = r.vertex
+                GROUP BY e.dst"""
         ctes.append(f"""pr{i} AS MATERIALIZED (
             SELECT v.vertex,
                    ({base} + ({damping} * coalesce(s.s, 0)) // 100)::BIGINT
                        AS rank_scaled
-            FROM verts v LEFT JOIN (
-                SELECT dst, {contrib} AS s
-                FROM pr{i - 1} JOIN e ON vertex = src JOIN deg USING (src)
-                GROUP BY dst
+            FROM verts v LEFT JOIN ({inner}
             ) s ON v.vertex = s.dst
         )""")
     chain = ",\n        ".join(ctes)
@@ -6028,17 +6042,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT p_name, '~short' FROM names WHERE len(p_name) <= 6
             ),
-            cand AS MATERIALIZED (
-                SELECT DISTINCT least(iname, pname) AS cna, greatest(iname, pname) AS cnb
-                FROM idx JOIN probe ON idx.bkey = probe.bkey
-                WHERE iname <> pname
-            ),
-            np AS (
+            np AS MATERIALIZED (
+                -- verify on the RAW key-match rows (duplicates and
+                -- all) and DISTINCT only the survivors: levenshtein
+                -- is symmetric, so the duplicated evaluations are
+                -- cheap relative to hashing the full candidate set
+                -- (sf3: 51.5 s vs 207 s cand-DISTINCT + 25 s verify)
                 SELECT p_name AS na, p_name AS nb, 0 AS dist FROM names
                 UNION ALL
-                SELECT cna AS na, cnb AS nb,
-                       CAST(levenshtein(cna, cnb) AS INT) AS dist
-                FROM cand WHERE levenshtein(cna, cnb) <= 2
+                SELECT DISTINCT least(iname, pname) AS na,
+                       greatest(iname, pname) AS nb,
+                       CAST(levenshtein(iname, pname) AS INT) AS dist
+                FROM idx JOIN probe ON idx.bkey = probe.bkey
+                WHERE iname <> pname AND levenshtein(iname, pname) <= 2
             )
             SELECT least(pa.p_partkey, pb.p_partkey) AS id_a,
                    greatest(pa.p_partkey, pb.p_partkey) AS id_b,

@@ -276,6 +276,113 @@ def _duck_digest(con, sql: str) -> tuple[int, int, int, list[str]]:
     return int(row[0]), int(row[1]), int(row[2]), cols
 
 
+def _scan_balanced(sql: str, i: int) -> int:
+    """Index just past the ')' matching the '(' at sql[i], skipping
+    single-quoted strings and -- comments."""
+    assert sql[i] == "("
+    depth = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parens")
+
+
+_CTE_HEAD = re.compile(
+    r"\s*,?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s*AS\s+"
+    r"((?:NOT\s+)?MATERIALIZED\s+)?\(",
+    re.I,
+)
+
+
+def _split_ctes(sql: str):
+    """Mechanically split a single top-level ``WITH name AS [...] (...)
+    , ... <final query>`` chain into ([(name, body)], final_query), or
+    None when the statement isn't that shape (no WITH, WITH RECURSIVE,
+    parse surprise). Comments and quoted strings are respected; the
+    bodies are byte-identical slices of the input, so executing them
+    as ``CREATE TEMP TABLE name AS body`` in order + the final query
+    is semantically the CTE chain with every CTE materialized."""
+    m = re.match(r"\s*(--[^\n]*\n\s*)*WITH\s+", sql, re.I)
+    if not m or re.match(r"\s*(--[^\n]*\n\s*)*WITH\s+RECURSIVE\b", sql, re.I):
+        return None
+    i = m.end()
+    ctes = []
+    while True:
+        h = _CTE_HEAD.match(sql, i)
+        if not h:
+            return None
+        if h.group(2):  # explicit column list — only the recursive
+            return None  # oracles use it; keep those single-statement
+        lpar = h.end() - 1
+        try:
+            end = _scan_balanced(sql, lpar)
+        except ValueError:
+            return None
+        ctes.append((h.group(1), sql[lpar + 1 : end - 1]))
+        j = end
+        while j < len(sql) and sql[j] in " \t\r\n":
+            j += 1
+        if j < len(sql) and sql[j] == ",":
+            i = j + 1
+            continue
+        return ctes, sql[j:]
+
+
+def _duck_digest_script(con, sql: str):
+    """Run a big materialized-CTE oracle as CREATE TEMP TABLE steps +
+    the final SELECT, then _duck_digest on the (now tiny) final query.
+    DuckDB 1.0 executes a monolithic many-CTE statement with all CTE
+    buffers and join states coexisting and no stats on CTE scans — at
+    sf10 the pagerank chain spilled >60 GB and filled the disk, while
+    the SAME stages as temp tables total <10 GB and run ~15x faster
+    (stats restore the correct hash-join build sides). Returns the
+    digest tuple, or None if the statement isn't a plain WITH chain.
+    Temp tables are dropped (reverse order) even on failure so they
+    never shadow the base views for later queries."""
+    parsed = _split_ctes(sql)
+    if not parsed:
+        return None
+    ctes, final = parsed
+    made = []
+    try:
+        for name, body in ctes:
+            con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+            made.append(name)
+        return _duck_digest(con, final)
+    finally:
+        for name in reversed(made):
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+
+
+# engine-mode threshold: any statement the author marked with AS
+# MATERIALIZED takes the temp-table path when parseable — materialized
+# CTE scans carry no stats in DuckDB 1.0, so monolithic chains pick
+# wrong hash-join build sides (sf10 pagerank spilled >60 GB; the sf3
+# fuzzy twin ran at 1.8 threads for 25+ min vs ~60 s as temp tables).
+# Plain-CTE-only oracles (which may rely on inlining/pushdown) keep
+# the single-statement path.
+_SCRIPT_CTE_MIN = 1
+
+
 def _lint_oracle(name: str, sql: str) -> None:
     """Unrolled-CTE lint: DuckDB re-inlines a plain (un-MATERIALIZED)
     CTE at every reference, so an iterative oracle unrolled over many
@@ -372,7 +479,11 @@ def main() -> int:
             continue
         try:
             if engine_this:
-                o_n, o_a, o_b, o_cols = _duck_digest(con, oracles[name])
+                osql = oracles[name]
+                digest = None
+                if len(re.findall(r"\bAS\s+MATERIALIZED\b", osql, re.I)) >= _SCRIPT_CTE_MIN:
+                    digest = _duck_digest_script(con, osql)
+                o_n, o_a, o_b, o_cols = digest or _duck_digest(con, osql)
             else:
                 odf = con.execute(oracles[name]).fetchdf()
         except UnsupportedType as e:
