@@ -307,19 +307,45 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
+    """Local-supplier volume (Q5). The ASIA predicate is pushed
+    through BOTH join arms before the one big shuffle: customers
+    restrict to ASIA nations (joined onto orders — orders shrinks ~5x
+    and carries the customer nation), suppliers restrict to ASIA
+    (joined onto lineitem — lineitem shrinks ~5x and carries the
+    supplier nation), and only then do the two reduced sides shuffle
+    on orderkey with the nation-equality filter. Catalyst cannot
+    derive this reorder itself because the c_nationkey = s_nationkey
+    equality couples the two dimension arms. Scale notes: only the
+    constant-size nation dim gets an explicit broadcast hint; the
+    filtered customer/supplier sides GROW with the corpus, so their
+    join strategy is left to AQE's runtime sizes (broadcast at sf10's
+    ~5 MB, shuffle/bucketed at 100 TB). The win that survives scale
+    is the 5x smaller shuffle inputs."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    acust = cust.join(
+        F.broadcast(asia_nat), cust.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cnat"))
+    asupp = supp.join(
+        F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("s_nationkey").alias("snat"))
+    aorders = orders.join(acust, orders.o_custkey == acust.c_custkey).select(
+        "o_orderkey", "cnat"
+    )
+    ali = li.join(asupp, li.l_suppkey == asupp.s_suppkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        ali.join(aorders, ali.l_orderkey == aorders.o_orderkey)
+        .filter(F.col("cnat") == F.col("snat"))
+        .join(F.broadcast(asia_nat), F.col("snat") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             _e6out(_e6sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
