@@ -294,7 +294,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             # per-order group (<= 7 lineitems at any sf): raw long sum
@@ -416,7 +416,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
@@ -459,7 +459,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
     )
     return (
@@ -496,9 +496,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -522,7 +522,7 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
         .select(
             "o_custkey",
             "o_orderkey",
@@ -589,7 +589,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             _e6sum(rev, cond=F.col("p_type") == "PROMO").alias("_p"),
             _e6sum(rev).alias("_t"),
@@ -624,7 +624,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rev") == F.col("__mx__")
     )
     return (
-        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_suppkey"),
             "s_name",
@@ -643,14 +643,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        part, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     per_part = li.groupBy("l_partkey").agg(
         F.sum(_e6(F.col("l_quantity"))).alias("_sq"),
         F.count("*").alias("_n"),
     )
     return (
-        li.join(F.broadcast(per_part), "l_partkey")
+        li.join(per_part, "l_partkey")
         # exact integer cross-product in e6 longs (q_e6 <= 5e7, n is
         # the sf-invariant lineitems-per-part count): no overflow
         .filter(_e6(F.col("l_quantity")) * 5 * F.col("_n") < F.col("_sq"))
@@ -680,7 +680,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -707,7 +707,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(pred)
         .agg(
             _e6out(_e6sum(rev)).alias("revenue"),
@@ -780,8 +780,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
     ).select("p_partkey", "p_name")
     cand = (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(snr), ps.l_suppkey == snr.s_suppkey)
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(snr, ps.l_suppkey == snr.s_suppkey)
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -809,7 +809,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     nsupp = supp.join(
         F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi"
     ).select("s_suppkey")
-    nli = li.join(F.broadcast(nsupp), li.l_suppkey == nsupp.s_suppkey, "left_semi")
+    nli = li.join(nsupp, li.l_suppkey == nsupp.s_suppkey, "left_semi")
     per_part = nli.groupBy("l_partkey").agg(
         # per-part group (lineitems/part is sf-invariant): raw long sum
         F.sum(_e6(F.col("l_extendedprice") * F.col("l_quantity"))).alias("_v")
@@ -889,7 +889,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
     pair = li.groupBy("l_partkey", "l_suppkey").agg(
         # (part, supplier) group is sf-invariant in size: raw long sum
         F.sum(_e6(F.col("l_quantity"))).alias("_q")
@@ -905,7 +905,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi")
-        .join(F.broadcast(dominant), supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -950,7 +950,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat), supp.s_nationkey == nat.n_nationkey, "left_semi"
     ).select("s_suppkey", "s_name")
     return (
-        culprit.join(F.broadcast(nsupp), culprit.l_suppkey == nsupp.s_suppkey)
+        culprit.join(nsupp, culprit.l_suppkey == nsupp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

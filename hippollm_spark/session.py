@@ -32,6 +32,14 @@ _DEFAULTS = {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # 64 MB broadcast budget (default 10 MB): routine on executors with
+    # gigabytes of heap, and what lets AQE's RUNTIME sizes — not
+    # per-site hints — pick broadcast for mid-size filtered dimensions
+    # (round 9 dropped the forced F.broadcast on every sf-growing dim:
+    # the STANDARD-parts join in tpch_q9 is ~12 MB at sf10, just over
+    # the old threshold, and regressed 3.1 s → 6.5 s as an SMJ until
+    # the budget covered it; genuinely huge dims still shuffle).
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
 }
 
 
