@@ -958,6 +958,68 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COLOCATED_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _colocated_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Memoized bucketed layout of (lineitem, orders) on the order key
+    (operators/layout.py): built ONCE per (session, sf_dir) — the
+    deployment shape where the layout shuffle is paid at ingest and
+    amortized over every downstream fact-fact join."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    names = _COLOCATED_MEMO.get(key)
+    if names is None:
+        import hashlib as _hl
+
+        from hippollm_spark.operators import layout
+
+        h = _hl.md5(
+            f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+        ).hexdigest()[:12]
+        li_t, ord_t = f"blj_li_{h}", f"blj_ord_{h}"
+        layout.save_colocated(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            li_t,
+            "l_orderkey",
+        )
+        layout.save_colocated(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            ord_t,
+            "o_orderkey",
+        )
+        names = (li_t, ord_t)
+        _COLOCATED_MEMO[key] = names
+    return names
+
+
+def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-fact join via bucketed co-location
+    (operators/layout.py): lineitem and orders are persisted bucketed
+    + sorted on the order key with matching bucket counts, so this
+    join plans with NO shuffle on either side — each task merge-joins
+    bucket i of both tables in place (plan-asserted in
+    tests/test_layout.py). The layout shuffle is paid once at write
+    and amortized over every later join — the 100-TB fact-join story.
+    Values are layout-independent: the oracle replays the plain
+    join."""
+    li_t, ord_t = _colocated_tables(spark, sf_dir)
+    from hippollm_spark.operators import layout
+
+    j = layout.colocated_join(spark, li_t, ord_t, "l_orderkey", "o_orderkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            _e6out(
+                _e6sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals — ROLLUP over (returnflag, linestatus);
     grouping nulls coalesced to 'ALL' for cross-engine stability.
@@ -3596,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_rollup": q_tpch_rollup,
+        "colocated_join": q_colocated_join,  # r9: bucketed fact-fact join
         "window_topk": q_window_topk,
         "quantiles": q_quantiles,
         "asof_join": q_asof_join,
@@ -5346,6 +5409,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "colocated_join": """
+            -- layout-independent values: the bucketed co-located join
+            -- must equal the plain join bit-for-bit
+            SELECT o_orderpriority,
+                   count(*) AS n_items,
+                   floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT))::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "tpch_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
