@@ -22,191 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from hippollm_spark.session import get_spark
 
-BENCH_QUERIES = [
-    "global_rank",
-    "prefix_revenue",
-    "incremental_dedup",
-    "bitext_margin",
-    "domain_cap",
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "stream_click_join",
-    "pack_bins",
-    "uniform_sample_k",
-    "trimmed_value",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_rollup",
-    "window_topk",
-    "running_revenue",
-    "quantiles",
-    "asof_join",
-    "gap_fill",
-    "approx_stats",
-    "heavy_hitters",
-    "value_histogram",
-    "standardize",
-    "events_funnel",
-    "cohort_retention",
-    "zorder_key",
-    "g2_explore",
-    "p1_entity_lookup",
-    "p2_fact_lookup",
-    "m1_upsert_guard",
-    "p6_lone_entities",
-    "p4_union",
-    "p5_intersection",
-    "g1_neighbours",
-    "g3_cooccurrence",
-    "v3_knn",
-    "v4_filtered_knn",
-    "v5_union_knn",
-    "v6_intersection_knn",
-    "ann_cosine_topk",
-    "emb_dup_pairs",
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_minhash",
-    "dedup_simhash",
-    "fuzzy_name_pairs",
-    "dedup_groups",
-    "contamination",
-    "boilerplate_removal",
-    "sample_stratified",
-    "weighted_sample",
-    "hash_split",
-    "split_leakage",
-    "temperature_sample",
-    "pack_chunks",
-    "emb_centroids",
-    "ingest_m1",
-    "corpus_curation",
-    "corpus_curation_semantic",
-    "ann_ivfpq_rerank",
-    "text_quality",
-    "text_langid",
-    "scrub_pii",
-    "text_tokens",
-    "text_fingerprint",
-    "text_repetition",
-    "split_naive",
-    "split_paragraphs",
-    "events_windowed",
-    "events_enriched",
-    "events_json_props",
-    "sessionization",
-    "click_attribution",
-    "events_pivot",
-    "events_melt",
-    "revenue_delta",
-    "user_activity",
-    "top_ngrams",
-    "text_clean",
-    "bm25_topk",
-    "hybrid_rrf",
-    "mmr_rerank",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "winnow_pairs",
-    "graph_components",
-    "graph_components_star",
-    "graph_pagerank",
-    "graph_ppr",
-    "graph_pagerank_weighted",
-    "graph_triangles",
-    "sales_cube",
-    "tfidf_keywords",
-    "pmi_collocations",
-    "classifier_score",
-    "dup_spans",
-    "graph_bfs",
-    "merge_changes",
-    "winsorize_value",
-    "max_concurrency",
-    "entity_similarity",
-    "lpa_communities",
-    "mad_outliers",
-    "quality_deciles",
-    "rolling_revenue_7d",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "semantic_prune",
-    "cluster_sample",
-    "markov_transitions",
-    "basket_lift",
-    "snapshot_diff",
-    "phash_pairs",
-    "score_buckets",
-    "event_mode",
-    "lang_drift",
-    "profile_events",
-    "epoch_upsample",
-    "graph_sssp",
-    "rolling_anomaly",
-    "lm_perplexity",
-    "training_mix",
-    "value_ranks",
-    "churned_customers",
-    "length_batches",
-    "negative_samples",
-    "ewma_value",
-    "ols_trend",
-    "corr_matrix",
-    "auc_score",
-    "golden_records",
-    "graph_kcore",
-    "domain_stats",
-    "pca_embeddings",
-    "ab_welch",
-    "conversion_chi2",
-    "chi2_keywords",
-    "global_shuffle",
-    "ohlc_hourly",
-    "ks_value",
-    "rfm_segments",
-    "revenue_gini",
-    "emb_quantize",
-    "readability",
-    "session_paths",
-    "type_entropy",
-    "doc_containment",
-    "attribution_linear",
-    "knn_labels",
-    "lang_psi",
-    "bm25_ndcg",
-    "graph_hits",
-    "value_cusum",
-    "lang_source_assoc",
-    "active_users",
-    "dow_profile",
-    "bm25_recall",
-    "value_benford",
-    "corpus_interleave",
-    "value_acf",
-    "graph_walks",
-    "privacy_audit",
-    "ppmi_terms",
-]
+# Benchmark EVERY contract query, derived from entry.queries() so the
+# list can never drift from the contract (round-9 lesson: colocated_join
+# was added to queries() but not the old hand-maintained list here,
+# leaving the guard test red and BENCH_r09 covering 183/184). Any query
+# that must be skipped goes in BENCH_EXCLUDED with a reason string; the
+# contract test asserts queries() == BENCH_QUERIES + BENCH_EXCLUDED.
+BENCH_EXCLUDED: dict[str, str] = {}
+BENCH_QUERIES = [q for q in entry_mod.queries() if q not in BENCH_EXCLUDED]
 
 
 def main() -> None:

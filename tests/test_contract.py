@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry
-from bench import BENCH_QUERIES
+from bench import BENCH_EXCLUDED, BENCH_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -29,8 +29,21 @@ def test_bench_queries_all_registered():
 
 
 def test_every_query_is_benched():
-    unbenched = [q for q in entry.queries() if q not in set(BENCH_QUERIES)]
-    assert not unbenched, f"queries missing from bench.py: {unbenched}"
+    """BENCH_QUERIES is now derived from entry.queries() (round-9
+    lesson), so drift is impossible by construction — this guard now
+    polices the exclusion mechanism instead: every exclusion must name
+    a real query and carry a non-empty reason string."""
+    qs = set(entry.queries())
+    unbenched = [q for q in qs if q not in set(BENCH_QUERIES)]
+    assert set(unbenched) == set(BENCH_EXCLUDED), (
+        f"queries missing from bench.py without an exclusion: "
+        f"{sorted(set(unbenched) - set(BENCH_EXCLUDED))}"
+    )
+    stale = [q for q in BENCH_EXCLUDED if q not in qs]
+    assert not stale, f"BENCH_EXCLUDED names unknown queries: {stale}"
+    unreasoned = [q for q, why in BENCH_EXCLUDED.items()
+                  if not (isinstance(why, str) and why.strip())]
+    assert not unreasoned, f"exclusions without a reason: {unreasoned}"
 
 
 def test_oracle_coverage_is_exactly_the_declared_set():
