@@ -71,11 +71,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TPC-H mapping of the hypergraph adjacency: one edge per
-    distinct (order, part-name) incidence (FIXTURES.md §6)."""
+    distinct (order, part-name) incidence (FIXTURES.md §6).
+
+    No forced broadcast hint on `part`: it grows with sf (2M rows at
+    sf10, ~200M at sf1000), so at 100 TB it is not broadcastable and a
+    hint would bypass autoBroadcastJoinThreshold entirely. AQE under
+    the 64 MB budget picks broadcast at small sf and shuffle at scale
+    (round-10 policy, matching the TPC-H family de-hint of e3510b2)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("fact_id"), F.col("p_name").alias("entity"))
         .distinct()
     )
@@ -869,8 +875,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        # No forced hints: both the negative-acctbal supplier subset and
+        # the filtered part subset grow with sf — AQE decides at runtime
+        # from measured sizes (round-10 broadcast policy).
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, ps.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1174,8 +1183,10 @@ def q_p6_lone_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _t(spark, sf_dir, "part").select("p_name").distinct()
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    # part grows with sf — no forced hint; AQE broadcasts it at small
+    # sf and falls back to shuffle at scale (round-10 broadcast policy).
     incidences = li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey
+        part, li.l_partkey == part.p_partkey
     ).select("p_name")
     return parts.join(incidences, on="p_name", how="left_anti")
 
@@ -2086,13 +2097,15 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment, batch twin: events joined
-    to the broadcast customer dimension, hourly revenue per market
-    segment (streaming form: streaming.events.segment_windowed_revenue
-    — same logical plan with a watermark; parity-tested)."""
+    to the customer dimension, hourly revenue per market segment
+    (streaming form: streaming.events.segment_windowed_revenue — same
+    logical plan with a watermark; parity-tested). customer grows with
+    sf, so no forced broadcast hint — the planner broadcasts it while
+    its stats fit autoBroadcastJoinThreshold and shuffles at scale."""
     ev = _events(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "c_mktsegment"
         )

@@ -110,19 +110,24 @@ def enrich_with_dimension(
     left_key: str = "user_id",
     right_key: str = "c_custkey",
     how: str = "inner",
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Stream-static dimension enrichment: join each event to a static
-    (or slowly-refreshed) dimension table. The dimension is broadcast —
-    the streaming side never shuffles, so event throughput is
-    unaffected by the join; the dimension is re-broadcast per
-    micro-batch, which is what picks up dimension updates between
-    batches. This is the standard high-volume enrichment shape: at
-    100 TB/day of events, shuffling the stream to co-locate with a
-    GB-sized dimension would be the bottleneck; broadcasting the
-    dimension costs nothing per event."""
-    return events.join(
-        F.broadcast(dim), events[left_key] == dim[right_key], how
-    )
+    (or slowly-refreshed) dimension table.
+
+    A broadcast dimension is the ideal shape here — the streaming side
+    never shuffles, and the dim is re-broadcast per micro-batch (which
+    picks up dimension updates between batches). But the dimension's
+    size is the CALLER's knowledge, not this function's: forcing the
+    hint on an sf-growing table (customer grows ~15M rows at sf100)
+    bypasses autoBroadcastJoinThreshold and OOMs executors at scale.
+    Default is therefore no hint — the planner broadcasts while the
+    dim's statistics fit the threshold and shuffles past it. Callers
+    that KNOW the dim is bounded (a code table, a config dim) pass
+    broadcast_dim=True to pin the zero-shuffle plan."""
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return events.join(dim, events[left_key] == dim[right_key], how)
 
 
 def segment_windowed_revenue(
