@@ -35,6 +35,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Scale-hazard warnings fire once per process per call site: the
+# hazardous defaults exist for the oracle checks (DuckDB replays the
+# exact uncapped SQL), and the repo's own bench/oracle sweeps call
+# these operators hundreds of times per process — a per-call warn is
+# pure noise after the first.
+_SCALE_WARNINGS_EMITTED: set = set()
+
+
+def _warn_once(key: str, message: str) -> None:
+    if key in _SCALE_WARNINGS_EMITTED:
+        return
+    _SCALE_WARNINGS_EMITTED.add(key)
+    import warnings
+
+    warnings.warn(message, stacklevel=3)
+
 
 def normalized_text(col, *, lowercase: bool = True) -> object:
     c = F.col(col) if isinstance(col, str) else col
@@ -206,14 +222,12 @@ def jaccard_dup_pairs(
         # shingle shared by a large fraction of the corpus cannot
         # spill the way the old self-join could. The uncapped default
         # exists for the oracle checks; at scale set max_shingle_df.
-        import warnings
-
-        warnings.warn(
+        _warn_once(
+            "jaccard_dup_pairs",
             "jaccard_dup_pairs with max_shingle_df=None buffers each "
             "shared shingle's full posting list in one aggregation "
             "state; set max_shingle_df on large or boilerplate-heavy "
             "corpora",
-            stacklevel=2,
         )
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
@@ -737,13 +751,11 @@ def embedding_dup_pairs(
     output near-linear at dedup-grade thresholds.
     """
     if float(threshold) < 0.5:
-        import warnings
-
-        warnings.warn(
+        _warn_once(
+            "embedding_dup_pairs",
             f"embedding_dup_pairs(threshold={threshold}) is output-bound: "
             "below ~0.5 the true pair count grows quadratically with the "
             "corpus; use similarity.lsh_dup_pairs at scale",
-            stacklevel=2,
         )
     if n_blocks is None:
         # target ~2k rows per block (4M-dot-product tiles); 1 block for
@@ -1415,14 +1427,12 @@ def containment_pairs(
         # old self-join could. The uncapped default exists for the
         # oracle checks (DuckDB replays uncapped SQL); at scale set
         # max_shingle_df.
-        import warnings
-
-        warnings.warn(
+        _warn_once(
+            "containment_pairs",
             "containment_pairs with max_shingle_df=None buffers each "
             "shared shingle's full posting list in one aggregation "
             "state; set max_shingle_df on large or boilerplate-heavy "
             "corpora",
-            stacklevel=2,
         )
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:

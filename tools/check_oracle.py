@@ -313,6 +313,25 @@ _CTE_HEAD = re.compile(
 )
 
 
+def _skip_ws_comments(sql: str, i: int) -> int:
+    """Index of the first char at/after i that is neither whitespace
+    nor inside a ``--`` line comment. The inter-CTE gaps in the big
+    oracles carry explanatory comments (e.g. doc_containment's), and
+    treating them as 'not a WITH chain' silently sent exactly the
+    heavy MATERIALIZED oracles the temp-table path exists for back to
+    the monolithic statement (ADVICE r9)."""
+    n = len(sql)
+    while i < n:
+        if sql[i] in " \t\r\n":
+            i += 1
+        elif sql[i] == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        else:
+            break
+    return i
+
+
 def _split_ctes(sql: str):
     """Mechanically split a single top-level ``WITH name AS [...] (...)
     , ... <final query>`` chain into ([(name, body)], final_query), or
@@ -327,7 +346,7 @@ def _split_ctes(sql: str):
     i = m.end()
     ctes = []
     while True:
-        h = _CTE_HEAD.match(sql, i)
+        h = _CTE_HEAD.match(sql, _skip_ws_comments(sql, i))
         if not h:
             return None
         if h.group(2):  # explicit column list — only the recursive
@@ -338,9 +357,7 @@ def _split_ctes(sql: str):
         except ValueError:
             return None
         ctes.append((h.group(1), sql[lpar + 1 : end - 1]))
-        j = end
-        while j < len(sql) and sql[j] in " \t\r\n":
-            j += 1
+        j = _skip_ws_comments(sql, end)
         if j < len(sql) and sql[j] == ",":
             i = j + 1
             continue
@@ -483,6 +500,16 @@ def main() -> int:
                 digest = None
                 if len(re.findall(r"\bAS\s+MATERIALIZED\b", osql, re.I)) >= _SCRIPT_CTE_MIN:
                     digest = _duck_digest_script(con, osql)
+                    if digest is None:
+                        # visible, not silent: a MATERIALIZED oracle
+                        # that _split_ctes can't parse runs monolithic
+                        # — exactly the statements the temp-table path
+                        # exists for (ADVICE r9)
+                        print(
+                            f"  NOTE {name}: MATERIALIZED oracle fell "
+                            f"back to the monolithic single-statement "
+                            f"path (_split_ctes returned None)"
+                        )
                 o_n, o_a, o_b, o_cols = digest or _duck_digest(con, osql)
             else:
                 odf = con.execute(oracles[name]).fetchdf()
