@@ -988,13 +988,19 @@ def _colocated_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         li_t, ord_t = f"blj_li_{h}", f"blj_ord_{h}"
         layout.save_colocated(
             _t(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice", "l_discount"
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
             ),
             li_t,
             "l_orderkey",
         )
         layout.save_colocated(
-            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            ),
             ord_t,
             "o_orderkey",
         )
@@ -1026,6 +1032,45 @@ def q_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+def q_colocated_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 re-run on the bucketed layout — the second co-location win
+    (round 10). The l_orderkey bucketing removes BOTH heavy exchanges:
+    the 60M-row groupBy(l_orderkey) aggregates bucket-locally (the
+    bucketed scan already satisfies the hash distribution), and the
+    big-orders⋈orders join is bucket-aligned; only the having-collapsed
+    survivors meet customer (AQE broadcast at every sf that fits,
+    shuffle otherwise). Measured sf10: plain 4.4 s → 2.5 s, vs DuckDB
+    1.2 s = 2.15× — below the 2.6× parquet scan floor on this fixture
+    (BASELINE.md round 10). Values are layout-independent: the oracle
+    replays the plain q18 SQL. Plan-asserted exchange-free below the
+    aggregate in tests/test_layout.py."""
+    li_t, ord_t = _colocated_tables(spark, sf_dir)
+    from hippollm_spark.operators import layout
+
+    li = layout.read_colocated(spark, li_t)
+    orders = layout.read_colocated(spark, ord_t)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_e6(F.col("l_quantity"))).alias("_sq"))
+        .filter(F.col("_sq") > 300 * 1000000)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            _e6out(F.col("_sq")).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
     )
 
 
@@ -3672,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "tpch_rollup": q_tpch_rollup,
         "colocated_join": q_colocated_join,  # r9: bucketed fact-fact join
+        "colocated_q18": q_colocated_q18,  # r10: exchange-free agg+join
         "window_topk": q_window_topk,
         "quantiles": q_quantiles,
         "asof_join": q_asof_join,
@@ -5432,6 +5478,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "colocated_q18": """
+            -- layout-independent values: the bucketed exchange-free
+            -- plan must equal the plain q18 bit-for-bit
+            WITH big AS (
+                SELECT l_orderkey,
+                       sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS sq
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) > 300000000
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   floor(sq::DOUBLE / 1000000.0 * 100.0 + 0.5) / 100.0 AS sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "tpch_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -15,6 +15,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # --------------------------------------------------------------------------
@@ -42,16 +43,33 @@ def new_entities_only(
     Which duplicate survives is RERUN-DETERMINISTIC: pass ``order_col``
     (an explicit sequence column — the faithful "first occurrence"
     when the caller has one); otherwise the tie-break orders on every
-    other column ascending (nulls first), so the survivor depends only
-    on row CONTENT, never on file/partition layout. (The previous
-    ``monotonically_increasing_id()`` tie-break changed winners under
-    repartitioning — same defect class as the ORDER-less ``limit()``
-    the round-7 sweep caught in emb_quantize.)"""
+    other ORDERABLE column ascending (nulls first), so the survivor
+    depends only on row CONTENT, never on file/partition layout. (The
+    previous ``monotonically_increasing_id()`` tie-break changed
+    winners under repartitioning — same defect class as the ORDER-less
+    ``limit()`` the round-7 sweep caught in emb_quantize.)
+
+    Unorderable columns (maps, or structs/arrays containing them) are
+    skipped from the content tie-break — Window.orderBy would throw on
+    them — so two rows identical on every orderable column but
+    differing in a map payload are interchangeable; thread an explicit
+    ``order_col`` when that distinction matters (ADVICE r9)."""
     if order_col is not None:
         order = [F.col(order_col).asc()]
     else:
+        def _orderable(dt) -> bool:
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
         order = [
-            F.col(c).asc_nulls_first() for c in new.columns if c != "name"
+            F.col(f.name).asc_nulls_first()
+            for f in new.schema.fields
+            if f.name != "name" and _orderable(f.dataType)
         ] or [F.lit(1)]
     w = Window.partitionBy("name").orderBy(*order)
     deduped = (
@@ -190,6 +208,7 @@ def add_entities(
     new: DataFrame,
     embed=None,
     embed_partitions: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """M1 batch — guarded insert of new (name, description) rows with
     embeddings of ``"name (description)"`` (reference storage.py:183-199
@@ -201,8 +220,13 @@ def add_entities(
     catastrophic for the downstream per-row model inference, which then
     runs on one core (measured 6× on 15k rows). Byte-based partition
     sizing is blind to compute-heavy columns-to-come; set this to
-    ~2× total cores whenever ``embed`` is a real model stage."""
-    fresh = new_entities_only(new, entities)
+    ~2× total cores whenever ``embed`` is a real model stage.
+
+    ``order_col`` threads through to the upsert guard: pass the
+    batch's sequence column when the ingest order is meaningful (the
+    reference's serial loop keeps the FIRST occurrence); without it
+    the guard falls back to the content tie-break."""
+    fresh = new_entities_only(new, entities, order_col=order_col)
     if embed is not None:
         if embed_partitions:
             fresh = fresh.repartition(embed_partitions)

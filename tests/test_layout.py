@@ -283,3 +283,51 @@ def test_colocated_join_requires_table_read(spark):
     plan = _executed(j)
     assert plan.count("Exchange") >= 1
     assert li.count() == raw.count()
+
+
+def test_bucketed_groupby_on_bucket_key_is_exchange_free(spark):
+    """The round-10 q18 shape: a groupBy on the bucket key aggregates
+    bucket-locally — the bucketed scan's hash distribution already
+    satisfies the aggregation's clustering, so there is NO Exchange
+    between the scan and the (partial+final) HashAggregates, and the
+    subsequent join to the other co-located table is bucket-aligned.
+    With broadcast disabled (the 100-TB posture) the whole
+    scan→agg→filter→join pipeline plans with zero shuffle."""
+    from hippollm_spark.operators import layout
+
+    li = spark.read.parquet(f"{SF_COLOC}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_COLOC}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    layout.save_colocated(li, "t_layout_li18", "l_orderkey", n_buckets=8)
+    layout.save_colocated(orders, "t_layout_ord18", "o_orderkey", n_buckets=8)
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = (
+            spark.table("t_layout_li18")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sq"))
+            .filter(F.col("sq") > 100)
+        )
+        j = spark.table("t_layout_ord18").join(
+            big, F.col("o_orderkey") == big.l_orderkey
+        )
+        plan = _executed(j)
+        assert "Exchange" not in plan, plan[:3000]
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    # value parity vs the plain (shuffling) plan
+    plain = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 100)
+    )
+    pj = orders.join(plain, F.col("o_orderkey") == plain.l_orderkey)
+    got = sorted(tuple(r) for r in j.collect())
+    want = sorted(tuple(r) for r in pj.collect())
+    assert got == want and len(got) > 0

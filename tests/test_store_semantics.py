@@ -253,3 +253,25 @@ def test_indexed_knn_preserves_column_order(spark):
         store.get_closest_facts(qv, k=2, use_index=True).columns
         == store.get_closest_facts(qv, k=2).columns
     )
+
+
+def test_new_entities_only_skips_unorderable_columns(store_tables, spark):
+    """A map-typed payload column must not break the content tie-break
+    (Window.orderBy throws on MapType — ADVICE r9): the guard orders
+    on the orderable columns only and still dedups per name."""
+    ents = store_tables["entities"]
+    rows = [
+        ("Berlin", "aaa", {"k": "1"}),
+        ("Berlin", "zzz", {"k": "2"}),
+        ("Bonn", "on the Rhine", {"k": "3"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, description string, props map<string,string>"
+    )
+    out = {
+        r["name"]: r["description"]
+        for r in relational.new_entities_only(df.repartition(5), ents).collect()
+    }
+    assert set(out) == {"Berlin", "Bonn"}
+    # deterministic via the orderable description column
+    assert out["Berlin"] == "aaa"
