@@ -443,7 +443,14 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share (Q8): NATION_8's share of supply revenue
     to ASIA customers per order year. Share = ratio of two exact
-    DECIMAL sums, divided in DOUBLE (identical on both engines)."""
+    DECIMAL sums, divided in DOUBLE (identical on both engines).
+
+    Join order (round 10, q5's pattern): the customer/ASIA semi-join
+    reduces ORDERS first — the date window keeps ~30% and ASIA ~20% of
+    orders, so the 60M-row lineitem join shuffles a ~5x smaller right
+    side. Catalyst cannot derive this reorder without stats (the
+    reduction runs through a semi-join arm). Interleaved same-minute
+    A/B at sf10: 4.42 s -> 3.94 s median (BASELINE.md round 10)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -461,10 +468,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    base = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    ord_arm = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
+    )
+    base = (
+        li.join(ord_arm, li.l_orderkey == ord_arm.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
     )

@@ -46,6 +46,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("hippollm_spark_bench")
+    # The driver records a tail of this process's output; the
+    # unpersist isolation below otherwise floods it with thousands of
+    # "RDD was locally checkpointed" WARN lines (BENCH_r09's tail was
+    # 100% that noise). Errors still surface.
+    spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
     # Warmup pass: JVM JIT, whole-stage codegen, and python-worker
