@@ -992,9 +992,13 @@ def _colocated_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
         from hippollm_spark.operators import layout
 
-        h = _hl.md5(
-            f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
-        ).hexdigest()[:12]
+        # Table names are keyed on sf_dir ONLY (not applicationId):
+        # save_colocated drops-and-rewrites, so a stale table from an
+        # earlier session is impossible, and the old per-appId names
+        # leaked one orphaned warehouse dir per session (42 found in
+        # round 10). The session memo above still makes the build
+        # once-per-session.
+        h = _hl.md5(sf_dir.encode()).hexdigest()[:12]
         li_t, ord_t = f"blj_li_{h}", f"blj_ord_{h}"
         layout.save_colocated(
             _t(spark, sf_dir, "lineitem").select(
