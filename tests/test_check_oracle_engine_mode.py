@@ -174,3 +174,33 @@ def test_engine_digest_empty_result(spark):
     s = _spark_digest(sdf)
     o = _duck_digest(con, "SELECT 1::BIGINT AS i, 'x' AS s WHERE FALSE")
     assert s == o == (0, 0, 0, ["i", "s"])
+
+
+def test_split_ctes_tolerates_inter_cte_comments():
+    """ADVICE r9: a -- comment between a CTE's closing paren/comma and
+    the next CTE head must not knock the statement back to the
+    monolithic path — exactly the big MATERIALIZED oracles the
+    temp-table spill fix targets carry such comments."""
+    from check_oracle import _split_ctes
+
+    sql = """
+        WITH a AS MATERIALIZED (SELECT 1 AS x),
+        -- comment between comma and next head
+        b AS MATERIALIZED (
+            SELECT x + 1 AS y FROM a  -- trailing body comment
+        )
+        -- comment before the comma itself
+        , c AS (SELECT * FROM b)
+        SELECT * FROM c
+    """
+    parsed = _split_ctes(sql)
+    assert parsed is not None
+    ctes, final = parsed
+    assert [n for n, _ in ctes] == ["a", "b", "c"]
+    assert final.strip().startswith("SELECT * FROM c")
+
+    # and the real heavy oracle that motivated the fix splits too
+    import __spark_entry__ as entry
+
+    parsed2 = _split_ctes(entry.oracle_sql()["doc_containment"])
+    assert parsed2 is not None and len(parsed2[0]) >= 3
