@@ -997,7 +997,11 @@ def _colocated_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         # earlier session is impossible, and the old per-appId names
         # leaked one orphaned warehouse dir per session (42 found in
         # round 10). The session memo above still makes the build
-        # once-per-session.
+        # once-per-session. Trade-off: two PROCESSES hitting the same
+        # sf_dir concurrently would race on the drop/rewrite — the
+        # driver and all repo tooling run sweeps sequentially; a
+        # deployment wanting concurrency would write the layout once
+        # at ingest, not lazily here.
         h = _hl.md5(sf_dir.encode()).hexdigest()[:12]
         li_t, ord_t = f"blj_li_{h}", f"blj_ord_{h}"
         layout.save_colocated(
