@@ -124,9 +124,11 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.path.dirname(_os.path.abspath(__file__)),
             "spark-warehouse",
             "_cooc_cache",
-            _hl.md5(
-                f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
-            ).hexdigest()[:16],
+            # sf_dir-keyed (NOT per-appId): overwrite-on-rebuild makes
+            # staleness impossible and per-session names leaked one
+            # scratch dir per process (69 dirs / 17 GB found in r10);
+            # single-writer assumption as for the co-located tables.
+            _hl.md5(sf_dir.encode()).hexdigest()[:16],
         )
         cooccurrence(_edges(spark, sf_dir)).write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
@@ -161,9 +163,11 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.path.dirname(_os.path.abspath(__file__)),
             "spark-warehouse",
             "_kmeans_cache",
-            _hl.md5(
-                f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
-            ).hexdigest()[:16],
+            # sf_dir-keyed (NOT per-appId): overwrite-on-rebuild makes
+            # staleness impossible and per-session names leaked one
+            # scratch dir per process (69 dirs / 17 GB found in r10);
+            # single-writer assumption as for the co-located tables.
+            _hl.md5(sf_dir.encode()).hexdigest()[:16],
         )
         emb = _t(spark, sf_dir, "embeddings")
         _cents, assigned = kmeans_fit(emb, k=8, iterations=3, method="pandas")

@@ -31,6 +31,18 @@ from pyspark.sql import Window
 # withheld. ~2M rows of (vertex, long) is tens of MB serialized.
 _BROADCAST_STATE_MAX = 2_000_000
 
+# triangle_stats broadcast-adjacency gates: the integer-encoded
+# out-adjacency (one int per edge, grouped into per-vertex arrays) is
+# broadcast twice; 20M ints ≈ 80 MB payload — comfortably inside a
+# 4 GB executor. The intersect path only ENGAGES when the wedge set is
+# the hazard (raw Σ C(deg,2) above _WEDGE_MATERIALIZE_MAX — ~150M
+# wedge rows ≈ 10 GB of string-pair shuffle); below that the wedge
+# join is cheaper than the intersect path's per-edge array hashing
+# (measured sf0.1: 0.7 s wedge join vs 3.9 s intersect; sf1: wedge
+# join DIED on disk at 3.0B wedges, intersect finishes).
+_INTERSECT_EDGE_MAX = 20_000_000
+_WEDGE_MATERIALIZE_MAX = 150_000_000
+
 
 def _bc(df: DataFrame, n: int) -> DataFrame:
     """Broadcast hint gated on a row-count BOUND for the frame being
@@ -627,6 +639,24 @@ def triangle_stats(
     and no duplicate blowup. Wedges = Σ C(deg,2) in exact integers;
     clustering = 3·triangles / wedges is the only double op, rounded
     to 6dp.
+
+    STRATEGY (round 10): on a DENSE vocab-bounded graph the oriented
+    wedge set itself is the killer — the sf1 co-occurrence projection
+    has only 25k vertices but 11.7M edges and 3.0 BILLION oriented
+    wedges, whose string-pair shuffle (~200 GB) filled the disk. When
+    the graph is small enough to hold its out-adjacency in a broadcast
+    (edge count ≤ _INTERSECT_EDGE_MAX and vertex count ≤
+    _BROADCAST_STATE_MAX), triangles are counted WITHOUT materializing
+    any wedge: per oriented edge (u,v), |N⁺(u) ∩ N⁺(v)| via
+    array_intersect over integer-encoded broadcast adjacency — each
+    triangle has exactly one source vertex with two out-edges, so the
+    sum counts each once. Zero wedge shuffle; compute is
+    Σ_e(|N⁺(u)|+|N⁺(v)|) ≤ 2·m·O(√m) hashed-int ops, JVM-side.
+    Entity co-occurrence graphs are precisely this shape (the vertex
+    set is the vocabulary — it grows far slower than the corpus).
+    Past the gate, the general degree-oriented wedge join runs — the
+    scale-safe m^1.5 path for graphs whose adjacency exceeds one
+    executor's memory.
     """
     a, b = F.col(src_col), F.col(dst_col)
     canon = (
@@ -645,10 +675,20 @@ def triangle_stats(
         .union(canon.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
+        .cache()
+        # ^ one row per vertex: consumed by the strategy-gate job below
+        #   AND the orientation joins — without the pin the gate job
+        #   recomputes it from canon and costs ~1 s at sf0.1
     )
-    wedges = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
-    )
+    # one tiny job decides the strategy AND yields the wedge scalar
+    # (deg is derived from the cached canon): n_vertices, edge count
+    # (Σd/2), and raw wedges Σ C(d,2).
+    gstats = deg.agg(
+        F.count("*").alias("nv"),
+        (F.sum("d") / 2).cast("long").alias("m"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w"),
+    ).first()
+    n_wedges = int(gstats["w"] or 0)
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     lower_first = (F.col("da") < F.col("db")) | (
@@ -662,25 +702,78 @@ def triangle_stats(
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     ).cache()
-    x = oriented.alias("x")
-    y = oriented.alias("y")
-    wedge_pairs = (
-        x.join(y, F.col("x.src") == F.col("y.src"))
-        .filter(F.col("x.dst") < F.col("y.dst"))
-        .select(
-            F.col("x.dst").alias("a"), F.col("y.dst").alias("b")
+    if (
+        n_wedges > _WEDGE_MATERIALIZE_MAX
+        and int(gstats["m"] or 0) <= _INTERSECT_EDGE_MAX
+        and int(gstats["nv"] or 0) <= _BROADCAST_STATE_MAX
+    ):
+        # broadcast-adjacency intersection: no wedge row ever exists.
+        # Vertices are int-encoded first (deterministic: row_number
+        # over the sorted vertex set — single-partition window, gated
+        # ≤ 2M rows) so the broadcast arrays carry 4-byte ints, not
+        # strings.
+        ids = deg.select("v").withColumn(
+            "vid", F.row_number().over(Window.orderBy("v"))
         )
-    )
-    tri = wedge_pairs.join(canon, ["a", "b"], "left_semi").agg(
-        F.count("*").alias("n_triangles")
-    )
-    return tri.crossJoin(F.broadcast(wedges)).select(
+        enc = (
+            oriented.join(
+                F.broadcast(
+                    ids.select(F.col("v").alias("src"), F.col("vid").alias("sid"))
+                ),
+                "src",
+            )
+            .join(
+                F.broadcast(
+                    ids.select(F.col("v").alias("dst"), F.col("vid").alias("did"))
+                ),
+                "dst",
+            )
+            .select("sid", "did")
+        )
+        adj = enc.groupBy("sid").agg(F.collect_list("did").alias("nbrs"))
+        per_edge = (
+            enc.join(
+                F.broadcast(
+                    adj.select(F.col("sid").alias("_u"), F.col("nbrs").alias("nu"))
+                ),
+                enc.sid == F.col("_u"),
+            )
+            .join(
+                F.broadcast(
+                    adj.select(F.col("sid").alias("_v"), F.col("nbrs").alias("nv"))
+                ),
+                enc.did == F.col("_v"),
+                "left",
+            )
+            .select(
+                F.when(F.col("nv").isNull(), F.lit(0))
+                .otherwise(F.size(F.array_intersect(F.col("nu"), F.col("nv"))))
+                .alias("t")
+            )
+        )
+        tri = per_edge.agg(
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
+        )
+    else:
+        x = oriented.alias("x")
+        y = oriented.alias("y")
+        wedge_pairs = (
+            x.join(y, F.col("x.src") == F.col("y.src"))
+            .filter(F.col("x.dst") < F.col("y.dst"))
+            .select(
+                F.col("x.dst").alias("a"), F.col("y.dst").alias("b")
+            )
+        )
+        tri = wedge_pairs.join(canon, ["a", "b"], "left_semi").agg(
+            F.count("*").alias("n_triangles")
+        )
+    return tri.select(
         "n_triangles",
-        "n_wedges",
+        F.lit(n_wedges).cast("long").alias("n_wedges"),
         F.round(
             F.lit(3.0)
             * F.col("n_triangles")
-            / F.greatest(F.col("n_wedges"), F.lit(1)),
+            / F.lit(float(max(n_wedges, 1))),
             6,
         ).alias("clustering"),
     )

@@ -285,3 +285,36 @@ def test_random_walks_deterministic_and_valid(spark):
     assert a == b
     c = sorted(map(tuple, random_walks(df, 2, 3, salt="other").collect()))
     assert c != a
+
+
+def test_triangle_stats_paths_agree(spark, monkeypatch):
+    """The round-10 broadcast-adjacency intersect path and the general
+    wedge-join path must count identically on a random-ish graph
+    (deterministic congruential edges, includes hubs and duplicates) —
+    and the hand-computed cases above must hold on BOTH paths."""
+    import random
+
+    rng = random.Random(42)
+    edge_list = [
+        (f"v{rng.randrange(40)}", f"v{rng.randrange(40)}") for _ in range(600)
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    wedge_path = graph.triangle_stats(df).collect()[0]
+    # forcing the wedge-materialization gate to 0 engages the
+    # broadcast-adjacency intersect path on the same graph
+    monkeypatch.setattr(graph, "_WEDGE_MATERIALIZE_MAX", 0)
+    intersect_path = graph.triangle_stats(df).collect()[0]
+    assert (wedge_path["n_triangles"], wedge_path["n_wedges"]) == (
+        intersect_path["n_triangles"],
+        intersect_path["n_wedges"],
+    )
+    assert wedge_path["n_triangles"] > 0
+
+    # K4 + pendant on the intersect path too (the gate monkeypatch is
+    # still active): same expected values as the default-path test.
+    k4 = [
+        ("A", "B"), ("B", "C"), ("C", "A"), ("A", "D"), ("B", "D"),
+        ("D", "C"), ("E", "A"), ("A", "E"), ("B", "A"),
+    ]
+    row = graph.triangle_stats(spark.createDataFrame(k4, ["src", "dst"])).collect()[0]
+    assert row["n_triangles"] == 4 and row["n_wedges"] == 15
