@@ -93,6 +93,51 @@ _EDGES_SQL = """
 """
 
 
+def _cc_minlabel_oracle(rounds: int = 16) -> str:
+    """Connected-components oracle as UNROLLED min-label propagation
+    with path-halving — O(E) per round, O(V) state per round — built
+    for both `graph_components` twins.
+
+    The previous WITH RECURSIVE transitive closure was O(V²): at sf1
+    the (near-)single-component 25k-vertex co-occurrence graph made
+    `reach` ~625M rows and OOM-killed DuckDB at its 48 GB cap (round-10
+    sf1 sweep). Per round r: hop h_r(v) = min label among v's
+    neighbourhood (ee keeps self-pairs, so v's own label rides along),
+    then jump j_r(v) = h_r(h_r(v)) (labels are always vertex names of
+    the same component, so the composition is defined and monotone).
+    Hop+jump doubles the covered radius per round → 16 rounds converge
+    for any component diameter ≤ 2^16; every CTE is MATERIALIZED so
+    the engine-mode temp-table path executes it with real stats. The
+    oracle equality against the Spark fixpoint (which iterates to
+    convergence) also certifies the unrolling converged at each tested
+    sf."""
+    ctes = [
+        f"WITH base AS MATERIALIZED ({_EDGES_SQL})",
+        "ee AS MATERIALIZED (SELECT DISTINCT a.entity AS ea,"
+        " b.entity AS eb FROM base a JOIN base b ON a.fact_id = b.fact_id)",
+        "l0 AS MATERIALIZED (SELECT ea AS v, min(eb) AS l FROM ee GROUP BY ea)",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"h{r} AS MATERIALIZED (SELECT e.ea AS v, min(l.l) AS l"
+            f" FROM ee e JOIN {prev} l ON e.eb = l.v GROUP BY e.ea)"
+        )
+        ctes.append(
+            f"j{r} AS MATERIALIZED (SELECT a.v AS v, b.l AS l"
+            f" FROM h{r} a JOIN h{r} b ON a.l = b.v)"
+        )
+        prev = f"j{r}"
+    return (
+        ",\n            ".join(ctes)
+        + f"""
+            SELECT l AS component_root, count(*) AS n_entities
+            FROM {prev} GROUP BY l
+            ORDER BY n_entities DESC, component_root
+        """
+    )
+
+
 
 _COOC_MEMO: dict[tuple[str, str], DataFrame] = {}
 
@@ -1301,9 +1346,10 @@ def q_g2_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the entity graph (hash-min label
     propagation), one row per component keyed by its lexicographically
-    smallest member — oracle-checked against a DuckDB recursive-CTE
-    transitive closure (feasible because the entity vocabulary is small;
-    the Spark side scales to graphs where a closure never would)."""
+    smallest member — oracle-checked against a DuckDB unrolled
+    min-label/path-halving chain (r10: the earlier recursive-CTE
+    transitive closure was O(V²) and OOMed DuckDB on the dense sf1
+    graph; the unrolled form is O(E) per round like the Spark side)."""
     from hippollm_spark.operators.graph import connected_components
 
     cc = connected_components(_edges(spark, sf_dir), max_iter=15)
@@ -6003,38 +6049,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem)
             GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
         """,
-        "graph_components": f"""
-            WITH RECURSIVE base AS ({_EDGES_SQL}),
-            ee AS (
-                SELECT DISTINCT a.entity AS ea, b.entity AS eb
-                FROM base a JOIN base b ON a.fact_id = b.fact_id
-            ),
-            reach(a, b) AS (
-                SELECT ea, eb FROM ee
-                UNION
-                SELECT r.a, e.eb FROM reach r JOIN ee e ON r.b = e.ea
-            ),
-            comp AS (SELECT a AS entity, min(b) AS root FROM reach GROUP BY a)
-            SELECT root AS component_root, count(*) AS n_entities
-            FROM comp GROUP BY root
-            ORDER BY n_entities DESC, component_root
-        """,
-        "graph_components_star": f"""
-            WITH RECURSIVE base AS ({_EDGES_SQL}),
-            ee AS (
-                SELECT DISTINCT a.entity AS ea, b.entity AS eb
-                FROM base a JOIN base b ON a.fact_id = b.fact_id
-            ),
-            reach(a, b) AS (
-                SELECT ea, eb FROM ee
-                UNION
-                SELECT r.a, e.eb FROM reach r JOIN ee e ON r.b = e.ea
-            ),
-            comp AS (SELECT a AS entity, min(b) AS root FROM reach GROUP BY a)
-            SELECT root AS component_root, count(*) AS n_entities
-            FROM comp GROUP BY root
-            ORDER BY n_entities DESC, component_root
-        """,
+        "graph_components": _cc_minlabel_oracle(),
+        "graph_components_star": _cc_minlabel_oracle(),
         "dedup_simhash": f"""
             WITH toks AS (
                 SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
