@@ -33,18 +33,19 @@ _BROADCAST_STATE_MAX = 2_000_000
 
 # triangle_stats broadcast-adjacency gates: the integer-encoded
 # out-adjacency (one int per edge, grouped into per-vertex arrays) is
-# broadcast twice; 64M ints ≈ 256 MB raw payload (~2x with array
-# overhead) — sized for this box's 128 GiB JVM and the sf3 graph
-# (35.7M edges / 38.3B wedges, which would otherwise fall back to a
-# certain-death wedge shuffle); a small-executor cluster deployment
-# dials this down to its per-executor budget. The intersect path only
+# broadcast twice; 150M ints ≈ 600 MB raw payload (~2x with array
+# overhead) — sized for this box's 128 GiB JVM and the sf10 graph
+# (119.7M edges / 129.5B wedges, which would otherwise fall back to a
+# certain-death wedge shuffle; sf3 is 35.7M edges / 38.3B wedges); a
+# small-executor cluster deployment dials this down to its
+# per-executor budget. The intersect path only
 # ENGAGES when the wedge set is the hazard (raw Σ C(deg,2) above
 # _WEDGE_MATERIALIZE_MAX — ~150M wedge rows ≈ 10 GB of string-pair
 # shuffle); below that the wedge join is cheaper than the intersect
 # path's per-edge array hashing (measured sf0.1: 0.7 s wedge join vs
 # 3.9 s intersect; sf1: wedge join DIED on disk at 3.0B wedges,
 # intersect finishes in 46 s).
-_INTERSECT_EDGE_MAX = 64_000_000
+_INTERSECT_EDGE_MAX = 150_000_000
 _WEDGE_MATERIALIZE_MAX = 150_000_000
 
 
