@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from .ranks import distributed_rank
+
 # A loop state table at or below this row count is broadcast into the
 # per-round joins (checkpoint leaves have no size statistics, so the
 # planner would otherwise exchange the big cached edge list every
@@ -31,22 +33,28 @@ from pyspark.sql import Window
 # withheld. ~2M rows of (vertex, long) is tens of MB serialized.
 _BROADCAST_STATE_MAX = 2_000_000
 
-# triangle_stats broadcast-adjacency gates: the integer-encoded
-# out-adjacency (one int per edge, grouped into per-vertex arrays) is
-# broadcast twice; 150M ints ≈ 600 MB raw payload (~2x with array
-# overhead) — sized for this box's 128 GiB JVM and the sf10 graph
-# (119.7M edges / 129.5B wedges, which would otherwise fall back to a
-# certain-death wedge shuffle; sf3 is 35.7M edges / 38.3B wedges); a
-# small-executor cluster deployment dials this down to its
-# per-executor budget. The intersect path only
+# triangle_stats broadcast-adjacency gates (round 11: no longer a
+# box-sized constant — ADVICE r10). The integer-encoded out-adjacency
+# (one entry per edge, grouped into per-vertex arrays) is broadcast
+# twice; its per-executor memory cost is ~_ADJ_BYTES_PER_EDGE bytes
+# per edge across the serialized torrent blocks and the deserialized
+# array relation. The edge gate is therefore DERIVED from the actual
+# JVM heap at call time (`_intersect_edge_gate`: ≤ _ADJ_HEAP_FRACTION
+# of executor memory; ≈160M edges on this box's 48g driver heap —
+# admits the measured-green sf10 graph at 119.7M edges / 129.5B
+# wedges), overridable per call (`intersect_edge_max=`) or per session
+# (`spark.hippollm.triangles.intersectEdgeMax`). The constant below is
+# only the fallback when heap detection fails. The intersect path only
 # ENGAGES when the wedge set is the hazard (raw Σ C(deg,2) above
-# _WEDGE_MATERIALIZE_MAX — ~150M wedge rows ≈ 10 GB of string-pair
+# the wedge gate — ~150M wedge rows ≈ 10 GB of string-pair
 # shuffle); below that the wedge join is cheaper than the intersect
 # path's per-edge array hashing (measured sf0.1: 0.7 s wedge join vs
 # 3.9 s intersect; sf1: wedge join DIED on disk at 3.0B wedges,
 # intersect finishes in 46 s).
 _INTERSECT_EDGE_MAX = 150_000_000
 _WEDGE_MATERIALIZE_MAX = 150_000_000
+_ADJ_BYTES_PER_EDGE = 64
+_ADJ_HEAP_FRACTION = 0.20
 
 
 def _bc(df: DataFrame, n: int) -> DataFrame:
@@ -57,6 +65,54 @@ def _bc(df: DataFrame, n: int) -> DataFrame:
     edge count — because an explicit hint bypasses
     autoBroadcastJoinThreshold entirely."""
     return F.broadcast(df) if n <= _BROADCAST_STATE_MAX else df
+
+
+_MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_jvm_mem(s: str) -> int | None:
+    """Parse a JVM memory string ('48g', '512m', '2048'→bytes)."""
+    s = s.strip().lower()
+    if s.endswith("b") and len(s) > 1 and s[-2] in _MEM_UNITS:
+        s = s[:-1]
+    try:
+        if s and s[-1] in _MEM_UNITS:
+            return int(float(s[:-1]) * _MEM_UNITS[s[-1]])
+        return int(s)
+    except ValueError:
+        return None
+
+
+def _jvm_heap_bytes(spark) -> int | None:
+    """Heap of the JVM that will HOST the adjacency broadcast: in
+    local mode the driver JVM is the executor, so Runtime.maxMemory()
+    is exact; on a cluster the broadcast is consumed executor-side, so
+    ``spark.executor.memory`` governs. None when neither is knowable
+    (callers fall back to the conservative constant)."""
+    sc = spark.sparkContext
+    conf = sc.getConf()
+    if conf.get("spark.master", "").startswith("local"):
+        try:
+            return int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        except Exception:  # pragma: no cover - py4j hiccup
+            pass
+    mem = conf.get("spark.executor.memory", None)
+    return _parse_jvm_mem(mem) if mem else None
+
+
+def _intersect_edge_gate(spark) -> int:
+    """Max edge count admitted to the broadcast-adjacency triangle
+    path: ≤ `_ADJ_HEAP_FRACTION` of the hosting JVM's heap at
+    `_ADJ_BYTES_PER_EDGE` bytes/edge (two broadcast copies + the
+    deserialized array relation). Session override:
+    ``spark.hippollm.triangles.intersectEdgeMax``."""
+    conf_v = spark.conf.get("spark.hippollm.triangles.intersectEdgeMax", None)
+    if conf_v is not None:
+        return int(conf_v)
+    heap = _jvm_heap_bytes(spark)
+    if heap is None:
+        return _INTERSECT_EDGE_MAX
+    return int(heap * _ADJ_HEAP_FRACTION / _ADJ_BYTES_PER_EDGE)
 
 
 # _loop_tuning mutates two SESSION-global confs; the lock + PER-SESSION
@@ -628,7 +684,13 @@ def pagerank(
 
 
 def triangle_stats(
-    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    intersect_edge_max: int | None = None,
+    broadcast_state_max: int | None = None,
+    wedge_materialize_max: int | None = None,
 ) -> DataFrame:
     """Global triangle count, wedge count, and clustering coefficient
     of an undirected graph — one row.
@@ -662,7 +724,36 @@ def triangle_stats(
     Past the gate, the general degree-oriented wedge join runs — the
     scale-safe m^1.5 path for graphs whose adjacency exceeds one
     executor's memory.
+
+    EAGER (round 11, ADVICE r10): this operator EXECUTES at call time
+    — a small stats job picks the strategy, then the census itself
+    runs and the one-row result is sealed (`_seal`: eager
+    localCheckpoint + unpersist of every internal cache pin). The
+    returned DataFrame is a consistent SNAPSHOT of the input as of the
+    call — n_triangles and n_wedges come from the same cached edge
+    canonicalization — and leaves no storage pinned behind, so
+    repeated library calls don't accumulate executor memory. Gates:
+    keyword args > `spark.hippollm.triangles.{intersectEdgeMax,
+    broadcastStateMax,wedgeMaterializeMax}` conf > heap-derived /
+    module defaults (see `_intersect_edge_gate`).
     """
+    spark = edges.sparkSession
+    if intersect_edge_max is None:
+        intersect_edge_max = _intersect_edge_gate(spark)
+    if broadcast_state_max is None:
+        broadcast_state_max = int(
+            spark.conf.get(
+                "spark.hippollm.triangles.broadcastStateMax",
+                str(_BROADCAST_STATE_MAX),
+            )
+        )
+    if wedge_materialize_max is None:
+        wedge_materialize_max = int(
+            spark.conf.get(
+                "spark.hippollm.triangles.wedgeMaterializeMax",
+                str(_WEDGE_MATERIALIZE_MAX),
+            )
+        )
     a, b = F.col(src_col), F.col(dst_col)
     canon = (
         edges.select(
@@ -672,8 +763,7 @@ def triangle_stats(
         .distinct()
         .cache()
         # ^ consumed by deg, the wedge join, and the closing semi-join:
-        #   inline pipelined materialization; session-scoped pin, released
-        #   by the caller's clearCache (bench.py does so between queries)
+        #   inline pipelined materialization; released by _seal at exit
     )
     deg = (
         canon.select(F.col("a").alias("v"))
@@ -708,17 +798,18 @@ def triangle_stats(
         )
     ).cache()
     if (
-        n_wedges > _WEDGE_MATERIALIZE_MAX
-        and int(gstats["m"] or 0) <= _INTERSECT_EDGE_MAX
-        and int(gstats["nv"] or 0) <= _BROADCAST_STATE_MAX
+        n_wedges > wedge_materialize_max
+        and int(gstats["m"] or 0) <= intersect_edge_max
+        and int(gstats["nv"] or 0) <= broadcast_state_max
     ):
         # broadcast-adjacency intersection: no wedge row ever exists.
-        # Vertices are int-encoded first (deterministic: row_number
-        # over the sorted vertex set — single-partition window, gated
-        # ≤ 2M rows) so the broadcast arrays carry 4-byte ints, not
-        # strings.
-        ids = deg.select("v").withColumn(
-            "vid", F.row_number().over(Window.orderBy("v"))
+        # Vertices are int-encoded first (deterministic: rank over the
+        # sorted vertex set via distributed_rank — a sampled range
+        # exchange + per-partition windows, no single-task global
+        # sort; round 11, VERDICT r10 #4) so the broadcast arrays
+        # carry fixed-width ints, not strings.
+        ids = distributed_rank(deg.select("v"), ["v"], rank_col="vid").withColumn(
+            "vid", F.col("vid").cast("int")  # nv gated ≤ ~2M: 4-byte ids
         )
         enc = (
             oriented.join(
@@ -772,15 +863,22 @@ def triangle_stats(
         tri = wedge_pairs.join(canon, ["a", "b"], "left_semi").agg(
             F.count("*").alias("n_triangles")
         )
-    return tri.select(
-        "n_triangles",
-        F.lit(n_wedges).cast("long").alias("n_wedges"),
-        F.round(
-            F.lit(3.0)
-            * F.col("n_triangles")
-            / F.lit(float(max(n_wedges, 1))),
-            6,
-        ).alias("clustering"),
+    # Seal: eagerly materialize the one-row census (this is where the
+    # triangle job actually runs) and release every internal pin —
+    # canon, deg, oriented — so library callers invoking triangle_stats
+    # repeatedly don't accumulate executor storage (ADVICE r10).
+    return _seal(
+        tri.select(
+            "n_triangles",
+            F.lit(n_wedges).cast("long").alias("n_wedges"),
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.lit(float(max(n_wedges, 1))),
+                6,
+            ).alias("clustering"),
+        ),
+        [canon, deg, oriented],
     )
 
 

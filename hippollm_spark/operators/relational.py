@@ -53,7 +53,10 @@ def new_entities_only(
     skipped from the content tie-break — Window.orderBy would throw on
     them — so two rows identical on every orderable column but
     differing in a map payload are interchangeable; thread an explicit
-    ``order_col`` when that distinction matters (ADVICE r9)."""
+    ``order_col`` when that distinction matters (ADVICE r9). If EVERY
+    non-name column is unorderable, the tie-break falls back to a
+    content hash of the row's canonical JSON form (ADVICE r10) — still
+    layout-independent, though hash-order rather than value-order."""
     if order_col is not None:
         order = [F.col(order_col).asc()]
     else:
@@ -70,7 +73,15 @@ def new_entities_only(
             F.col(f.name).asc_nulls_first()
             for f in new.schema.fields
             if f.name != "name" and _orderable(f.dataType)
-        ] or [F.lit(1)]
+        ] or [
+            # All-unorderable fallback (ADVICE r10): a constant here
+            # would make the survivor depend on partition layout. Hash
+            # the row's canonical JSON form instead — content-determined
+            # even when no column is directly orderable.
+            F.xxhash64(
+                F.to_json(F.struct(*[F.col(f.name) for f in new.schema.fields]))
+            ).asc()
+        ]
     w = Window.partitionBy("name").orderBy(*order)
     deduped = (
         new.withColumn("__rn__", F.row_number().over(w))

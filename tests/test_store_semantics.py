@@ -275,3 +275,32 @@ def test_new_entities_only_skips_unorderable_columns(store_tables, spark):
     assert set(out) == {"Berlin", "Bonn"}
     # deterministic via the orderable description column
     assert out["Berlin"] == "aaa"
+
+
+def test_new_entities_only_all_unorderable_content_hash(store_tables, spark):
+    """When EVERY non-name column is unorderable the guard must still
+    be layout-independent (ADVICE r10): it falls back to a content
+    hash of the row's JSON form, not a constant — so the same winner
+    survives under any repartitioning or input order."""
+    ents = store_tables["entities"]
+    rows = [
+        ("Berlin", {"k": "1", "v": "first"}),
+        ("Berlin", {"k": "2", "v": "second"}),
+        ("Berlin", {"k": "3", "v": "third"}),
+        ("Bonn", {"k": "4"}),
+    ]
+    base = spark.createDataFrame(rows, "name string, props map<string,string>")
+    winners = set()
+    for df in (
+        base,
+        base.repartition(7),
+        base.repartition(1),
+        spark.createDataFrame(list(reversed(rows)), base.schema).repartition(5),
+    ):
+        out = {
+            r["name"]: dict(r["props"])
+            for r in relational.new_entities_only(df, ents).collect()
+        }
+        assert set(out) == {"Berlin", "Bonn"}
+        winners.add(out["Berlin"]["k"])
+    assert len(winners) == 1  # same content-hash winner on every layout

@@ -6,7 +6,7 @@ Shapes measured (layout build EXCLUDED — paid once at write):
   B. orderkey layout — lineitem+orders bucketed on the order key:
        q18: groupBy(l_orderkey) runs exchange-free on the bucketed
             lineitem, the big-orders join to orders is bucket-aligned,
-            customer joins the having-collapsed残 rows (AQE).
+            customer joins the having-collapsed rows (AQE).
        q3:  bucketed li⋈orders exchange-free; filtered customer joins
             the reduced result (AQE).
   C. custkey layout — orders ALSO saved bucketed on o_custkey +
