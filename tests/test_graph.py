@@ -318,3 +318,54 @@ def test_triangle_stats_paths_agree(spark, monkeypatch):
     ]
     row = graph.triangle_stats(spark.createDataFrame(k4, ["src", "dst"])).collect()[0]
     assert row["n_triangles"] == 4 and row["n_wedges"] == 15
+
+
+def test_triangle_stats_gate_overrides(spark):
+    """Round 11 (ADVICE r10): the strategy gates are no longer
+    hardcoded constants — keyword args and session conf both select
+    the path, and the heap-derived default is a sane positive number."""
+    k4 = [
+        ("A", "B"), ("B", "C"), ("C", "A"), ("A", "D"), ("B", "D"),
+        ("D", "C"), ("E", "A"),
+    ]
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    # kwarg: force the intersect path (wedge gate 0) and verify parity
+    via_kwargs = graph.triangle_stats(df, wedge_materialize_max=0).collect()[0]
+    assert via_kwargs["n_triangles"] == 4 and via_kwargs["n_wedges"] == 15
+    # conf: same forcing through the session knob
+    spark.conf.set("spark.hippollm.triangles.wedgeMaterializeMax", "0")
+    try:
+        via_conf = graph.triangle_stats(df).collect()[0]
+    finally:
+        spark.conf.unset("spark.hippollm.triangles.wedgeMaterializeMax")
+    assert via_conf["n_triangles"] == 4 and via_conf["n_wedges"] == 15
+    # kwarg gates below the graph size force the wedge-join fallback
+    # even when wedges exceed the wedge gate: still correct
+    via_fallback = graph.triangle_stats(
+        df, wedge_materialize_max=0, intersect_edge_max=1
+    ).collect()[0]
+    assert via_fallback["n_triangles"] == 4
+    # heap-derived default: positive, and conf-overridable
+    assert graph._intersect_edge_gate(spark) > 0
+    spark.conf.set("spark.hippollm.triangles.intersectEdgeMax", "12345")
+    try:
+        assert graph._intersect_edge_gate(spark) == 12345
+    finally:
+        spark.conf.unset("spark.hippollm.triangles.intersectEdgeMax")
+
+
+def test_triangle_stats_releases_cache_pins(spark):
+    """ADVICE r10: triangle_stats must not leave its internal cache
+    pins (canon/deg/oriented) resident after returning — repeated
+    library calls previously accumulated executor storage."""
+    before = len(
+        [r for r in spark.sparkContext._jsc.getPersistentRDDs().items()]
+    )
+    df = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A")], ["src", "dst"]
+    )
+    graph.triangle_stats(df).collect()
+    after = len(
+        [r for r in spark.sparkContext._jsc.getPersistentRDDs().items()]
+    )
+    assert after <= before
