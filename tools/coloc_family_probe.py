@@ -109,11 +109,50 @@ def q8_coloc(spark, sf):
     )
 
 
+def q5_coloc(spark, sf):
+    """q5 with the orderkey-bucketed lineitem: the supplier reduction
+    rides a broadcast (preserves bucketing), so the big orderkey join
+    shuffles ONLY the reduced orders arm into the bucket layout —
+    the fact side never exchanges (round-11 last unmeasured cell)."""
+    li = layout.read_colocated(spark, li_t)
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation")
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    acust = cust.join(
+        F.broadcast(asia_nat), cust.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cnat"))
+    asupp = supp.join(
+        F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("s_nationkey").alias("snat"))
+    aorders = orders.join(acust, orders.o_custkey == acust.c_custkey).select(
+        "o_orderkey", "cnat"
+    )
+    ali = li.join(asupp, li.l_suppkey == asupp.s_suppkey)
+    return (
+        ali.join(aorders, ali.l_orderkey == aorders.o_orderkey)
+        .filter(F.col("cnat") == F.col("snat"))
+        .join(F.broadcast(asia_nat), F.col("snat") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            _e6out(_e6sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 VARIANTS = [
     ("q9_plain", entry_mod.queries()["tpch_q9"]),
     ("q9_coloc", q9_coloc),
     ("q8_plain", entry_mod.queries()["tpch_q8"]),
     ("q8_coloc", q8_coloc),
+    ("q5_plain", entry_mod.queries()["tpch_q5"]),
+    ("q5_coloc", q5_coloc),
 ]
 
 for name, fn in VARIANTS:
@@ -155,6 +194,9 @@ for name, ws in duck.items():
 a = sorted(tuple(r) for r in q9_coloc(spark, sf_dir).collect())
 b = sorted(tuple(r) for r in entry_mod.queries()["tpch_q9"](spark, sf_dir).collect())
 print("q9 parity:", a == b)
+a = sorted(tuple(r) for r in q5_coloc(spark, sf_dir).collect())
+b = sorted(tuple(r) for r in entry_mod.queries()["tpch_q5"](spark, sf_dir).collect())
+print("q5 parity:", a == b)
 a = sorted(tuple(r) for r in q8_coloc(spark, sf_dir).collect())
 b = sorted(tuple(r) for r in entry_mod.queries()["tpch_q8"](spark, sf_dir).collect())
 print("q8 parity:", a == b)
