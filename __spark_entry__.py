@@ -1693,6 +1693,77 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFX_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _ivfx_table(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized persisted full-vector IVF index over the embeddings
+    table, assigned against the FROZEN ivfpq coarse centroids
+    (nlist=128, exact-int64 — similarity.save_ivf_index_e6): built
+    ONCE per (session, sf_dir), bucketed by list_id. Table name keyed
+    on sf_dir only (drop-and-rewrite; single-writer assumption as for
+    the co-located tables — README)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _IVFX_MEMO.get(key)
+    if name is None:
+        import hashlib as _hl
+
+        import numpy as np
+
+        from hippollm_spark.operators.similarity import (
+            load_ivfpq_e6,
+            save_ivf_index_e6,
+        )
+
+        name = f"ivx_{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+        save_ivf_index_e6(
+            spark,
+            _t(spark, sf_dir, "embeddings"),
+            name,
+            np.array(load_ivfpq_e6()["coarse_e6"]),
+        )
+        _IVFX_MEMO[key] = name
+    return name
+
+
+def q_v3_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 through the PERSISTED IVF index (VERDICT r10 stretch): the
+    store-facade serving path (`use_index=True`, store.py) given a
+    measured contract row. The index is the full-vector table bucketed
+    by its frozen-centroid list assignment; the probe reads nprobe=32
+    of nlist=128 buckets (75% of the corpus never scanned — the
+    partition pruning that makes repeat-query ANN serving affordable
+    at 100 TB) and scores ONLY those lists with the exact float L2 of
+    the brute-force path. Same output schema as `v3_knn`; the DuckDB
+    twin replays assignment + probe selection from the same e6
+    centroid literals and the same exact distance, so the row is
+    hash-oracled, not merely recall-tested."""
+    import numpy as np
+
+    from hippollm_spark.operators.similarity import (
+        ivf_topk_indexed_e6,
+        load_ivfpq_e6,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q_e6 = emb.filter("vec_id = 0").select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+        ).alias("q")
+    ).first()["q"]
+    out = ivf_topk_indexed_e6(
+        spark,
+        _ivfx_table(spark, sf_dir),
+        np.array(load_ivfpq_e6()["coarse_e6"]),
+        q_e6,
+        _query_vec(spark, sf_dir, 0),
+        k=10,
+        nprobe=32,
+    )
+    return out.select("vec_id", "label", F.round("distance", 6).alias("distance"))
+
+
 def q_emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the EXACT baseline the
     LSH variants are recall-tested against, NOT the 100-TB path: at
@@ -3757,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dup_pairs": q_emb_dup_pairs,  # e6-exact predicate r8
         "fuzzy_name_pairs": q_fuzzy_name_pairs,  # grouped oracle r8
         "ann_ivfpq_topk": q_ann_ivfpq_topk,  # nlist=128 artifact r8
+        "v3_knn_indexed": q_v3_knn_indexed,  # persisted-IVF serving r11
         "ann_ivfpq_rerank": q_ann_ivfpq_rerank,  # nlist=128 artifact r8
         "corpus_curation": q_corpus_curation,  # pin seal rework r8
         "corpus_curation_semantic": q_corpus_curation_semantic,  # r8
@@ -4448,6 +4520,67 @@ def _emb_dup_oracle_sql(threshold: float = 0.35, d: int = 64) -> str:
         FROM screened
         WHERE 100000000::HUGEINT * (dot::HUGEINT * dot::HUGEINT)
               >= {t4sq}::HUGEINT * (na::HUGEINT * nb::HUGEINT)
+    """
+
+
+def _ivfx_oracle_sql(nprobe: int = 32, k: int = 10) -> str:
+    """DuckDB replica of q_v3_knn_indexed from the SAME persisted e6
+    coarse centroids: exact-BIGINT list assignment per vector and
+    probe selection (both with the (dist, list) tie-break), then the
+    v3_knn exact float distance restricted to the probed lists. The
+    index table itself never appears — the oracle re-derives the
+    assignment from the frozen literals, which is precisely what makes
+    the persisted index hash-checkable."""
+    from hippollm_spark.operators.similarity import load_ivfpq_e6
+
+    art = load_ivfpq_e6()
+    d = art["dsub"] * art["m"]
+    cent_rows = []
+    for l, ce in enumerate(art["coarse_e6"]):
+        lst = ", ".join(str(int(x)) for x in ce)
+        cent_rows.append(f"({l}, [{lst}]::BIGINT[])")
+    cent_vals = ",\n            ".join(cent_rows)
+    qcdist = " + ".join(
+        f"(q.ve[{i}] - cent.ce[{i}]) * (q.ve[{i}] - cent.ce[{i}])"
+        for i in range(1, d + 1)
+    )
+    vcdist = " + ".join(
+        f"(v.ve[{i}] - cent.ce[{i}]) * (v.ve[{i}] - cent.ce[{i}])"
+        for i in range(1, d + 1)
+    )
+    qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+    return f"""
+        WITH cent(l, ce) AS (VALUES
+            {cent_vals}),
+        v AS (
+            SELECT vec_id, label, embedding,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * 1000000.0) AS BIGINT)) AS ve
+            FROM embeddings
+        ),
+        q AS (SELECT ve FROM v WHERE vec_id = 0),
+        probed AS (
+            SELECT l FROM (
+                SELECT cent.l,
+                       row_number() OVER (ORDER BY {qcdist}, cent.l) AS rn
+                FROM cent CROSS JOIN q
+            ) WHERE rn <= {nprobe}
+        ),
+        assign AS (
+            SELECT vec_id, l FROM (
+                SELECT v.vec_id, cent.l,
+                       row_number() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {vcdist}, cent.l) AS rn
+                FROM v CROSS JOIN cent
+            ) WHERE rn = 1
+        )
+        SELECT v.vec_id, v.label,
+               round(list_distance(v.embedding::DOUBLE[], {qvec}), 6) AS distance
+        FROM v
+        JOIN assign a USING (vec_id)
+        JOIN probed USING (l)
+        ORDER BY list_distance(v.embedding::DOUBLE[], {qvec}) ASC, v.vec_id ASC
+        LIMIT {k}
     """
 
 
@@ -6810,6 +6943,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_sample": _cluster_sample_oracle_sql(20, 8, 64, 3),
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(32, 10),
+        "v3_knn_indexed": _ivfx_oracle_sql(32, 10),
         "ann_ivfpq_rerank": _ivfpq_oracle_sql(64, 10, rerank=100),
         "pca_embeddings": _pca_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(4),

@@ -1521,6 +1521,89 @@ def save_ivfpq_index(
     )
 
 
+def save_ivf_index_e6(
+    spark,
+    vecs: DataFrame,
+    table_prefix: str,
+    coarse_e6: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a FULL-VECTOR IVF index assigned against FROZEN e6
+    coarse centroids (round 11): every input column plus ``list_id``
+    (exact-int64 argmin over the persisted centroids — same quantize +
+    tie-break as `save_ivfpq_index`, so a SQL replay from the same
+    literals reproduces the assignment bit-for-bit), bucketed by
+    list_id. Unlike `save_ivf_index` (which trains float centroids),
+    this is the serving shape for an index whose coarse quantizer was
+    trained once and shipped as an artifact: rebuilds are
+    deterministic, and an exact-scoring probe (`ivf_topk_indexed_e6`)
+    reads only nprobe/nlist buckets of full vectors."""
+    from hippollm_spark.session import drop_table
+
+    cents = np.asarray(coarse_e6, dtype=np.int64)
+    nlist = cents.shape[0]
+    drop_table(spark, f"{table_prefix}_ivf")
+
+    @F.pandas_udf("int")
+    def _assign(ve: pd.Series) -> pd.Series:
+        if len(ve) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        mat = np.array(ve.tolist(), dtype=np.int64)
+        d2c = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        # np.argmin = first minimal index: ties go to the LOWEST list,
+        # matching the oracle's row_number(ORDER BY dist, l)
+        return pd.Series(d2c.argmin(1).astype(np.int32))
+
+    quantized = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
+    )
+    (
+        vecs.withColumn("list_id", _assign(quantized))
+        .write.mode("overwrite")
+        .bucketBy(max(nlist, 1), "list_id")
+        .sortBy("list_id")
+        .saveAsTable(f"{table_prefix}_ivf")
+    )
+
+
+def ivf_topk_indexed_e6(
+    spark,
+    table_prefix: str,
+    coarse_e6: np.ndarray,
+    query_e6: Sequence[int],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-scoring probe of a `save_ivf_index_e6` table: probe
+    selection is a driver-side exact-int64 argsort over the frozen
+    centroids (stable — ties to the lowest list, the oracle's
+    tie-break), the scan carries a LITERAL isin on list_id (bucket
+    pruning: nprobe/nlist of the index read), and only the probed
+    lists' FULL vectors are scored with the exact float L2 the brute
+    path uses — the IVF-pruned twin of `knn.knn` whose only loss is
+    coarse-quantizer recall, not distance distortion."""
+    cents = np.asarray(coarse_e6, dtype=np.int64)
+    qe = np.asarray(list(query_e6), dtype=np.int64)
+    d = ((cents - qe) ** 2).sum(1)
+    probe = [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+    pruned = spark.table(f"{table_prefix}_ivf").filter(
+        F.col("list_id").isin(probe)
+    )
+    q = [float(x) for x in query_vec]
+    return (
+        pruned.withColumn("distance", V.l2_distance(F.col(vec_col), q))
+        .orderBy(F.asc("distance"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_topk_indexed(
     spark,
     table_prefix: str,

@@ -216,6 +216,48 @@ def test_ivf_indexed_matches_inmemory_and_prunes(spark, embeddings):
     assert "SelectedBucketsCount" in plan, plan[:2000]
 
 
+def test_ivf_index_e6_frozen_centroids(spark, embeddings):
+    """Round-11 persisted-IVF serving path (`v3_knn_indexed`): the
+    frozen-centroid e6 index (a) bucket-prunes at the plan level,
+    (b) covers every input row exactly once (assignment is total), and
+    (c) at full probe width reproduces the EXACT brute-force top-k —
+    the only loss at narrower nprobe is coarse recall, never distance
+    distortion."""
+    import numpy as np
+
+    from hippollm_spark.operators.knn import knn
+    from hippollm_spark.operators.similarity import (
+        ivf_topk_indexed_e6,
+        load_ivfpq_e6,
+        save_ivf_index_e6,
+    )
+
+    coarse = np.array(load_ivfpq_e6()["coarse_e6"])
+    nlist = coarse.shape[0]
+    save_ivf_index_e6(spark, embeddings, "ivx_t1", coarse)
+    idx = spark.table("ivx_t1_ivf")
+    assert idx.count() == embeddings.count()
+
+    q_row = embeddings.filter("vec_id = 7").first()
+    q = [float(x) for x in q_row["embedding"]]
+    q_e6 = [int(round(x * 1_000_000.0)) for x in q]
+
+    probe = ivf_topk_indexed_e6(
+        spark, "ivx_t1", coarse, q_e6, q, k=5, nprobe=3
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, plan[:2000]
+
+    # full probe width == exact brute force (same distances, same order)
+    full = ivf_topk_indexed_e6(
+        spark, "ivx_t1", coarse, q_e6, q, k=5, nprobe=nlist
+    ).collect()
+    exact = knn(embeddings, q, 5, id_col="vec_id").collect()
+    assert [(r["vec_id"], round(r["distance"], 6)) for r in full] == [
+        (r["vec_id"], round(r["distance"], 6)) for r in exact
+    ]
+
+
 def test_bitext_margin_hand_computed(spark):
     """Tiny 2x2 case: margins computed by hand from 6dp-rounded
     cosines; best target chosen by (score desc, id)."""
