@@ -1746,18 +1746,22 @@ def q_v3_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    q_e6 = emb.filter("vec_id = 0").select(
+    # one scalar job fetches BOTH query forms (float for the exact
+    # scoring, engine-rounded e6 for the probe selection) — the
+    # serving path's per-query driver cost is a single collect
+    q_row = emb.filter("vec_id = 0").select(
+        F.col("embedding").alias("qv"),
         F.transform(
             F.col("embedding"),
             lambda x: F.round(x.cast("double") * 1_000_000.0, 0).cast("long"),
-        ).alias("q")
-    ).first()["q"]
+        ).alias("q"),
+    ).first()
     out = ivf_topk_indexed_e6(
         spark,
         _ivfx_table(spark, sf_dir),
         np.array(load_ivfpq_e6()["coarse_e6"]),
-        q_e6,
-        _query_vec(spark, sf_dir, 0),
+        q_row["q"],
+        [float(x) for x in q_row["qv"]],
         k=10,
         nprobe=32,
     )
