@@ -356,16 +356,22 @@ def test_triangle_stats_gate_overrides(spark):
 
 def test_triangle_stats_releases_cache_pins(spark):
     """ADVICE r10: triangle_stats must not leave its internal cache
-    pins (canon/deg/oriented) resident after returning — repeated
-    library calls previously accumulated executor storage."""
-    before = len(
-        [r for r in spark.sparkContext._jsc.getPersistentRDDs().items()]
-    )
+    pins (canon/deg/oriented — 3 per call) resident after returning —
+    repeated library calls previously accumulated executor storage.
+    Each call's SEALED one-row result legitimately holds its own
+    localCheckpoint block while referenced (and the async
+    ContextCleaner may lag), so the assertion bounds accumulation
+    across three calls well below the 9 pins a leak would leave,
+    rather than demanding an exact count."""
+    def n_persistent():
+        return len(
+            [r for r in spark.sparkContext._jsc.getPersistentRDDs().items()]
+        )
+
+    before = n_persistent()
     df = spark.createDataFrame(
         [("A", "B"), ("B", "C"), ("C", "A")], ["src", "dst"]
     )
-    graph.triangle_stats(df).collect()
-    after = len(
-        [r for r in spark.sparkContext._jsc.getPersistentRDDs().items()]
-    )
-    assert after <= before
+    for _ in range(3):
+        graph.triangle_stats(df).collect()
+    assert n_persistent() - before <= 4  # leak would add >= 9
