@@ -35,6 +35,8 @@ def test_clean_scratch_prunes_only_stale(tmp_path, monkeypatch):
     _mk(os.path.join(wh, f"blj_li_{live12}"))
     _mk(os.path.join(wh, f"blj_li_{stale12}"))
     _mk(os.path.join(wh, f"blj_ord_{stale12}"))
+    _mk(os.path.join(wh, f"ivx_{live12}_ivf"))
+    _mk(os.path.join(wh, f"ivx_{stale12}_ivf"))
     _mk(os.path.join(wh, stale16))  # pre-r10 root-level leak
     _mk(os.path.join(wh, "dd_idx1_bands"))  # fixed-name table: keep
     os.makedirs(os.path.join(wh, "_duckdb_spill"), exist_ok=True)
@@ -45,7 +47,7 @@ def test_clean_scratch_prunes_only_stale(tmp_path, monkeypatch):
     # dry run removes nothing
     planned = clean_scratch.clean(root, dry_run=True)
     assert os.path.isdir(os.path.join(wh, "_cooc_cache", stale16))
-    assert len(planned) == 6
+    assert len(planned) == 7
 
     removed = clean_scratch.clean(root)
     assert sorted(planned) == sorted(removed)
@@ -54,10 +56,12 @@ def test_clean_scratch_prunes_only_stale(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(wh, "_kmeans_cache", stale16))
     assert not os.path.exists(os.path.join(wh, f"blj_li_{stale12}"))
     assert not os.path.exists(os.path.join(wh, f"blj_ord_{stale12}"))
+    assert not os.path.exists(os.path.join(wh, f"ivx_{stale12}_ivf"))
     assert not os.path.exists(os.path.join(wh, stale16))
     assert not os.path.exists(os.path.join(wh, "_duckdb_spill", "tmpfile"))
     # live + fixed-name survive
     assert os.path.isdir(os.path.join(wh, "_cooc_cache", live16))
     assert os.path.isdir(os.path.join(wh, f"blj_li_{live12}"))
+    assert os.path.isdir(os.path.join(wh, f"ivx_{live12}_ivf"))
     assert os.path.isdir(os.path.join(wh, "dd_idx1_bands"))
     assert os.path.isdir(live_sf)

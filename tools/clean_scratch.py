@@ -42,7 +42,9 @@ import shutil
 import sys
 
 _HEX16 = re.compile(r"^[0-9a-f]{16}$")
-_BLJ = re.compile(r"^blj_(?:li|ord)_([0-9a-f]{12})$")
+# every sf_dir-keyed table family: co-located fact tables and the
+# persisted IVF serving index (entry `_colocated_tables`/`_ivfx_table`)
+_BLJ = re.compile(r"^(?:blj_(?:li|ord)|ivx)_([0-9a-f]{12})(?:_ivf)?$")
 
 
 def _live_sf_dirs(repo_root: str) -> list[str]:
