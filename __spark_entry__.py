@@ -28,6 +28,7 @@ tie-break.
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -4961,6 +4962,29 @@ def _pct_boundary_cte(name: str, col: str, ps: list[float], src: str = "per_user
             )"""
 
 
+_EVENTS_ALIASED = re.compile(r"FROM events(\s+(?:AS\s+)?(?P<a>[a-z]\w*))")
+_EVENTS_BARE = re.compile(r"FROM events\b(?!\))")
+_EVENTS_US = "(SELECT * REPLACE (ts::TIMESTAMP AS ts) FROM events)"
+
+
+def _events_us_truncated(sql: str) -> str:
+    """Rewrite every events-table reference in an oracle to read ts
+    µs-TRUNCATED (``ts::TIMESTAMP`` — DuckDB truncates TIMESTAMP_NS
+    exactly like Spark's parquet nanos read; verified empirically).
+
+    Round 11, found by the sf3 full sweep: the raw parquet view hands
+    DuckDB NANOSECOND timestamps, so any oracle that keys, dedups,
+    arg_max-es, or tie-breaks on raw ts can diverge once the data
+    contains two events equal at µs but distinct at ns (first
+    collision appears at sf3 — gap_fill's per-(user_id, ts) dedup kept
+    2 rows in DuckDB where Spark, which can never see sub-µs, kept 1).
+    Spark's µs view is the CONTRACT (entry `_events`); this makes the
+    oracle see the identical column everywhere instead of patching
+    queries one collision at a time."""
+    sql = _EVENTS_ALIASED.sub(lambda m: f"FROM {_EVENTS_US}{m.group(1)}", sql)
+    return _EVENTS_BARE.sub(f"FROM {_EVENTS_US} events", sql)
+
+
 def oracle_sql() -> dict[str, str]:
     qvec = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
     en = "['the','and','of','to','in','is','that','with']"
@@ -5141,7 +5165,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM clean
                 WHERE doc_id IN (SELECT doc_id FROM semsurv)
             )"""
-    return {
+    out = {
         "trimmed_value": """
             WITH ranked AS (
                 SELECT event_type, value,
@@ -8657,3 +8681,4 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY term_a, term_b
         """,
     }
+    return {name: _events_us_truncated(sql) for name, sql in out.items()}

@@ -164,8 +164,16 @@ def gap_fill(
 
     Output: key cols, ``tick`` (timestamp), value cols (filled),
     ``n_obs`` (observations in that tick's bucket; 0 for generated
-    gaps). Multiple observations in one bucket aggregate to their
-    last-by-ts value (deterministic tie-break on raw ts).
+    gaps). Multiple observations in one bucket aggregate to their last
+    NON-NULL value by ts — a NULL value is a missing measurement, not
+    an observation, so it can neither win the bucket nor shadow a
+    valid same-bucket reading (stream-LOCF: each tick shows the last
+    valid observation up to its end — pandas ``resample().last()`` /
+    DuckDB ``arg_max`` semantics; round 11, found by the sf3 sweep:
+    the previous last-ROW pick resurrected a PREVIOUS day's value over
+    a valid same-day one whenever the day ended on a null). Equal-ts
+    ties break on the value itself (struct max — content-determined,
+    layout-independent); value columns must be orderable types.
     """
     keys = [by] if isinstance(by, str) else list(by)
     vals = value_cols or [
@@ -180,17 +188,20 @@ def gap_fill(
         F.col(ts_col).alias("__ts__"),
         *[F.col(v) for v in vals],
     )
-    w_last = Window.partitionBy(*keys, "tick").orderBy(F.desc("__ts__"))
-    per_tick = (
-        obs.withColumn("__rn__", F.row_number().over(w_last))
-        .groupBy(*keys, "tick")
-        .agg(
-            F.count("*").alias("n_obs"),
-            *[
-                F.max(F.when(F.col("__rn__") == 1, F.col(v))).alias(v)
-                for v in vals
-            ],
-        )
+    per_tick = obs.groupBy(*keys, "tick").agg(
+        F.count("*").alias("n_obs"),
+        *[
+            # last non-null by ts: max over (ts, value) structs of the
+            # non-null rows — one hash aggregate with map-side partial
+            # combine, no per-bucket sort window
+            F.max(
+                F.when(
+                    F.col(v).isNotNull(),
+                    F.struct(F.col("__ts__").alias("t"), F.col(v).alias("v")),
+                )
+            )["v"].alias(v)
+            for v in vals
+        ],
     )
     bounds = per_tick.groupBy(*keys).agg(
         F.min("tick").alias("__lo__"), F.max("tick").alias("__hi__")

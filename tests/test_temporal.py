@@ -131,6 +131,35 @@ def test_gap_fill_locf(spark):
     assert len(got) == 4
 
 
+def test_gap_fill_null_observation_is_missing_not_shadowing(spark):
+    """Round 11 (found by the sf3 sweep): a NULL value is a missing
+    measurement — it must neither win a bucket whose later rows are
+    null (the last VALID same-bucket reading wins) nor resurrect an
+    older tick's value over it; a bucket that is ALL null falls back
+    to LOCF from the previous tick."""
+    import datetime as dt
+
+    from hippollm_spark.operators.temporal import gap_fill
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 8, 0), 5.0),
+        (1, T(2024, 1, 2, 8, 0), 7.0),    # valid reading on Jan 2...
+        (1, T(2024, 1, 2, 9, 0), None),   # ...followed by a null row
+        (1, T(2024, 1, 3, 8, 0), None),   # Jan 3: ONLY null rows
+        (1, T(2024, 1, 4, 8, 0), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = gap_fill(df, by="user_id", step="1 day", value_cols=["value"])
+    got = {
+        (r["user_id"], r["tick"].date().isoformat()): (r["value"], r["n_obs"])
+        for r in out.collect()
+    }
+    assert got[(1, "2024-01-02")] == (7.0, 2)  # null didn't shadow 7.0
+    assert got[(1, "2024-01-03")] == (7.0, 1)  # all-null bucket: LOCF
+    assert got[(1, "2024-01-04")] == (9.0, 1)
+
+
 def test_gap_fill_null_mode_leaves_gaps_null(spark):
     import datetime as dt
 
