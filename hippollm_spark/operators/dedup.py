@@ -72,11 +72,17 @@ def exact_dedup(
     to payloads.
     Output: original columns of the surviving rows.
     """
-    keyed = docs.withColumn("__h__", F.md5(normalized_text(text_col)))
-    winners = keyed.groupBy("__h__").agg(F.min(id_col).alias(id_col))
-    return (
-        keyed.join(winners, on=["__h__", id_col], how="semi").drop("__h__")
+    # Winner ids are unique row ids, so the survivor semi-join needs
+    # only the id key: joining on (__h__, id) made the PROBE side
+    # re-normalize + re-md5 every document a second time and shuffled a
+    # 32-char digest alongside the id for no extra selectivity (r11;
+    # guide §2.3: shuffle fewer bytes / don't compute twice). One
+    # digest pass over the corpus, a long-keyed semi-join, same rows.
+    hashed = docs.select(
+        F.md5(normalized_text(text_col)).alias("__h__"), F.col(id_col)
     )
+    winners = hashed.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+    return docs.join(winners.select(id_col), on=id_col, how="semi")
 
 
 def duplicate_groups(
@@ -229,9 +235,7 @@ def jaccard_dup_pairs(
             "state; set max_shingle_df on large or boilerplate-heavy "
             "corpora",
         )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _cpu_spread(docs, None)
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
     ex = sh.select(
         "doc_id",
@@ -316,10 +320,35 @@ def _cpu_spread(df: DataFrame, partitions: int | None) -> DataFrame:
     idle — measured 10× on the minhash signature stage at 200k docs).
     Same dial as relational.add_entities(embed_partitions=...).
     Row-wise deterministic: placement never affects per-row results.
+
+    The spread decision reads the optimizer's LOGICAL size estimate,
+    never the materialized partition count: the previous
+    ``df.rdd.getNumPartitions()`` probe looks free but under AQE
+    ``.rdd`` finalizes the adaptive plan, which EXECUTES the whole
+    upstream — measured r11 as two 1.5-2.9 s single-task javaToPython
+    jobs at the head of every curation query (guide §1.4: ``.rdd``
+    costs what the real query does not). Plan-stats are available
+    without running anything: an estimated input below
+    ``maxPartitionBytes × partitions`` cannot produce enough scan
+    splits to fill the cores, so it is repartitioned; big inputs (the
+    100-TB case) keep their native splits and never pay the exchange.
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
-    if partitions and partitions > 0 and df.rdd.getNumPartitions() < partitions:
+    if not partitions or partitions <= 0:
+        return df
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        mpb = int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .filesMaxPartitionBytes()
+        )
+    except Exception:  # stats unavailable: leave the input as-is
+        return df
+    if size < mpb * partitions:
         return df.repartition(partitions)
     return df
 
@@ -871,7 +900,21 @@ def dedup_canonicalize(
     Output: (doc_id, canonical_id); rows with doc_id != canonical_id are
     the drops. Documents absent from ``pairs`` are untouched implicit
     keepers — filter the corpus with a left-anti join against the drops.
+
+    Adaptive strategy (r11): duplicate-PAIR graphs are tiny relative to
+    the corpus they came from (only docs with a ≥-threshold partner
+    appear), and the label loop's per-round cost at that size is pure
+    driver latency — measured ~3.5 s of small jobs + Catalyst planning
+    gaps for a few hundred sf0.1 pairs. When the pair list fits the
+    broadcast-scale gate (``spark.hippollm.dedup.canonicalize.collectEdgeMax``,
+    default 1M edges ≈ 16 MB of longs; 0 disables), collect it once and
+    run exact union-find with path compression on the driver — the same
+    min-reachable-id fixpoint, fully converged like the SQL oracle's
+    closure, independent of ``max_iter``. Past the gate, the distributed
+    min-label loop below is the 100-TB path (billions of pairs never
+    touch the driver). Two-path parity is pinned in tests/test_dedup.py.
     """
+    spark = pairs.sparkSession
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # Eager checkpoint, not cache: every loop round's plan nests the
     # previous round's, and a cache does NOT cut the *logical* plan —
@@ -880,8 +923,55 @@ def dedup_canonicalize(
     # round (measured: 7s/round of pure planning vs <1s of work).
     # Checkpointing reduces the loop's base to a leaf; the pairs
     # computation runs once either way.
+    ecp = e.localCheckpoint(eager=True)
+    try:
+        gate = int(
+            spark.conf.get("spark.hippollm.dedup.canonicalize.collectEdgeMax", "")
+        )
+    except ValueError:
+        gate = 1_000_000
+    if gate > 0:
+        # limit(gate+1) on the checkpoint leaf: if it comes back with
+        # <= gate rows we already hold the WHOLE edge list — no second
+        # job, no separate count.
+        sample = ecp.limit(gate + 1).collect()
+        if len(sample) <= gate:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for row in sample:
+                a, b = row[0], row[1]
+                # register both endpoints so self-pairs / repeats still
+                # emit a row, exactly like the loop's src-distinct labels
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min: the smaller id becomes the root, so
+                    # every root IS its component's canonical id
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out_rows = [(v, find(v)) for v in parent]
+            from pyspark.sql import types as T
+
+            id_type = ecp.schema[0].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", id_type),
+                    T.StructField("canonical_id", id_type),
+                ]
+            )
+            return spark.createDataFrame(out_rows, schema)
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        ecp.union(ecp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1434,9 +1524,7 @@ def containment_pairs(
             "state; set max_shingle_df on large or boilerplate-heavy "
             "corpora",
         )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _cpu_spread(docs, None)
     sh = with_shingles(docs, n, id_col=id_col, text_col=text_col)
     ex = sh.select(
         "doc_id",

@@ -156,6 +156,57 @@ def quality_features(
     return out.withColumn("quality_score_e8", score_e8.cast("long"))
 
 
+def with_quality_language(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``docs.*`` + (n_tokens, quality_score_e8, lang_pred) computed in
+    ONE pass — the fused form of ``quality_features`` ⋈ ``language_id``
+    for pipelines that gate on both.
+
+    The unfused form scans the corpus three times (docs, quality, langid)
+    and runs two doc_id self-joins whose only purpose is re-attaching
+    per-row map results to the row they came from; fusing makes it a
+    single projection over a single scan, tokenizing once instead of
+    twice, with zero joins (guide §2.4: remove shuffles outright; §1.2:
+    fix the distributed algorithm first). The expressions are the exact
+    ones of ``quality_features`` / ``detect_language`` — same rounded
+    ratios, same e8 integer composite — so results are bit-identical to
+    the join form (oracle-checked end-to-end via corpus_curation).
+    """
+    t = docs.select(
+        "*", F.split(normalized_text(text_col), " ").alias("__toks__")
+    )
+    c = F.col(text_col)
+    toks = F.col("__toks__")
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop = stopword_hits(toks, LANG_MARKERS["en"], tokens=True)
+    uniq = F.size(F.array_distinct(toks))
+    t2 = t.select(
+        "*",
+        n_tok.alias("__q_n_tok__"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("__q_punct__"),
+        F.round(stop / F.greatest(n_tok, F.lit(1)), 6).alias("__q_stop__"),
+        F.round(uniq / F.greatest(n_tok, F.lit(1)), 6).alias("__q_uniq__"),
+        detect_language(toks, tokens=True).alias("lang_pred"),
+    )
+    e6 = 1_000_000
+    punct_e6 = F.round(F.col("__q_punct__") * e6, 0).cast("long")
+    stop_e6 = F.round(F.col("__q_stop__") * e6, 0).cast("long")
+    uniq_e6 = F.round(F.col("__q_uniq__") * e6, 0).cast("long")
+    a_e6 = F.least(F.col("__q_n_tok__").cast("long") * 10_000, F.lit(e6).cast("long"))
+    b_e6 = F.lit(e6) - F.least(punct_e6 * 4, F.lit(e6).cast("long"))
+    c_e6 = F.least(stop_e6 * 5, F.lit(e6).cast("long"))
+    score_e8 = a_e6 * 25 + b_e6 * 25 + c_e6 * 20 + uniq_e6 * 30
+    return t2.select(
+        *docs.columns,
+        score_e8.cast("long").alias("quality_score_e8"),
+        F.col("__q_n_tok__").alias("n_tokens"),
+        "lang_pred",
+    )
+
+
 def _ngram_join(toks: Column, n: int) -> Column:
     """ARRAY<STRING> of space-joined token n-grams (empty when the
     document has fewer than n tokens)."""

@@ -30,7 +30,7 @@ from hippollm_spark.operators.dedup import (
     remove_boilerplate_segments,
 )
 from hippollm_spark.operators.sampling import pack_sequences
-from hippollm_spark.operators.textstats import language_id, quality_features
+from hippollm_spark.operators.textstats import quality_features, with_quality_language
 
 
 def curate_corpus(
@@ -113,16 +113,18 @@ def curate_corpus(
             docs, seg_tokens=boilerplate_seg_tokens, max_df=boilerplate_max_df
         )
         docs = docs.drop("text").join(cleaned, "doc_id")
-    scored = quality_features(docs).select("doc_id", "quality_score_e8", "n_tokens")
-    lid = language_id(docs)
     # keep/surv are each consumed by several downstream branches (dedup
     # blocking, canonicalization's iterative counts, decontamination) —
-    # cache the shrinking survivor sets so the quality/langid/join
-    # prefix runs once, not once per branch. At cluster scale the same
+    # cache the shrinking survivor sets so the quality/langid prefix
+    # runs once, not once per branch. At cluster scale the same
     # role is played by checkpointing the survivor table between stages.
+    # with_quality_language fuses the former quality_features ⋈
+    # language_id ⋈ docs three-scan/two-self-join prefix into ONE
+    # projection over ONE scan (r11, guide §2.4): same expressions,
+    # bit-identical gate values, two exchanges and two corpus scans
+    # fewer before the first filter.
     keep = (
-        docs.join(scored, "doc_id")
-        .join(lid, "doc_id")
+        with_quality_language(docs)
         .filter(
             (F.col("quality_score_e8") >= min_quality_e8)
             & (F.col("lang_pred") != "und")

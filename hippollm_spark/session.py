@@ -32,6 +32,23 @@ _DEFAULTS = {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # InferFiltersFromGenerate injects `size(arr)>0 AND isnotnull(arr)`
+    # under every explode. Every Generate in this engine explodes a
+    # COMPUTED array (shingles/n-grams/bands: tokenizer + zip_with
+    # chains), so the inferred filter re-evaluates that whole expression
+    # twice per row — and Catalyst then pushes it through the
+    # parallelizing round-robin exchange onto the single-file parquet
+    # scan task (measured r11: a 918 ms single-task stage at the head of
+    # jaccard_dup_pairs vs ~30 ms without the rule; steady-state pair
+    # query 2.5 s → 1.5 s). The filter can never prune for us anyway:
+    # the exploded arrays are non-null/non-empty by construction and the
+    # Generate discards such rows itself. Scale-independent planner
+    # choice, not a local[32] tune — at 100 TB the doubled generator
+    # child is doubled CPU on every scan core. (guide §1.4/§2.4: plan
+    # inspection; §4.4-adjacent: stop the optimizer duplicating
+    # expensive expressions.)
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     # 64 MB broadcast budget (default 10 MB): routine on executors with
     # gigabytes of heap, and what lets AQE's RUNTIME sizes — not
     # per-site hints — pick broadcast for mid-size filtered dimensions

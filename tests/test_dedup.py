@@ -262,3 +262,30 @@ def test_edit_distance_pairs_short_strings(spark):
     assert got[(2, 5)] == 1
     assert got[(1, 4)] == 2   # ab -> ''
     assert (1, 6) not in got and (4, 6) not in got
+
+
+def test_canonicalize_driver_and_distributed_paths_agree(spark):
+    # Two-path parity (r11 adaptive strategy): the gated driver
+    # union-find and the distributed min-label loop must produce the
+    # identical assignment on a seeded random pair graph (chains,
+    # triangles, repeats, an isolated pair, and a self-pair).
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges += [(100, 101), (7, 7)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup.dedup_canonicalize(pairs).collect()
+    }
+    key = "spark.hippollm.dedup.canonicalize.collectEdgeMax"
+    spark.conf.set(key, "0")  # force the distributed loop
+    try:
+        slow = {
+            (r["doc_id"], r["canonical_id"])
+            for r in dedup.dedup_canonicalize(pairs).collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    assert fast == slow

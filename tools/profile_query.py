@@ -33,14 +33,17 @@ def main() -> None:
     from hippollm_spark.session import get_spark
 
     evdir = "/tmp/spark-events-profile"
+    import shutil
+
+    shutil.rmtree(evdir, ignore_errors=True)
     os.makedirs(evdir, exist_ok=True)
-    for f in os.listdir(evdir):
-        os.unlink(os.path.join(evdir, f))
     spark = get_spark(
         "profile_query",
         **{
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,16 +80,25 @@ def main() -> None:
     spark.stop()
     time.sleep(1.0)
 
-    # parse event log
-    path = None
-    for f in os.listdir(evdir):
-        if f.startswith(app_id):
-            path = os.path.join(evdir, f)
+    # parse event log (plain file, or the rolling-v2 directory layout)
+    paths = []
+    for root, _dirs, files in os.walk(evdir):
+        for f in files:
+            if app_id in f or app_id in root:
+                if not f.startswith("appstatus"):
+                    paths.append(os.path.join(root, f))
     jobs = []  # (jobid, submit_ms, end_ms, desc, n_stages)
     stages = {}  # stage_id -> dict
     job_meta = {}
-    with open(path) as fh:
-        for line in fh:
+    import itertools
+
+    def _lines():
+        for p in sorted(paths):
+            with open(p) as fh:
+                yield from fh
+
+    if True:
+        for line in _lines():
             try:
                 ev = json.loads(line)
             except Exception:
