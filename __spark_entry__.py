@@ -2424,9 +2424,11 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word trigrams by document frequency."""
-    from hippollm_spark.operators.dedup import with_shingles
+    from hippollm_spark.operators.dedup import _cpu_spread, with_shingles
 
-    sh = with_shingles(_t(spark, sf_dir, "documents"), n=3)
+    # spread before the shingle transform: single-file scans otherwise
+    # run the whole tokenizer+n-gram chain in one task (r11, guide §2.2)
+    sh = with_shingles(_cpu_spread(_t(spark, sf_dir, "documents"), None), n=3)
     return (
         sh.select(F.explode("shingles").alias("ngram"))
         .groupBy("ngram")

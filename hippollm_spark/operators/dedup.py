@@ -1338,7 +1338,13 @@ def duplicated_span_stats(
     n-grams shared by millions of docs still aggregate to one group
     row, and rejoin fans out only to their true occurrence count.
     """
-    t = docs.select(
+    # Spread the corpus across cores before the per-position md5
+    # chain: a compacted single-row-group parquet file is ONE scan
+    # split, and this operator's heavy work is all in the narrow
+    # pre-shuffle stage (measured r11: 0.99 s + 0.59 s single-task
+    # stages at sf0.1; guide §2.2). Stats-gated no-op on inputs with
+    # enough native splits.
+    t = _cpu_spread(docs, None).select(
         F.col(id_col).alias("doc_id"),
         F.split(normalized_text(text_col), " ").alias("__toks__"),
     )

@@ -83,14 +83,34 @@ def detect_language(text_col: Column | str, *, tokens: bool = False) -> Column:
 
 
 def with_tokens(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread: bool = False,
 ) -> DataFrame:
     """(doc_id, __text__, __toks__) — normalized whitespace tokens
     materialized in their own projection so downstream expressions
     reference them as a bound column instead of re-running the
     split+regexp tokenizer per probe (Catalyst keeps the projection
     boundary because the expression is non-cheap and multiply-used —
-    same discipline as dedup.with_shingles)."""
+    same discipline as dedup.with_shingles).
+
+    ``spread=True`` routes the input through ``dedup._cpu_spread``
+    first, for callers whose per-row expression chain downstream of
+    the tokenizer is CPU-heavy (n-gram md5 chains, per-row array
+    sorts): a compacted single-row-group parquet file is ONE scan
+    split regardless of size, so that chain otherwise runs single-core
+    (measured r11: text_repetition 1.58 s in one task). The spread is
+    plan-stats-gated — inputs with enough native splits (the 100-TB
+    case) skip the exchange. Keep the default for multi-pass callers
+    that materialize a shared frame instead: for those the exchange
+    costs more than the branch work it parallelizes (measured r11 on
+    ngram_lm_score: 2.3-3.4 s spread vs 1.0 s share-only)."""
+    if spread:
+        from hippollm_spark.operators.dedup import _cpu_spread
+
+        docs = _cpu_spread(docs, None)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__text__"),
@@ -103,7 +123,7 @@ def language_id(
 ) -> DataFrame:
     """(doc_id, lang_pred) — tokenize-once DataFrame form of
     ``detect_language``."""
-    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    t = with_tokens(docs, id_col=id_col, text_col=text_col, spread=True)
     return t.select(
         "doc_id", detect_language(F.col("__toks__"), tokens=True).alias("lang_pred")
     )
@@ -123,7 +143,7 @@ def quality_features(
     Tokenizes once (``with_tokens``); the three token-derived ratios
     all read the same bound array column.
     """
-    base = with_tokens(docs, id_col=id_col, text_col=text_col)
+    base = with_tokens(docs, id_col=id_col, text_col=text_col, spread=True)
     c = F.col("__text__")
     toks = F.col("__toks__")
     n_tok = F.size(toks)
@@ -275,7 +295,10 @@ def repetition_signals(
     corpus scale this runs at scan speed, unlike the explode+count
     formulation whose shuffle volume is one row per n-gram occurrence.
     """
-    base = with_tokens(docs, id_col=id_col, text_col=text_col)
+    # spread=True: the per-row sorted n-gram arrays below are the
+    # heaviest single-pass expression chain in this module (r11
+    # measured 1.58 s single-task without it, 1.1 s spread)
+    base = with_tokens(docs, id_col=id_col, text_col=text_col, spread=True)
     toks = F.col("__toks__")
     # Materialize each n-gram array (sorted) once in its own projection;
     # the frequency statistics below are single linear passes over the
@@ -580,7 +603,20 @@ def tfidf_keywords(
     terms = t.select("doc_id", F.explode("__toks__").alias("term")).filter(
         F.col("term") != ""
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # The term-frequency table feeds BOTH the scored join and the
+    # document-frequency aggregate; without a materialization boundary
+    # each branch re-runs the scan+tokenize+explode+aggregate from the
+    # leaf (plan inspection r11: 4 parquet scans of the corpus, zero
+    # ReusedExchange). Lazy localCheckpoint computes the posting table
+    # once per execution — at 100 TB that is ONE corpus tokenization
+    # instead of two (guide §2.4: remove repeated scans; §5: the
+    # materialized table is the (doc, term, tf) postings, far smaller
+    # than the text it came from).
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.count()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
@@ -625,7 +661,14 @@ def pmi_collocations(
 
     Output: (w1, w2, n_pair, n_w1, n_w2, pmi).
     """
-    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    # t feeds three passes (unigram counts, bigram counts, the T/B
+    # totals collect): checkpoint the tokenized frame so the corpus is
+    # scanned+tokenized once per execution, not three times (r11,
+    # guide §2.4 — plan inspection showed one parquet scan per branch,
+    # zero ReusedExchange).
+    t = with_tokens(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     toks = F.col("__toks__")
     uni = (
         t.select(F.explode(toks).alias("w"))
@@ -729,7 +772,9 @@ def linear_classifier_score(
 
     Output: (doc_id, n_tokens, w_sum_e6 BIGINT, z DOUBLE, score DOUBLE).
     """
-    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    # spread=True: one md5 per token per row — the heaviest per-row
+    # chain after the n-gram hashers (r11, guide §2.2)
+    t = with_tokens(docs, id_col=id_col, text_col=text_col, spread=True)
     toks = F.col("__toks__")
     w_sum = F.aggregate(
         F.transform(
@@ -786,7 +831,14 @@ def ngram_lm_score(
 
     Output: (doc_id, n_bigrams, nll_e6-mean as nll DOUBLE 6dp).
     """
-    t = with_tokens(docs, id_col=id_col, text_col=text_col)
+    # t feeds four passes (bigram counts, unigram counts, the vocab
+    # count, the per-doc scoring explode): checkpoint the tokenized
+    # frame so the corpus is scanned+tokenized once per execution —
+    # plan inspection r11 showed SIX parquet scans of the corpus and
+    # zero ReusedExchange without the boundary (guide §2.4).
+    t = with_tokens(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     toks = F.col("__toks__")
     doc_bigrams = t.select(
         "doc_id",
@@ -802,7 +854,7 @@ def ngram_lm_score(
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    ).select("doc_id", "bg.w1", "bg.w2").localCheckpoint(eager=False)
     bg_counts = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
     uni = (
         t.select(F.explode(toks).alias("w"))
@@ -989,11 +1041,23 @@ def ppmi_pairs(
 
     Output: (term_a, term_b, n_ab, ppmi) for co-occurring vocab pairs.
     """
+    # toks feeds the vocabulary aggregate AND both sides of the
+    # (doc, pos) context join; vt additionally feeds the join twice.
+    # Checkpoint both shared frames so the corpus is scanned+tokenized
+    # once per execution — plan inspection r11 showed 32 parquet scans
+    # of the corpus (one per branch of the offset-explode join tree)
+    # and zero ReusedExchange without the boundaries (guide §2.4). The
+    # materialized frames are the positional postings and their
+    # vocab-filtered subset, both far smaller than the text.
     t = with_tokens(docs, id_col=id_col, text_col=text_col)
-    toks = t.select(
-        F.col("doc_id"),
-        F.posexplode(F.col("__toks__")).alias("pos", "term"),
-    ).filter(F.col("term") != "")
+    toks = (
+        t.select(
+            F.col("doc_id"),
+            F.posexplode(F.col("__toks__")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         toks.groupBy("term")
         .agg(F.count("*").alias("__cnt__"))
@@ -1001,7 +1065,7 @@ def ppmi_pairs(
         .limit(vocab_size)
         .select("term")
     )
-    vt = toks.join(F.broadcast(vocab), "term")
+    vt = toks.join(F.broadcast(vocab), "term").localCheckpoint(eager=False)
     offsets = [o for o in range(-window, window + 1) if o != 0]
     ctx = vt.select(
         "doc_id",
