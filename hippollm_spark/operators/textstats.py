@@ -177,7 +177,11 @@ def quality_features(
 
 
 def with_quality_language(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread: bool = False,
 ) -> DataFrame:
     """``docs.*`` + (n_tokens, quality_score_e8, lang_pred) computed in
     ONE pass — the fused form of ``quality_features`` ⋈ ``language_id``
@@ -192,7 +196,31 @@ def with_quality_language(
     ones of ``quality_features`` / ``detect_language`` — same rounded
     ratios, same e8 integer composite — so results are bit-identical to
     the join form (oracle-checked end-to-end via corpus_curation).
+
+    ``spread=True`` is the ``with_tokens`` dial: the fused tokenizer +
+    quality + langid chain is the heaviest per-row map in the curation
+    pipeline, and a compacted single-row-group parquet corpus is ONE
+    scan split no matter its size — measured r11 as a 1.25 s
+    single-task stage (twice, see curate_corpus) at the head of every
+    curation query. The spread is plan-stats-gated (`_cpu_spread`), so
+    inputs with enough native splits — the 100-TB case — skip the
+    exchange entirely. When the spread DOES fire, the output also takes
+    a lazy localCheckpoint as a plan barrier: a caller's filter on the
+    computed columns otherwise gets substituted + pushed below the
+    round-robin exchange, re-running the whole chain single-task on the
+    scan split (measured r11: a 770 ms 1-task Filter stage). The
+    barrier only exists on sub-`maxPartitionBytes×cores` inputs, so
+    nothing is ever pinned at scale; its blocks are computed inside the
+    first consumer's job (no extra action) and bench.py's per-query
+    unpersist hygiene reaps them.
     """
+    spread_fired = False
+    if spread:
+        from hippollm_spark.operators.dedup import _cpu_spread
+
+        spread_in = _cpu_spread(docs, None)
+        spread_fired = spread_in is not docs
+        docs = spread_in
     t = docs.select(
         "*", F.split(normalized_text(text_col), " ").alias("__toks__")
     )
@@ -219,12 +247,15 @@ def with_quality_language(
     b_e6 = F.lit(e6) - F.least(punct_e6 * 4, F.lit(e6).cast("long"))
     c_e6 = F.least(stop_e6 * 5, F.lit(e6).cast("long"))
     score_e8 = a_e6 * 25 + b_e6 * 25 + c_e6 * 20 + uniq_e6 * 30
-    return t2.select(
+    out = t2.select(
         *docs.columns,
         score_e8.cast("long").alias("quality_score_e8"),
         F.col("__q_n_tok__").alias("n_tokens"),
         "lang_pred",
     )
+    if spread_fired:
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def _ngram_join(toks: Column, n: int) -> Column:

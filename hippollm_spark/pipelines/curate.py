@@ -123,8 +123,15 @@ def curate_corpus(
     # projection over ONE scan (r11, guide §2.4): same expressions,
     # bit-identical gate values, two exchanges and two corpus scans
     # fewer before the first filter.
+    # spread=True: the fused per-row chain below is the pipeline's
+    # heaviest map and a compacted corpus is ONE scan split — without
+    # the spread it runs single-task, and TWICE: the first action
+    # (dedup_canonicalize's eager pair checkpoint) races the pair
+    # self-join's two concurrent map stages into the not-yet-built
+    # 1-partition cache (measured r11: 2 × 1.25 s single-task stages
+    # at the head of every curation query; guide §2.5-2.6).
     keep = (
-        with_quality_language(docs)
+        with_quality_language(docs, spread=True)
         .filter(
             (F.col("quality_score_e8") >= min_quality_e8)
             & (F.col("lang_pred") != "und")
