@@ -141,6 +141,13 @@ def curate_corpus(
     # columnar pruned reads for the two filter consumers. Every pin is
     # function-local and released before return (the graph operators'
     # _seal discipline) — see the sealed summary at the bottom.
+    # NOTE r11: consumers fan out as CONCURRENT broadcast-build jobs
+    # that can race an unbuilt cache and compute its partitions more
+    # than once (the event log showed the keep/surv subplans executing
+    # 2-3× per query). Forcing each pin with a blocking count() was
+    # measured and REJECTED: +0.3-0.6 s per query in an interleaved
+    # A/B — the extra job-chain gaps cost more than the duplicate
+    # concurrent builds, which overlap on idle cores.
     pins = [keep]
     bench = keep.filter(F.col("doc_id") % bench_mod == 0)
     corpus = keep.filter(F.col("doc_id") % bench_mod != 0)
@@ -162,11 +169,18 @@ def curate_corpus(
         surv, bench, threshold=contamination_threshold, n=3,
         max_shingle_df=max_shingle_df,
     )
+    # cached even on the no-semantic path: pack_sequences' range
+    # repartition SAMPLES its input (one extra full execution of the
+    # anti-join chain) before the exchange runs — with the cache the
+    # sampler materializes the blocks and the exchange reads them
+    # (sequential, so no forcing count is needed here; the semantic
+    # branch adds one below for its concurrent consumers).
     clean = surv.join(
         cont.select(F.col("corpus_id").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).cache()
+    pins.append(clean)
 
     if semantic_eps_e12 is not None:
         from hippollm_spark.operators.similarity import kmeans_fit, semantic_prune
@@ -182,11 +196,13 @@ def curate_corpus(
                 "`semantic_assigned` provides the assignment)"
             )
         # three consumers downstream (the clean-set restriction of the
-        # assignment, the survivor semi-join, the packing input) — pin
-        # the decontaminated survivor set so the six curation stages
-        # above run once, not three times
-        clean = clean.cache()
-        pins.append(clean)
+        # assignment, the survivor semi-join, the packing input), and
+        # they launch as concurrent broadcast-build jobs; `clean` is
+        # already cached above. A forcing count() here (and on
+        # keep/surv) was measured r11: the extra blocking jobs cost
+        # more wall than the concurrent duplicate builds they avoid
+        # (+0.3-0.6 s per query, reproduced in an interleaved A/B) —
+        # rejected; the cache still stops SEQUENTIAL recompute.
         vecs = embeddings.select(
             F.col(emb_id_col).alias("doc_id"), "embedding"
         )
