@@ -228,6 +228,7 @@ def explore(
     *,
     cap_all_depths: bool = False,
     checkpoint_after: int = 2,
+    persist_edges: bool = False,
 ) -> DataFrame:
     """G2 — multi-hop neighbourhood expansion (reference
     hippoview app.py:37-63).
@@ -245,16 +246,24 @@ def explore(
     (src STRING, dst STRING, n_facts BIGINT, fact_ids ARRAY<BIGINT>, depth INT).
     """
     spark = edges.sparkSession
-    # The edges input is deliberately NOT cached: a BFS from few origins
-    # is selective, and leaving `edges` as its lazy plan lets Catalyst
-    # push the broadcast frontier into the underlying scans each hop.
-    # Materializing a derived edge view up front costs a full pass and
-    # (measured) loses to recompute-with-pushdown. Callers doing many
-    # traversals over the same big graph should persist edges themselves.
+    # `persist_edges=False` (default): edges stays a lazy plan so
+    # Catalyst pushes the broadcast frontier into the underlying scans
+    # each hop — the right default for SELECTIVE traversals (few
+    # origins, capped fan-out), where recompute-with-pushdown beats a
+    # full materialization pass. But only the FRONTIER (src) arm can
+    # prune: the dst arm re-joins the FULL edge view on fact_id, so an
+    # edge view that is itself a join gets rebuilt once per hop.
+    # `persist_edges=True` caches it once instead (pin released by
+    # _seal) — measured r11 on the uncapped 2-hop g2 shape over the
+    # lineitem⋈part view: 3.76 s → 3.32 s mean, interleaved A/B; use
+    # it for uncapped multi-hop walks whose edge view is expensive.
+    pins = []  # per-hop cache pins, released at exit via _seal
+    if persist_edges:
+        edges = edges.cache()
+        pins.append(edges)
     visited = spark.createDataFrame([(o,) for o in origins], "entity string")
     frontier = visited
     results = None
-    pins = []  # per-hop cache pins, released at exit via _seal
     for depth in range(1, max_depth + 1):
         fr = frontier.select(F.col("entity").alias("src"))
         links = (
@@ -625,9 +634,13 @@ def pagerank(
             .agg(F.sum("w").alias("w"))
             .cache()
         )
+    # explode(array(src,dst)), not union-of-two-selects: the union's
+    # two scans are CONCURRENT first-touches of the uncached `e` (the
+    # first action below races them — e's distinct ran twice in the
+    # r11 event log); one exploded scan builds e once and halves the
+    # vertex-build map tasks (guide §2.4).
     vert_ids = (
-        e.select(F.col("src").alias("vertex"))
-        .union(e.select(F.col("dst").alias("vertex")))
+        e.select(F.explode(F.array("src", "dst")).alias("vertex"))
         .distinct()
         .cache()
     )
@@ -1038,8 +1051,7 @@ def label_propagation(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).cache()
     n_e = e.count()  # materializes the pin; sizes the loop shuffles
     init = labels = (
-        e.select(F.col("src").alias("vertex"))
-        .union(e.select(F.col("dst").alias("vertex")))
+        e.select(F.explode(F.array("src", "dst")).alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
         .cache()
@@ -1248,8 +1260,7 @@ def hits(
     e = e.cache()
     n_e = e.count()
     verts = (
-        e.select(F.col("src").alias("vertex"))
-        .union(e.select(F.col("dst").alias("vertex")))
+        e.select(F.explode(F.array("src", "dst")).alias("vertex"))
         .distinct()
         .cache()
     )
