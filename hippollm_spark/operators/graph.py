@@ -437,6 +437,13 @@ def connected_components_star(
     forest whose roots ARE the component-minimum entity ids, so the
     root doubles as hash-min's exact output label.
     """
+    # NOTE r11: the contraction checkpoint's two subtrees (fact_min's
+    # aggregate and the join probe) race the caller's un-materialized
+    # edge view as concurrent first-touches, and `ents` builds it a
+    # third time later. Pinning + force-counting the incidence here
+    # was measured and REJECTED: +1.3 s reproduced in an interleaved
+    # A/B (the blocking build costs more than the overlapping
+    # duplicate builds — the curate_corpus pin-forcing lesson).
     ents = (
         edges.select("entity")
         .distinct()
@@ -488,6 +495,9 @@ def connected_components_star(
         )
 
     pin = None  # live per-round cache pin (checkpoint rounds need none)
+    n_prev = n0  # carry the round's edge count: e.count() re-ran a job
+    # per round on the previous round's frame whose count was already
+    # known (r11; result-identical, one fewer action per round)
     with _loop_tuning(edges.sparkSession, n0):
         for r in range(max_rounds):
             nxt = _small_star(_large_star(e))
@@ -498,8 +508,10 @@ def connected_components_star(
                 nxt_pin = nxt = nxt.cache()
             # exact set-fixpoint check: counts equal and no new rows
             done = False
-            if nxt.count() == e.count():
+            n_nxt = nxt.count()
+            if n_nxt == n_prev:
                 done = nxt.join(e, ["u", "v"], "left_anti").isEmpty()
+            n_prev = n_nxt
             if pin is not None:
                 pin.unpersist()  # previous round's edge set, now superseded
             pin = nxt_pin
