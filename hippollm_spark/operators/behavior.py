@@ -267,6 +267,15 @@ def basket_lift(
 
     Output: (item_a, item_b, n_pair, n_a, n_b, lift).
     """
+    # b is referenced FIVE times (the eager basket count, both
+    # self-join sides, and the item-frequency table behind each pair
+    # column), so an expensive upstream view executes five times.
+    # Caching it was MEASURED and REJECTED (r11): the replicas run as
+    # concurrent stages on idle cores, while a cache serializes a
+    # first-touch build barrier ahead of them — interleaved runs
+    # showed +1.0 s with the pin (2.71 → 3.73 s min-of-4), the same
+    # lesson as the curation/CC pin-forcing rejections. At cluster
+    # scale callers should pass a pre-persisted basket frame instead.
     b = baskets.select(
         F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__")
     ).distinct()

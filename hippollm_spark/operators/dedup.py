@@ -647,10 +647,16 @@ def simhash60_sql(
     oracle-checkable — unlike `simhash64`, whose blake2b token hash
     exists only Python-side.
 
-    Plan shape: explode tokens → explode the 60 bit positions → two
-    codegen hash aggregations, (doc_id, bit) votes then per-doc bit
-    assembly. Rows peak at tokens×60 but carry three small columns; both
-    shuffles key on doc_id(+bit). Output: (doc_id, simhash BIGINT)."""
+    Plan shape (r11, guide §2.3 — shuffle fewer rows, one pass): ONE
+    hash aggregation over the token rows with 60 bit-count columns
+    (ones_j = Σ (h>>j)&1) plus the token count, then the fingerprint
+    assembled in a post-agg projection. The former shape exploded the
+    60 bit positions per token (tokens×60 rows through a (doc_id, bit)
+    shuffle) and paid a SECOND doc_id shuffle to re-assemble the bits;
+    this one shuffles one 61-column row per doc per map task (partial
+    aggregation) and has no second exchange. Values are identical:
+    vote_j = Σ(±1) > 0  ⟺  2·ones_j > n_tokens (ties → bit unset in
+    both forms). Output: (doc_id, simhash BIGINT)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("t"),
@@ -659,20 +665,19 @@ def simhash60_sql(
         "doc_id",
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
     )
-    votes = (
-        hs.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftrightunsigned(h, j) & 1 = 1"), 1).otherwise(-1)
-            ).alias("v")
+    ones = [
+        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(
+            f"__o{j}__"
         )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END")).alias(
-            "simhash"
-        )
-    )
+        for j in range(60)
+    ]
+    agg = hs.groupBy("doc_id").agg(F.count("*").alias("__n__"), *ones)
+    bit = F.lit(0).cast("long")
+    for j in range(60):
+        bit = bit + F.when(
+            F.col(f"__o{j}__") * 2 > F.col("__n__"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", bit.alias("simhash"))
 
 
 def simhash_block_pairs(
@@ -683,6 +688,13 @@ def simhash_block_pairs(
     split n_bits into 4 blocks; pairs within hamming<=3 must agree on
     >= 1 block → equi-join per block, verify hamming on candidates.
     Output: (doc_a, doc_b, hamming INT)."""
+    # fp feeds BOTH sides of the block self-join; without the pin the
+    # whole fingerprint subtree (tokenize + md5 + the 61-column
+    # aggregation) executes twice — the r11 plan showed the full chain
+    # duplicated under the join (guide §2.3: don't compute twice). The
+    # cache is (doc_id, simhash) = 16 bytes/doc; the pin is released by
+    # the caller's session hygiene (bench clears caches per query).
+    fp = fp.cache()
     block_bits = n_bits // 4
     mask = (1 << block_bits) - 1
     blocks = fp.select(
@@ -727,8 +739,9 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs over the 64-bit blake2b simhash (the fast
     Arrow-vectorized fingerprint). Output: (doc_a, doc_b, hamming)."""
-    # .cache() for pipelined inline materialization (see jaccard_dup_pairs).
-    fp = simhash64(docs, id_col=id_col, text_col=text_col).cache()
+    # simhash_block_pairs pins the fingerprints itself (both join sides
+    # read them); no extra cache needed here.
+    fp = simhash64(docs, id_col=id_col, text_col=text_col)
     return simhash_block_pairs(fp, max_hamming, n_bits=64)
 
 

@@ -996,6 +996,15 @@ def entity_jaccard(
     Output: (entity_a, entity_b, n_shared, deg_a, deg_b, jaccard) with
     jaccard = shared / (deg_a + deg_b - shared), rounded 6dp.
     """
+    # edges is referenced FOUR times below (both self-join sides, and
+    # the degree table behind each pair column), so an expensive
+    # upstream view executes four times. Caching it was MEASURED and
+    # REJECTED (r11): the four replicas run as concurrent stages on
+    # idle cores, while a cache serializes a first-touch build barrier
+    # ahead of them — interleaved runs showed +0.7 s with the pin
+    # (2.57 → 3.31 s min-of-4), the same lesson as the curation/CC
+    # pin-forcing rejections. At cluster scale, where cores are not
+    # idle, callers should pass a pre-persisted edge frame instead.
     a = edges.select(F.col("fact_id"), F.col("entity").alias("entity_a"))
     b = edges.select(F.col("fact_id"), F.col("entity").alias("entity_b"))
     pairs = (
