@@ -374,6 +374,18 @@ def connected_components(
         .withColumn("label", F.xxhash64("entity"))
     ).cache()
     pin = labels  # the one live per-round pin; superseded pins unpersist
+    # Per-round invariant (r11): every entity belongs to at least one
+    # fact (labels derives from edges), and each fact's min includes
+    # the entity's OWN label, so new_label <= label for every entity —
+    # the old labels⨯new_labels merge join (least/coalesce) was the
+    # identity and is dropped: a hash-min round is exactly its two
+    # aggregations (guide §2.4, remove shuffles outright). Fixpoint
+    # detection replaces the per-row change flag with an exact label
+    # fingerprint: Σ label as DECIMAL(38,0) (no overflow: |labels| ·
+    # 2^63 << 10^38). Labels are per-entity non-increasing, so the sum
+    # is equal across a round IFF no label changed.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).first()["s"]  # also builds the pin
     with _loop_tuning(edges.sparkSession, n_inc):
         for it in range(max_iter):
             fact_min = (
@@ -381,29 +393,20 @@ def connected_components(
                 .groupBy("fact_id")
                 .agg(F.min("label").alias("fact_label"))
             )
-            new_labels = (
+            new_cache = new_labels = (
                 edges.join(_bc(fact_min, n_inc), "fact_id")
                 .groupBy("entity")
-                .agg(F.min("fact_label").alias("new_label"))
-            )
-            merged_cache = merged = (
-                labels.join(_bc(new_labels, n_inc), "entity", "left")
-                .select(
-                    "entity",
-                    F.least(F.col("label"), F.coalesce("new_label", F.col("label"))).alias(
-                        "label"
-                    ),
-                    (F.col("new_label") < F.col("label")).alias("__chg__"),
-                )
+                .agg(F.min("fact_label").alias("label"))
             ).cache()
             if it % checkpoint_every == checkpoint_every - 1:
-                merged = merged.localCheckpoint(eager=True)
-            changed = merged.filter(F.col("__chg__")).limit(1).count()
+                new_labels = new_labels.localCheckpoint(eager=True)
+            cur_sum = new_labels.agg(label_sum).first()["s"]
             pin.unpersist()  # previous round's label table, now superseded
-            pin = merged_cache
-            labels = merged.drop("__chg__")
-            if changed == 0:
+            pin = new_cache
+            labels = new_labels
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
     return _seal(labels.withColumnRenamed("label", "component"), [edges, pin])
 
 
@@ -1160,6 +1163,17 @@ def bellman_ford(
             # least() skips NULLs, so a full-outer join + least IS the
             # relax (no broadcast hint: full-outer preserves both sides,
             # so it cannot be a broadcast join)
+            # NOTE r11: fusing the merge into the aggregation
+            # (dist ∪ relax-candidates → groupBy(vertex).min — one
+            # shuffle join fewer per round, same semantics: min() skips
+            # absent rows exactly as least() skips NULLs) was
+            # implemented and MEASURED: graph_sssp 2.2-2.5 s → 2.8 s in
+            # 2 of 3 interleaved pairs, control flat — the union drags
+            # the (tiny, broadcast-sized) dist frame through every
+            # round's full-width exchange, while the full-outer join
+            # against the already-aggregated relax table exchanges it
+            # once at trivial size. REJECTED (guide §1: measure, don't
+            # assume).
             dist = dist.join(relaxed, "vertex", "full_outer").select(
                 "vertex", F.least("dist", "d").alias("dist")
             )
