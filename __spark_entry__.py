@@ -1898,7 +1898,7 @@ def q_ingest_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to ~1 partition, which would serialize the per-row embedding UDF
     # onto one core (measured 6×) — spread the model stage explicitly.
     out = add_entities(existing, new, embed=hash_embedding_udf(384), embed_partitions=64)
-    return out.select(
+    proj = out.select(
         "name",
         # + 0.0 normalizes IEEE signed zero: a tiny negative sum rounds
         # to -0.0 in DuckDB but +0.0 in Spark (BigDecimal strips the
@@ -1912,7 +1912,15 @@ def q_ingest_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("emb_sum"),
-    ).orderBy("name")
+    )
+    # Materialize the ~16 B/row (name, emb_sum) projection BEFORE the
+    # global sort: orderBy's RangePartitioner SAMPLES its input, which
+    # otherwise executes the whole guard→repartition→embed-UDF chain a
+    # second time (r11 event-log profile: two 65-task ArrowEvalPython
+    # stages for one query — the batch-4 range-sampler shape). The
+    # checkpoint runs the embed exactly once; the sort reads 15k tiny
+    # rows from storage.
+    return proj.localCheckpoint(eager=True).orderBy("name")
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -539,13 +539,24 @@ def minhash_lsh_pairs(
         id_col=id_col, text_col=text_col,
         shingle_hash=shingle_hash, partitions=partitions,
     )
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    # Group-then-pair candidate generation (the jaccard_dup_pairs
+    # pattern): ONE shuffle of the banded rows into their buckets, pairs
+    # generated inside each bucket. The previous self-join consumed
+    # `banded` twice — the whole shingle→pack→minhash mapInPandas
+    # pipeline executed on BOTH join sides and the (band_idx, band_hash)
+    # exchange shipped the rows twice (guide §2.3/§2.4: don't compute
+    # twice, remove shuffles outright). Candidate set is identical:
+    # pairs (a < b) sharing >= 1 full band bucket, deduped across bands.
+    # A degenerate giant bucket (e.g. all-empty docs, all-zero
+    # signatures) is quadratic in EITHER form; the verify stage rejects
+    # its pairs.
     cands = (
-        a.join(b, on=["band_idx", "band_hash"])
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
     if not verify:

@@ -1440,7 +1440,7 @@ def random_walks(
     # upstream (often a co-occurrence projection) would otherwise be
     # computed a second time just to list the vertex set.
     verts = (
-        adj.select("v").union(adj.select(F.col("n").alias("v"))).distinct()
+        adj.select(F.explode(F.array("v", "n")).alias("v")).distinct()
     )
     frontier = verts.crossJoin(
         adj.sparkSession.range(walks_per_vertex).select(
@@ -1460,7 +1460,11 @@ def random_walks(
     # on vertex alone and filtering index==pick afterwards would
     # materialize deg(v) rows per walk per step, a blow-up under
     # power-law degrees
-    vdeg = adj.select("v", "__deg__").distinct()
+    # row_number guarantees exactly one __i__ == 0 row per vertex, so
+    # this is the (v, degree) table with NO distinct: a plain filter
+    # over the checkpointed adjacency instead of an exchange + two hash
+    # aggregates re-executed by every step's join (guide §2.4).
+    vdeg = adj.filter(F.col("__i__") == 0).select("v", "__deg__")
     cur = frontier
     pins = []  # cache-round frontier pins, released by the exit seal
     for t in range(1, walk_length + 1):
