@@ -775,8 +775,15 @@ def ivfpq_scan_quantized(
             out[mask] = total
         return pd.Series(out)
 
+    # The pruned-list filter below references the UDF's output column,
+    # and Catalyst's filter pushdown then evaluates the UDF TWICE — once
+    # under the pushed filter and again in the projection (two
+    # ArrowEvalPython nodes over the same scan; guide §4.4). The UDF is
+    # deterministic, but marking it non-deterministic forbids the
+    # duplication: one ADC pass per row instead of two.
+    _scan_once = _scan.asNondeterministic()
     return (
-        quant.withColumn("dist_e12", _scan(F.col("__v__")))
+        quant.withColumn("dist_e12", _scan_once(F.col("__v__")))
         .filter(F.col("dist_e12") >= 0)
         .orderBy(F.asc("dist_e12"), F.asc(id_col))
         .limit(k)
