@@ -1919,8 +1919,13 @@ def q_ingest_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second time (r11 event-log profile: two 65-task ArrowEvalPython
     # stages for one query — the batch-4 range-sampler shape). The
     # checkpoint runs the embed exactly once; the sort reads 15k tiny
-    # rows from storage.
-    return proj.localCheckpoint(eager=True).orderBy("name")
+    # rows from storage. plan_barrier (r12) picks a RELIABLE checkpoint
+    # when the deployment configured a checkpoint dir — on a cluster an
+    # executor loss after this barrier would otherwise fail the query
+    # instead of recomputing (ADVICE r11).
+    from hippollm_spark.operators.dedup import plan_barrier
+
+    return plan_barrier(proj, eager=True).orderBy("name")
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2526,8 +2531,16 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hippollm_spark.operators.textstats import winnow_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # max_df = n_docs div 50 as a scalar subquery: the corpus count runs
+    # inside the pair query (one job) instead of as a separate eager
+    # docs.count() action per call — same value, integer div on both
+    # paths (guide §1.2: fewer actions).
     return winnow_dup_pairs(
-        docs, k=8, window=4, min_shared=20, max_df=docs.count() // 50
+        docs,
+        k=8,
+        window=4,
+        min_shared=20,
+        max_df=docs.agg(F.expr("count(*) div 50").alias("__max_df__")).scalar(),
     )
 
 
@@ -2878,10 +2891,13 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hippollm_spark.operators.sampling import negative_samples
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # candidate count as a scalar subquery (one job instead of an eager
+    # emb.count() + the sampling job; Catalyst's ReuseSubquery evaluates
+    # the shared count once). Value-identical negatives.
+    n = emb.agg(F.count("*").alias("__n__")).scalar()
     pairs = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
-        F.pmod(F.col("vec_id") + 1, F.lit(n)).alias("pos_id"),
+        F.pmod(F.col("vec_id") + 1, n).alias("pos_id"),
     )
     return negative_samples(pairs, n, k=4)
 

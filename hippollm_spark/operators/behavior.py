@@ -279,7 +279,14 @@ def basket_lift(
     b = baskets.select(
         F.col(basket_col).alias("__b__"), F.col(item_col).alias("__i__")
     ).distinct()
-    n_baskets = b.select("__b__").distinct().count()
+    # N as a scalar subquery (count_distinct ≡ the old
+    # select.distinct().count()): the basket count runs inside the lift
+    # query — its aggregate overlaps the pair join on idle cores —
+    # instead of as a separate eager job that executed the whole b
+    # subtree once more up front (guide §1.2 — fewer actions).
+    n_baskets = b.agg(
+        F.count_distinct(F.col("__b__")).cast("double").alias("__n__")
+    ).scalar()
     left = b.select(F.col("__b__"), F.col("__i__").alias("item_a"))
     right = b.select(F.col("__b__"), F.col("__i__").alias("item_b"))
     pairs = (
@@ -302,7 +309,7 @@ def basket_lift(
             "n_a",
             "n_b",
             F.round(
-                (F.col("n_pair") * F.lit(n_baskets).cast("double"))
+                (F.col("n_pair") * n_baskets)
                 / (F.col("n_a") * F.col("n_b")).cast("double"),
                 6,
             ).alias("lift"),

@@ -353,6 +353,40 @@ def _cpu_spread(df: DataFrame, partitions: int | None) -> DataFrame:
     return df
 
 
+def plan_barrier(df: DataFrame, *, eager: bool = False) -> DataFrame:
+    """Lineage/plan barrier with a durability policy (guide §5).
+
+    ``localCheckpoint`` truncates lineage into NON-replicated executor
+    blocks: free and correct on local[‑] (one JVM — if it dies, the
+    whole app dies), but on a real cluster losing one executor
+    mid-query FAILS the job instead of recomputing the lost partitions.
+    Several 100-TB paths (the textstats postings barriers, ingest's
+    sampler pin, dedup_canonicalize's edge leaf) now lean on these
+    barriers, so the durability choice must be a deployment conf, not
+    a hard-coded local assumption:
+
+    - if the application configured a RELIABLE checkpoint directory
+      (``spark.sparkContext.setCheckpointDir(...)`` — HDFS/object
+      store), use ``checkpoint()``: blocks survive executor loss;
+    - otherwise use ``localCheckpoint()`` — the right local default
+      (reliable checkpointing without a distributed FS is just a slow
+      disk write).
+
+    Same plan-shape effect either way: the returned frame is a leaf,
+    so optimizer rules can no longer sink filters below it or
+    duplicate the subtree it cut off.
+    """
+    try:
+        has_dir = (
+            df.sparkSession.sparkContext._jsc.sc().checkpointDir().isDefined()
+        )
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _packed_hashes(sh: DataFrame, hexpr, partitions: int | None) -> DataFrame:
     """(doc_id, hb BINARY): each document's shingle hashes packed as
     big-endian int64 into ONE binary blob (hex per element, one
@@ -521,6 +555,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     shingle_hash: str = "xxhash64",
     partitions: int | None = None,
+    bucket_width_max: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     num_hashes/bands rows; docs colliding on any full band become
@@ -533,6 +568,23 @@ def minhash_lsh_pairs(
     is its correctness oracle at test scale.
     Output: (doc_a, doc_b, jaccard) like jaccard_dup_pairs (when
     verify=True), else raw candidate pairs.
+
+    ``bucket_width_max`` (kwarg >
+    ``spark.hippollm.lsh.bucketWidthMax`` conf > None = off) caps the
+    number of docs a single band bucket may hold before it is DROPPED
+    from candidate generation — the `max_shingle_df` relief valve of
+    the jaccard family, ported to bands (VERDICT r11 #3). Without it a
+    degenerate bucket (all-empty docs, constant signatures) is
+    quadratic in any implementation, but the group-then-pair shape
+    concentrates the whole posting list in ONE collect_list aggregation
+    state first, so the failure mode is a single-task OOM rather than
+    the old self-join's slow-but-streaming shuffle (guide §2.5 skew /
+    §5 memory). A bucket of width w > max signals w near-identical
+    docs; its MEMBERS usually still pair up through their other
+    (narrower) band buckets, but pairs whose every shared bucket is
+    oversized are lost — that is the documented trade, identical in
+    kind to `max_shingle_df` dropping boilerplate shingles. Off by
+    default so results are bit-identical unless a deployment opts in.
     """
     sh, banded = _band_rows(
         docs, num_hashes, bands, n,
@@ -549,7 +601,35 @@ def minhash_lsh_pairs(
     # pairs (a < b) sharing >= 1 full band bucket, deduped across bands.
     # A degenerate giant bucket (e.g. all-empty docs, all-zero
     # signatures) is quadratic in EITHER form; the verify stage rejects
-    # its pairs.
+    # its pairs. The optional bucket_width_max guard (docstring) must
+    # drop oversized buckets BEFORE collect_list ever runs — the width
+    # filter cannot come after the aggregation, because the hazard is
+    # the aggregation STATE itself (one in-memory array per bucket):
+    # width first (count aggregation, constant state per bucket), then
+    # a semi-join keeps only sane buckets' rows. The barrier makes the
+    # banding pipeline compute once for both passes. Zero extra plan
+    # when the cap is off (the default).
+    if bucket_width_max is None:
+        conf_cap = banded.sparkSession.conf.get(
+            "spark.hippollm.lsh.bucketWidthMax", ""
+        )
+        if conf_cap:
+            try:
+                bucket_width_max = int(conf_cap)
+            except ValueError as exc:
+                raise ValueError(
+                    "spark.hippollm.lsh.bucketWidthMax must be an int, got "
+                    f"{conf_cap!r}"
+                ) from exc
+    if bucket_width_max is not None and bucket_width_max > 0:
+        banded = plan_barrier(banded)
+        sane = (
+            banded.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("__w__"))
+            .filter(F.col("__w__") <= bucket_width_max)
+            .select("band_idx", "band_hash")
+        )
+        banded = banded.join(sane, ["band_idx", "band_hash"], "semi")
     cands = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.collect_list("doc_id").alias("ds"))
@@ -699,13 +779,18 @@ def simhash_block_pairs(
     split n_bits into 4 blocks; pairs within hamming<=3 must agree on
     >= 1 block → equi-join per block, verify hamming on candidates.
     Output: (doc_a, doc_b, hamming INT)."""
-    # fp feeds BOTH sides of the block self-join; without the pin the
-    # whole fingerprint subtree (tokenize + md5 + the 61-column
-    # aggregation) executes twice — the r11 plan showed the full chain
-    # duplicated under the join (guide §2.3: don't compute twice). The
-    # cache is (doc_id, simhash) = 16 bytes/doc; the pin is released by
-    # the caller's session hygiene (bench clears caches per query).
-    fp = fp.cache()
+    # fp feeds BOTH sides of the block self-join; without a
+    # materialization boundary the whole fingerprint subtree (tokenize +
+    # md5 + the 61-column aggregation) executes twice — the r11 plan
+    # showed the full chain duplicated under the join (guide §2.3:
+    # don't compute twice). The frame is (doc_id, simhash) = 16
+    # bytes/doc. r12 (VERDICT r11 #4): an eager plan_barrier, NOT
+    # .cache() — the cache was a CacheManager pin that only the
+    # caller's session hygiene ever released, so repeated library calls
+    # accumulated executor storage; checkpoint blocks are reaped by the
+    # ContextCleaner as soon as the returned frame is GC'd, and the
+    # eager build also removes the two join sides' first-touch race.
+    fp = plan_barrier(fp, eager=True)
     block_bits = n_bits // 4
     mask = (1 << block_bits) - 1
     blocks = fp.select(
@@ -750,8 +835,8 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs over the 64-bit blake2b simhash (the fast
     Arrow-vectorized fingerprint). Output: (doc_a, doc_b, hamming)."""
-    # simhash_block_pairs pins the fingerprints itself (both join sides
-    # read them); no extra cache needed here.
+    # simhash_block_pairs materializes the fingerprints itself (both
+    # join sides read them); no extra barrier needed here.
     fp = simhash64(docs, id_col=id_col, text_col=text_col)
     return simhash_block_pairs(fp, max_hamming, n_bits=64)
 
@@ -947,7 +1032,7 @@ def dedup_canonicalize(
     # round (measured: 7s/round of pure planning vs <1s of work).
     # Checkpointing reduces the loop's base to a leaf; the pairs
     # computation runs once either way.
-    ecp = e.localCheckpoint(eager=True)
+    ecp = plan_barrier(e, eager=True)
     try:
         gate = int(
             spark.conf.get("spark.hippollm.dedup.canonicalize.collectEdgeMax", "")
@@ -997,7 +1082,7 @@ def dedup_canonicalize(
     edges = (
         ecp.union(ecp.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lambda d: plan_barrier(d, eager=True))
     )
     n_e = edges.count()  # cheap on the checkpoint; gates the label broadcast
     pin = labels = (
@@ -1026,7 +1111,7 @@ def dedup_canonicalize(
                 )
             ).cache()
             if it % checkpoint_every == checkpoint_every - 1:
-                merged = merged.localCheckpoint(eager=True)
+                merged = plan_barrier(merged, eager=True)
             changed = merged.filter(F.col("__chg__")).limit(1).count()
             pin.unpersist()  # previous round's label table, now superseded
             pin = merged_cache
@@ -1041,7 +1126,7 @@ def dedup_canonicalize(
     # convergence counts already materialized every row, so this
     # checkpoint costs one tiny job and makes the result a leaf.
     out = labels.withColumnRenamed("label", "canonical_id")
-    sealed = out.localCheckpoint(eager=True)
+    sealed = plan_barrier(out, eager=True)
     pin.unpersist()  # sealed result is a leaf; release the last pin
     return sealed
 
@@ -1705,7 +1790,7 @@ def incremental_dedup(
         id_col=id_col, text_col=text_col,
         shingle_hash=shingle_hash, partitions=partitions,
     )
-    banded_new = banded_new.localCheckpoint(eager=True)
+    banded_new = plan_barrier(banded_new, eager=True)
     idx = spark.table(f"{table_prefix}_bands")
     nb = banded_new.select(
         F.col("doc_id").alias("doc_new"), "band_idx", "band_hash"
@@ -1772,7 +1857,7 @@ def incremental_dedup(
         )
     )
     if update_index:
-        verified = verified.localCheckpoint(eager=True)
+        verified = plan_barrier(verified, eager=True)
         dups = verified.select("doc_id").distinct()
         keep_bands = banded_new.join(dups, "doc_id", "left_anti")
         keep_sh = sh_new.join(dups, "doc_id", "left_anti")

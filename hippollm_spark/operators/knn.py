@@ -101,6 +101,7 @@ def knn_facts_with_ids(
     k: int = 5,
     *,
     id_col: str = "id",
+    collect_max: int = 100_000,
     **kw,
 ) -> DataFrame:
     """V4 — kNN restricted to a candidate id set (reference
@@ -112,14 +113,40 @@ def knn_facts_with_ids(
     **unranked** — no distance column, no ordering guarantee. At
     exactly k == |candidates| the reference still runs the vector
     search and returns all candidates RANKED with real distances, so
-    we do too. The candidate set in the reference is always small (it
-    came from an entity adjacency), so the count guard is cheap; the
-    semi-join pushes the filter below the scoring projection.
+    we do too.
+
+    The degenerate guard needs |candidates| on the driver either way
+    (it decides the OUTPUT SCHEMA, so it cannot move into the plan).
+    The old shape paid for the candidate pipeline twice: a ``count()``
+    job for the guard, then the whole pipeline AGAIN as the broadcast
+    build side of the semi-join (a broadcast collects to the driver
+    anyway). Collect the ids once and filter with a literal IN-set
+    instead: one execution of the candidate pipeline, and the main job
+    carries no broadcast build (guide §1.2/§2.4 — don't compute things
+    twice). Past ``collect_max`` ids the old count + broadcast
+    semi-join shape runs unchanged (the guard stays cheap because the
+    reference's candidate sets are entity adjacencies, i.e. small).
     """
     cand_col = candidate_ids.columns[0]
     cands = candidate_ids.withColumnRenamed(cand_col, id_col).distinct()
-    n = cands.count()
-    filtered = facts.join(F.broadcast(cands), on=id_col, how="semi")
+    rows = cands.limit(collect_max + 1).collect()
+    if len(rows) > collect_max:
+        n = cands.count()
+        filtered = facts.join(F.broadcast(cands), on=id_col, how="semi")
+    else:
+        n = len(rows)
+        # Rebuild the (already distinct) candidate set as a LOCAL
+        # relation and semi-join against that: identical survivors, but
+        # the main job no longer re-executes the candidate pipeline as
+        # its broadcast build side. NOT an `isin` literal list — a
+        # thousand-element IN expression sent v5's optimizer time
+        # through the roof (measured 2.0 s → 12.2 s: per-rule passes
+        # over the giant predicate), while a LocalRelation build side
+        # is opaque to expression rules and broadcast-hashes as usual.
+        local = facts.sparkSession.createDataFrame(
+            rows, schema=cands.schema
+        )
+        filtered = facts.join(F.broadcast(local), on=id_col, how="semi")
     if k > n:
         return filtered
     return knn(filtered, query_vec, k, id_col=id_col, **kw)

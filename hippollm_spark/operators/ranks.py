@@ -47,7 +47,8 @@ def distributed_rank(
     by: str | Sequence[str] | None = None,
     rank_col: str = "rank",
     partitions: int | None = None,
-) -> DataFrame:
+    with_total: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Input columns + ``rank_col`` (1-based BIGINT, row_number
     semantics per ``by`` group, ordered by ``order_cols``) — without
     any whole-group window. See module docstring for the shape.
@@ -57,6 +58,12 @@ def distributed_rank(
     be deterministic: the range exchange and the per-partition window
     each evaluate them (identical results for deterministic exprs;
     rand()-style orders would diverge between the two).
+
+    ``with_total=True`` additionally returns the exact global row count
+    as ``(df, total)`` — it is the sum of the per-partition counts this
+    operator already collects, so callers that need N (ntile bucket
+    arithmetic) get it without a second full count() job over the
+    ranked frame (guide §1.2 — fewer actions).
     """
     keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
     work = df
@@ -78,7 +85,8 @@ def distributed_rank(
         .collect()
     )
     if not counts:
-        return df.withColumn(rank_col, F.lit(None).cast("long"))
+        out_empty = df.withColumn(rank_col, F.lit(None).cast("long"))
+        return (out_empty, 0) if with_total else out_empty
 
     # cumulative offsets per group, in range-partition (= key) order
     offsets: list[tuple] = []
@@ -106,7 +114,7 @@ def distributed_rank(
     for i, k in enumerate(keys):
         cond = cond & F.col(k).eqNullSafe(F.col(f"__k{i}__"))
     w = Window.partitionBy("__pid__", *keys).orderBy(*ocols)
-    return (
+    out = (
         part.withColumn("__rn__", F.row_number().over(w))
         .join(F.broadcast(off_df), cond, "inner")
         .withColumn(rank_col, (F.col("__off__") + F.col("__rn__")).cast("long"))
@@ -115,6 +123,9 @@ def distributed_rank(
             *[f"__k{i}__" for i in range(len(keys))],
         )
     )
+    if with_total:
+        return out, sum(r["__cnt__"] for r in counts)
+    return out
 
 
 def distributed_prefix_sum(

@@ -27,7 +27,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -391,7 +391,7 @@ def length_batches(
 
 def negative_samples(
     pairs: DataFrame,
-    n_candidates: int,
+    n_candidates: int | Column,
     k: int = 4,
     *,
     query_col: str = "query_id",
@@ -411,7 +411,18 @@ def negative_samples(
     `with_dense_ids` produces).
 
     Output: (query_id, pos_id, slot INT, neg_id BIGINT).
+
+    ``n_candidates`` may be a scalar-subquery Column
+    (``cands.agg(F.count('*')).scalar()``) so the candidate count runs
+    inside the sampling query instead of as a separate eager ``count()``
+    job per call (guide §1.2 — fewer actions); the drawn ids are
+    value-identical either way.
     """
+    n_lit = (
+        n_candidates
+        if isinstance(n_candidates, Column)
+        else F.lit(n_candidates)
+    )
     h = F.conv(
         F.substring(
             F.md5(
@@ -428,9 +439,9 @@ def negative_samples(
         16,
         10,
     ).cast("long")
-    raw = F.pmod(h, F.lit(n_candidates))
+    raw = F.pmod(h, n_lit)
     neg = F.when(
-        raw == F.col(positive_col), F.pmod(raw + 1, F.lit(n_candidates))
+        raw == F.col(positive_col), F.pmod(raw + 1, n_lit)
     ).otherwise(raw)
     return (
         pairs.select(

@@ -170,22 +170,35 @@ def heavy_hitters(
         .filter(F.col("residual") > 0)
         .select("item")
     )
-    total = src.count()
+    counted = src.join(
+        F.broadcast(candidates), src["__item__"] == candidates["item"], "inner"
+    ).groupBy("item").agg(F.count("*").alias("cnt"))
     if share_ratio is not None:
         # exact rational threshold ceil(num·N/den) — integer-only, so a
         # cross-engine oracle can reproduce it bit-for-bit ((N·num +
         # den-1) div den); float thresholds can straddle an integer
-        # boundary differently per engine when share·N lands on one
+        # boundary differently per engine when share·N lands on one.
+        # N comes in as a scalar subquery (guide §1.2 — no separate
+        # eager count() job per call), and the HAVING uses the
+        # cross-multiplied form cnt·den ≥ num·N ⟺ cnt ≥ ceil(num·N/den)
+        # (den > 0, all integers — no overflow at sane den: cnt·den ≤
+        # N·den < 2^63 for N·den < 9.2e18).
         num, den = share_ratio
-        threshold = -(-(num * total) // den)
-    else:
-        threshold = -(-int(min_share * 10**6 * total) // 10**6)
-    exact = (
-        src.join(F.broadcast(candidates), src["__item__"] == candidates["item"], "inner")
-        .groupBy("item")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= threshold)
-    )
+        total_col = src.agg(F.count("*").alias("__n__")).scalar()
+        exact = counted.filter(
+            F.col("cnt") * F.lit(den) >= F.lit(num) * total_col
+        )
+        return exact.select(
+            "item",
+            "cnt",
+            F.round(F.col("cnt") / total_col.cast("double"), 6).alias("share"),
+        )
+    # float min_share path: the threshold's float product depends on N
+    # driver-side (int(min_share·1e6·N) truncates the double product),
+    # so parity requires the eager count here.
+    total = src.count()
+    threshold = -(-int(min_share * 10**6 * total) // 10**6)
+    exact = counted.filter(F.col("cnt") >= threshold)
     return exact.select(
         "item",
         "cnt",
@@ -413,8 +426,11 @@ def ntile_buckets(
         return df.withColumn("bucket", F.ntile(n).over(w))
     from hippollm_spark.operators.ranks import distributed_rank
 
-    ranked = distributed_rank(df, order, rank_col="__ntile_rk__")
-    total = ranked.count()
+    # total = the sum of per-partition counts distributed_rank already
+    # collected — no second count() job over the ranked frame (§1.2).
+    ranked, total = distributed_rank(
+        df, order, rank_col="__ntile_rk__", with_total=True
+    )
     if total == 0:
         return df.withColumn("bucket", F.lit(None).cast("int"))
     q, r = divmod(total, n)
@@ -637,7 +653,10 @@ def distribution_drift(
     )
     slice_tot = by_cell.groupBy("slice").agg(F.sum("n_pc").alias("n_p"))
     glob = by_cell.groupBy("cat").agg(F.sum("n_pc").alias("n_qc"))
-    n_q = df.count()
+    # N as a scalar subquery: runs inside the divergence query instead
+    # of as a separate eager df.count() job per call (guide §1.2);
+    # double cast ≡ float(n) exactly.
+    n_q = df.agg(F.count("*").cast("double").alias("__n__")).scalar()
     # full (slice × category) grid so Q-only categories contribute
     grid = (
         slice_tot.crossJoin(F.broadcast(glob))
@@ -645,7 +664,7 @@ def distribution_drift(
         .fillna(0, subset=["n_pc"])
     )
     p = F.col("n_pc") / F.col("n_p").cast("double")
-    q = F.col("n_qc") / F.lit(float(n_q))
+    q = F.col("n_qc") / n_q
     m = (p + q) / 2.0
     term = (
         F.when(F.col("n_pc") > 0, p * F.log(p / m) / 2.0).otherwise(0.0)
@@ -1284,7 +1303,8 @@ def psi_drift(
     )
     slice_tot = by_cell.groupBy("slice").agg(F.sum("n_pc").alias("n_p"))
     glob = by_cell.groupBy("cat").agg(F.sum("n_pc").alias("n_qc"))
-    n_q = df.count()
+    # N as a scalar subquery — same rationale as distribution_drift.
+    n_q = df.agg(F.count("*").cast("double").alias("__n__")).scalar()
     grid = (
         slice_tot.crossJoin(F.broadcast(glob))
         .join(by_cell, ["slice", "cat"], "left")
@@ -1293,7 +1313,7 @@ def psi_drift(
     e_num, e_den = epsilon_ratio
     eps = F.lit(e_num).cast("double") / F.lit(e_den).cast("double")
     p = F.greatest(F.col("n_pc") / F.col("n_p").cast("double"), eps)
-    q = F.greatest(F.col("n_qc") / F.lit(float(n_q)), eps)
+    q = F.greatest(F.col("n_qc") / n_q, eps)
     term = (p - q) * F.log(p / q)
     return (
         grid.groupBy("slice")
@@ -1340,15 +1360,18 @@ def association_chi2(
     )
     row_m = cells.groupBy("__a__").agg(F.sum("__o__").alias("__rt__"))
     col_m = cells.groupBy("__b__").agg(F.sum("__o__").alias("__ct__"))
-    n = df.filter(ok).count()
+    # N as a scalar subquery: runs inside the χ² query instead of as a
+    # separate eager count() job per call (guide §1.2). Kept as BIGINT
+    # for the output column; cast to double where the old float(n) was.
+    n = df.filter(ok).agg(F.count("*").alias("__n__")).scalar()
     grid = (
         row_m.crossJoin(F.broadcast(col_m))
         .join(cells, ["__a__", "__b__"], "left")
         .fillna(0, subset=["__o__"])
     )
     o = F.col("__o__").cast("double")
-    e = F.col("__rt__").cast("double") * F.col("__ct__").cast("double") / F.lit(
-        float(n)
+    e = F.col("__rt__").cast("double") * F.col("__ct__").cast("double") / n.cast(
+        "double"
     )
     term = F.when(e > 0, (o - e) * (o - e) / e)
     agg = grid.agg(
@@ -1367,10 +1390,10 @@ def association_chi2(
     ).cast("double")
     v = F.when(
         chi2.isNotNull() & (minrc > 0),
-        F.sqrt(chi2 / (F.lit(float(n)) * minrc)),
+        F.sqrt(chi2 / (n.cast("double") * minrc)),
     )
     return agg.select(
-        F.lit(n).alias("n"),
+        n.alias("n"),
         "n_rows_cat",
         "n_cols_cat",
         chi2.alias("chi2"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hippollm_spark.operators.dedup import normalized_text
+from hippollm_spark.operators.dedup import normalized_text, plan_barrier
 
 # Tiny deterministic stopword lists per language for the n-gram/stopword
 # language-ID heuristic. (Heuristic quality is not the point — the
@@ -254,7 +254,7 @@ def with_quality_language(
         "lang_pred",
     )
     if spread_fired:
-        out = out.localCheckpoint(eager=False)
+        out = out.transform(plan_barrier)
     return out
 
 
@@ -450,7 +450,7 @@ def winnow_dup_pairs(
     window: int = 4,
     *,
     min_shared: int = 20,
-    max_df: int | None = None,
+    max_df: int | Column | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -462,7 +462,11 @@ def winnow_dup_pairs(
     is boilerplate, not evidence of copying). This is also the scale
     guard — a fingerprint in f docs contributes f·(f-1)/2 candidate
     pairs, so one boilerplate fingerprint across 1% of a 100 TB corpus
-    is a quadratic blowup.
+    is a quadratic blowup. A corpus-derived threshold (e.g.
+    ``n_docs div 50``) should be passed as a scalar-subquery Column
+    (``docs.agg(...).scalar()``) rather than a pre-computed int: the
+    count then runs INSIDE the pair query instead of as a separate
+    eager job per call (guide §1.2 — fewer actions).
 
     Shape note: NOT a fp self-join — a self-join recomputes the whole
     rolling-hash lineage once per side (no exchange reuse under AQE)
@@ -646,9 +650,12 @@ def tfidf_keywords(
     tf = (
         terms.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(plan_barrier)
     )
-    n_docs = docs.count()
+    # corpus size as a scalar subquery: the count runs inside the
+    # scoring query instead of as a separate eager docs.count() job per
+    # call (guide §1.2 — fewer actions); double cast = float(n) exactly.
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n__")).scalar()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
@@ -657,7 +664,7 @@ def tfidf_keywords(
         "df",
         F.round(
             F.col("tf")
-            * F.round(F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")), 6),
+            * F.round(F.log(F.lit(1.0) + n_docs / F.col("df")), 6),
             6,
         ).alias("score_tfidf"),
     )
@@ -697,9 +704,7 @@ def pmi_collocations(
     # scanned+tokenized once per execution, not three times (r11,
     # guide §2.4 — plan inspection showed one parquet scan per branch,
     # zero ReusedExchange).
-    t = with_tokens(docs, id_col=id_col, text_col=text_col).localCheckpoint(
-        eager=False
-    )
+    t = with_tokens(docs, id_col=id_col, text_col=text_col).transform(plan_barrier)
     toks = F.col("__toks__")
     uni = (
         t.select(F.explode(toks).alias("w"))
@@ -729,14 +734,16 @@ def pmi_collocations(
         .filter(F.col("n_pair") >= min_count)
     )
     # T and B count ALL token / bigram occurrences (including pruned
-    # bigrams): one tiny driver-side pass over per-doc sizes.
-    sums = t.select(
-        F.size(toks).alias("n")
-    ).agg(
-        F.sum("n").alias("t_tokens"),
-        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("b_bigrams"),
-    ).collect()[0]
-    T, B = int(sums["t_tokens"]), int(sums["b_bigrams"])
+    # bigrams) — as scalar subqueries over the checkpointed t, so they
+    # run inside the scoring query (MergeScalarSubqueries folds the two
+    # into one aggregate) instead of as a separate eager collect() job
+    # per call (guide §1.2 — fewer actions). Same long sums, same
+    # long→double cast, so the 6dp PMI is value-identical.
+    sizes = t.select(F.size(toks).alias("n"))
+    T = sizes.agg(F.sum("n").cast("double").alias("__t__")).scalar()
+    B = sizes.agg(
+        F.sum(F.greatest(F.col("n") - 1, F.lit(0))).cast("double").alias("__b__")
+    ).scalar()
     u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
     scored = (
@@ -750,8 +757,8 @@ def pmi_collocations(
             "n_w2",
             F.round(
                 F.log(
-                    (F.col("n_pair") * F.lit(T).cast("double") * F.lit(T))
-                    / (F.lit(B).cast("double") * F.col("n_w1") * F.col("n_w2"))
+                    (F.col("n_pair") * T * T)
+                    / (B * F.col("n_w1") * F.col("n_w2"))
                 ),
                 6,
             ).alias("pmi"),
@@ -867,9 +874,7 @@ def ngram_lm_score(
     # frame so the corpus is scanned+tokenized once per execution —
     # plan inspection r11 showed SIX parquet scans of the corpus and
     # zero ReusedExchange without the boundary (guide §2.4).
-    t = with_tokens(docs, id_col=id_col, text_col=text_col).localCheckpoint(
-        eager=False
-    )
+    t = with_tokens(docs, id_col=id_col, text_col=text_col).transform(plan_barrier)
     toks = F.col("__toks__")
     doc_bigrams = t.select(
         "doc_id",
@@ -885,7 +890,7 @@ def ngram_lm_score(
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2").localCheckpoint(eager=False)
+    ).select("doc_id", "bg.w1", "bg.w2").transform(plan_barrier)
     bg_counts = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
     uni = (
         t.select(F.explode(toks).alias("w"))
@@ -893,7 +898,10 @@ def ngram_lm_score(
         .groupBy("w")
         .agg(F.count("*").alias("c_x"))
     )
-    vocab = uni.count()
+    # |V| as a scalar subquery: the vocabulary count runs inside the
+    # scoring query instead of as a separate eager uni.count() job per
+    # call (guide §1.2 — fewer actions); same long + long, same cast.
+    vocab = uni.agg(F.count("*").alias("__v__")).scalar()
     u1 = uni.select(F.col("w").alias("w1"), "c_x")
     scored = (
         doc_bigrams.join(bg_counts, ["w1", "w2"])
@@ -903,7 +911,7 @@ def ngram_lm_score(
             F.round(
                 -F.log(
                     (F.col("c_xy") + 1)
-                    / (F.col("c_x") + F.lit(vocab)).cast("double")
+                    / (F.col("c_x") + vocab).cast("double")
                 ),
                 6,
             ).alias("__t__"),
@@ -971,7 +979,10 @@ def chi2_keywords(
         F.col("df_term") >= min_df
     )
     label_n = labels.groupBy("label").agg(F.count("*").alias("n_label"))
-    n_total = labels.count()
+    # N as a scalar subquery: the doc count runs inside the χ² query
+    # instead of as a separate eager labels.count() job per call
+    # (guide §1.2 — fewer actions); same long arithmetic, same casts.
+    n_total = labels.agg(F.count("*").alias("__n__")).scalar()
     cells = (
         tl.join(F.broadcast(term_df), "term")
         .join(F.broadcast(label_n), "label")
@@ -980,11 +991,11 @@ def chi2_keywords(
     b = (F.col("n_label") - F.col("a_")).cast("double")  # label, no term
     c = (F.col("df_term") - F.col("a_")).cast("double")  # other, term
     d = (
-        F.lit(n_total) - F.col("n_label") - F.col("df_term") + F.col("a_")
+        n_total - F.col("n_label") - F.col("df_term") + F.col("a_")
     ).cast("double")                                    # other, no term
     num = (a * d - b * c)
     denom = (a + b) * (c + d) * (a + c) * (b + d)
-    chi2 = F.when(denom > 0, F.lit(float(n_total)) * num * num / denom)
+    chi2 = F.when(denom > 0, n_total.cast("double") * num * num / denom)
     scored = cells.select(
         "label",
         "term",
@@ -1087,7 +1098,7 @@ def ppmi_pairs(
             F.posexplode(F.col("__toks__")).alias("pos", "term"),
         )
         .filter(F.col("term") != "")
-        .localCheckpoint(eager=False)
+        .transform(plan_barrier)
     )
     vocab = (
         toks.groupBy("term")
@@ -1096,7 +1107,7 @@ def ppmi_pairs(
         .limit(vocab_size)
         .select("term")
     )
-    vt = toks.join(F.broadcast(vocab), "term").localCheckpoint(eager=False)
+    vt = toks.join(F.broadcast(vocab), "term").transform(plan_barrier)
     offsets = [o for o in range(-window, window + 1) if o != 0]
     ctx = vt.select(
         "doc_id",

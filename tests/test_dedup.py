@@ -289,3 +289,114 @@ def test_canonicalize_driver_and_distributed_paths_agree(spark):
     finally:
         spark.conf.unset(key)
     assert fast == slow
+
+
+def test_minhash_bucket_width_guard(spark):
+    # r12 (VERDICT r11 #3): a planted degenerate bucket — many docs with
+    # IDENTICAL text collide on every band — must be droppable via
+    # bucket_width_max without touching pairs that flow through sane
+    # buckets. Default (no cap) keeps results byte-identical.
+    rows = [(i, "spam spam spam spam spam spam") for i in range(20)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert (100, 101) in uncapped
+    assert (0, 1) in uncapped  # the degenerate clique pairs up uncapped
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, threshold=0.5, bucket_width_max=10
+        ).collect()
+    }
+    # every bucket of the 20-doc clique exceeds the cap -> its pairs are
+    # dropped; the sane pair survives untouched
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped)
+    # conf spelling of the same cap
+    key = "spark.hippollm.lsh.bucketWidthMax"
+    spark.conf.set(key, "10")
+    try:
+        via_conf = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    assert via_conf == capped
+    # invalid conf value errors instead of silently falling back
+    spark.conf.set(key, "lots")
+    try:
+        with pytest.raises(ValueError):
+            dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    finally:
+        spark.conf.unset(key)
+
+
+def test_simhash_block_pairs_releases_storage(spark):
+    # r12 (VERDICT r11 #2/#4): the fingerprint materialization must not
+    # leave CacheManager pins behind — N repeated library calls may not
+    # grow the persistent-RDD set once their results are dropped.
+    import gc
+
+    rows = [(i, f"token{i} alpha beta gamma delta") for i in range(30)]
+    rows += [(900, "xx yy zz ww"), (901, "xx yy zz ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pinned_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    baseline = pinned_ids()  # other fixtures legitimately hold caches
+    for _ in range(3):
+        out = dedup.simhash_dup_pairs(df, max_hamming=3)
+        assert out.count() >= 1
+        del out
+    import time
+
+    deadline = time.time() + 30
+    leaked = None
+    while time.time() < deadline:
+        gc.collect()  # drop py4j refs so the JVM-side plans unreference
+        spark.sparkContext._jvm.System.gc()  # let ContextCleaner reap
+        leaked = pinned_ids() - baseline
+        if not leaked:
+            break
+        time.sleep(0.5)
+    # checkpoint blocks are ContextCleaner-reaped once unreferenced;
+    # the old .cache() pin would sit here forever
+    assert not leaked, f"storage pins leaked by repeated calls: {leaked}"
+
+
+def test_plan_barrier_reliable_when_checkpoint_dir_set(spark, tmp_path):
+    # plan_barrier policy: localCheckpoint by default, RELIABLE
+    # checkpoint (survives executor loss on a cluster) when the app
+    # configured a checkpoint dir.
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    local = dedup.plan_barrier(df, eager=True)
+    assert local.count() == 10
+    assert local._jdf.rdd().toDebugString() is not None
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().checkpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rel = dedup.plan_barrier(df, eager=True)
+        assert rel.count() == 10
+        assert sorted(r["v"] for r in rel.collect()) == sorted(
+            r["v"] for r in df.collect()
+        )
+        # the reliable path wrote checkpoint files under the configured dir
+        ckpt_files = [p for p in (tmp_path / "ckpt").rglob("*") if p.is_file()]
+        assert ckpt_files, "expected reliable checkpoint files on disk"
+    finally:
+        # restore the local default for the rest of the session (no
+        # public unset API — clear the underlying Option directly)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+    assert not sc._jsc.sc().checkpointDir().isDefined()
