@@ -2490,7 +2490,11 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") == 3).select(
         F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    vec_ranked = topk_per_query(emb, queries, k=50, id_col="vec_id").select(
+    # spread=False: one query — the corpus-spread exchange costs more
+    # than one query's scoring wins back (r12 A/B)
+    vec_ranked = topk_per_query(
+        emb, queries, k=50, id_col="vec_id", spread=False
+    ).select(
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return rrf_fuse(
@@ -2515,7 +2519,10 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") == 3).select(
         F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cands = topk_per_query(emb, queries, k=30, id_col="vec_id").join(
+    # spread=False: single-query call (r12 A/B — see bm25_ndcg note)
+    cands = topk_per_query(
+        emb, queries, k=30, id_col="vec_id", spread=False
+    ).join(
         emb.select("vec_id", "embedding"), "vec_id"
     )
     return mmr_rerank_quantized(cands, k=10, lambda_e6=500_000).orderBy(

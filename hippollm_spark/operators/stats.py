@@ -36,6 +36,16 @@ def exact_percentiles(
     (e.g. p25, p50, p75; p2_5 for fractional percents).
     """
     by = [by] if isinstance(by, str) else list(by)
+    # Pin the window exchange's partition count (session conf): AQE's
+    # byte-based coalescing folds the per-group sort to ONE partition
+    # when the shuffle is MB-small, serializing every group's sort onto
+    # one core (measured r12 on the value/quantile family: 1-task
+    # window stages own the queries). A non-coalescible explicit
+    # repartition on the group keys keeps each group's sort in its own
+    # task; row-identical per group (guide §2.5 — bytes-small ≠
+    # cpu-small).
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, *by)
     w = Window.partitionBy(*by).orderBy(F.col(value_col).asc())
     # NULL values are outside the distribution (quantile_cont
     # semantics) — unfiltered they'd sort NULLS FIRST and shift every
@@ -470,10 +480,43 @@ def global_percentile_values(
     (partition, local rank), then sort ONLY the partitions that hold a
     boundary and fetch those ≤2·len(percentiles) rows. Three jobs on a
     single column — no join, no full-table row_number output.
+
+    Small inputs (optimizer-stats-gated, r12) take a ONE-job fast path:
+    Spark sorts the value column and the driver interpolates the same
+    marks with the identical v_lo + (v_hi − v_lo)·frac arithmetic —
+    rank lo maps to sorted[lo-1], bit-identical to the distributed
+    selection. Per-axis callers (rfm_segments runs this three times)
+    were paying 4 jobs each (range-exchange sample, checkpoint, counts,
+    boundary fetch) to pull a handful of boundary values out of a
+    few-MB column; the 100-TB path is unchanged past the gate.
     """
+    filtered = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v__")
+    )
+    try:
+        est_bytes = int(
+            str(
+                filtered._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        )
+    except Exception:
+        est_bytes = None
+    if est_bytes is not None and est_bytes <= 16 * 1024 * 1024:
+        seq = [r["__v__"] for r in filtered.orderBy("__v__").collect()]
+        n = len(seq)
+        if n == 0:
+            return [None for _ in percentiles]
+        out = []
+        for p in percentiles:
+            r = 1 + (n - 1) * float(p)
+            lo = int(r // 1)
+            frac = r - float(lo)
+            v_lo = seq[lo - 1]
+            v_hi = seq[min(lo + 1, n) - 1]
+            out.append(v_lo + (v_hi - v_lo) * frac)
+        return out
     vals = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(F.col(value_col).alias("__v__"))
+        filtered
         .repartitionByRange("__v__")
         .localCheckpoint(eager=True)
     )

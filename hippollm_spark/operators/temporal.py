@@ -688,6 +688,17 @@ def autocorrelation(
     constant or n_pairs < 2.
     """
     keys = [by] if isinstance(by, str) else list(by)
+    # Pin the window exchange's partition count (session conf, NOT a
+    # local constant): AQE's byte-based coalescing sees a few MB of
+    # shuffle output and folds the window stage to ONE partition = one
+    # core for the whole lag sort (measured r12: a 1.4 s single-task
+    # stage owns value_acf). An explicit repartition(N, keys) satisfies
+    # the window's required clustering with a non-coalescible exchange,
+    # so each key sorts in its own task — same rows per key, identical
+    # results (the _cpu_spread lesson, shuffle-stage flavor; guide
+    # §2.5: bytes-small is not cpu-small).
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, *keys)
     w = Window.partitionBy(*keys).orderBy(order_col, tiebreak_col)
     cur = F.col(value_col).cast("decimal(18,6)")
     cols = [cur.alias("__x__")]
