@@ -1746,7 +1746,13 @@ def bitext_margin_pairs(
     NULL, negative flips the ranking), so margin is explicitly NULL
     there, and NULL never passes ``margin_threshold``.
     """
-    s = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv__"))
+    # Spread the probe side before the crossJoin: the cosine fold is an
+    # interpreted HOF (no codegen), and a single-split source serializes
+    # the whole |S|×|T| scoring onto one core (r12 profile: three
+    # concurrent 1.5 s single-task stages owned bitext_margin).
+    s = _corpus_spread(
+        src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("__sv__"))
+    )
     t = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("__tv__"))
     scores = (
         s.crossJoin(t)
@@ -1760,8 +1766,17 @@ def bitext_margin_pairs(
     )
     w_s = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("tgt_id"))
     w_t = Window.partitionBy("tgt_id").orderBy(F.desc("score"), F.asc("src_id"))
-    ranked = scores.withColumn("__rs__", F.row_number().over(w_s)).withColumn(
-        "__rt__", F.row_number().over(w_t)
+    # ranked feeds THREE consumers (best-pair selection, mean_s,
+    # mean_t): without a barrier each re-runs the interpreted-cosine
+    # crossJoin from the leaf (guide §2.4 — don't compute three times).
+    # The materialized frame is (ids, score, two ranks) — tiny relative
+    # to the scoring work it saves.
+    from hippollm_spark.operators.dedup import plan_barrier
+
+    ranked = plan_barrier(
+        scores.withColumn("__rs__", F.row_number().over(w_s)).withColumn(
+            "__rt__", F.row_number().over(w_t)
+        )
     )
     mean_s = (
         ranked.filter(F.col("__rs__") <= k)

@@ -746,6 +746,13 @@ def profile_columns(
     min_str, max_str).
     """
     cols = list(columns) if columns is not None else df.columns
+    # Spreading the input ahead of this aggregation was MEASURED AND
+    # REJECTED (r12): the Expand×distinct partials carry every distinct
+    # value per partition, so a 32-way spread multiplies partial-state
+    # volume without reducing the final exchange (profile_events 1.94 s
+    # → 2.30 s with the spread). The single-task partial is the
+    # cheapest form at this shape; at 100 TB the docstring's
+    # approx_count_distinct swap is the real fix.
     numeric = {
         f.name
         for f in df.schema.fields
@@ -881,6 +888,13 @@ def correlation_matrix(
     """
     keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
     cols = list(value_cols)
+    # Stats-gated spread before the wide decimal aggregation (the
+    # profile_columns rationale): the k(k+3)/2 BigDecimal sums ran on
+    # the input's 3 scan splits (measured r12: a 1.42 s 3-task stage
+    # owned corr_matrix). Exact DECIMAL sums are order-independent.
+    from hippollm_spark.operators.dedup import _cpu_spread
+
+    df = _cpu_spread(df, None)
     ok = F.lit(True)
     for c in cols:
         ok = ok & F.col(c).isNotNull()
