@@ -493,6 +493,18 @@ def global_percentile_values(
     filtered = df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).alias("__v__")
     )
+    # gate conf: spark.hippollm.percentiles.smallCollectMaxBytes
+    # (estimated bytes of the filtered value column; 0 disables the
+    # fast path — what the two-path parity test uses)
+    try:
+        gate_bytes = int(
+            df.sparkSession.conf.get(
+                "spark.hippollm.percentiles.smallCollectMaxBytes",
+                str(16 * 1024 * 1024),
+            )
+        )
+    except ValueError:
+        gate_bytes = 16 * 1024 * 1024
     try:
         est_bytes = int(
             str(
@@ -501,7 +513,7 @@ def global_percentile_values(
         )
     except Exception:
         est_bytes = None
-    if est_bytes is not None and est_bytes <= 16 * 1024 * 1024:
+    if est_bytes is not None and 0 < gate_bytes and est_bytes <= gate_bytes:
         seq = [r["__v__"] for r in filtered.orderBy("__v__").collect()]
         n = len(seq)
         if n == 0:

@@ -175,3 +175,17 @@ def test_distributed_prefix_sum_null_values_match_window(spark):
         for r in df.withColumn("rs", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_distributed_rank_with_total(spark):
+    # r12: with_total returns the exact global row count from the
+    # per-partition counts the operator already collects — no second job
+    df = spark.createDataFrame([(i,) for i in range(137)], "id long")
+    out, total = distributed_rank(df, ["id"], rank_col="rk", with_total=True)
+    assert total == 137
+    assert out.count() == 137
+    empty = spark.createDataFrame([], "id long")
+    out_e, total_e = distributed_rank(
+        empty, ["id"], rank_col="rk", with_total=True
+    )
+    assert total_e == 0 and out_e.count() == 0

@@ -187,3 +187,21 @@ def test_trimmed_mean_resists_outliers_vs_plain_mean(spark):
     r = trimmed_mean(df, "value", "k", trim=0.05).first()
     assert abs(r["trimmed_mean"] - 50) < 2       # near the true center
     assert abs(float(np.mean(spiked)) - 50) > 100  # plain mean is wrecked
+
+
+def test_global_percentile_values_fast_path_parity(spark):
+    # r12: the stats-gated one-job collect path must be bit-identical
+    # to the distributed selection (conf=0 forces the distributed path)
+    from hippollm_spark.operators.stats import global_percentile_values
+
+    rows = [(float((i * 37) % 101) + (0.25 if i % 3 else 0.0),) for i in range(997)]
+    df = spark.createDataFrame(rows, "v double")
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.999]
+    fast = global_percentile_values(df, "v", ps)
+    key = "spark.hippollm.percentiles.smallCollectMaxBytes"
+    spark.conf.set(key, "0")
+    try:
+        slow = global_percentile_values(df, "v", ps)
+    finally:
+        spark.conf.unset(key)
+    assert fast == slow  # exact equality, not approx: same IEEE ops
